@@ -1,0 +1,354 @@
+"""Page text -> scored (subj, pred, obj) triples.
+
+This is the KG-construction generalization of the reference's
+query->formal-query step: each recognized (column, condition, value) is a
+triple candidate (SURVEY.md §0). Candidate scoring follows the reference
+examples (examples/NReco.NLQuery.Examples.NerByDataset/QueryCandidate.cs:23-44
+weighted-match-sum; long-match boost from
+examples/NReco.NLQuery.Examples.NliDataFilter/Data/ListQueryParser.cs:117-151).
+
+Pure Python: executed per Arrow batch inside Spark's ``mapInPandas``. The
+recognizer is compiled once per executor from a broadcast spec (matcher
+closures are not picklable, the spec dict is).
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Dict, Iterator, List, Optional, Sequence, Tuple
+
+from .matches import DateMatch, DateOffsetMatch, Match, NumberMatch, StubMatch
+from .recognizer import Recognizer, TopSet
+from .table import (
+    COND_NAMES,
+    ColumnConditionMatch,
+    ColumnMatch,
+    ColumnSchema,
+    GroupMatch,
+    Options,
+    TableMatch,
+    TableMatcherBuilder,
+    TableSchema,
+    english_stem,
+)
+from .tokenizer import tokenize
+from .tokens import NUMBER, WORD, TokenSequence
+
+# Pinned base date for DateOffset resolution (reference uses DateTime.Now,
+# e.g. ListQueryParser.cs:218 — determinism hazard; we pin).
+REFERENCE_DATE = (2024, 1, 1)
+
+# Sentence chunking for long page text: the reference processes short
+# queries; web pages are split into query-sized chunks so the combination
+# DFS stays bounded. Chunking is internal — the page `text` column itself
+# is never modified (byte-identity invariant).
+_SENTENCE_SPLIT = re.compile(r"[^.!?\n]*[.!?\n]+|[^.!?\n]+$")
+MAX_CHUNK_CHARS = 400
+MAX_COMBINATIONS = 1000  # per chunk, reference examples' cap
+
+
+def schema_from_dict(spec: Dict) -> TableSchema:
+    """Build a TableSchema from a plain (broadcastable) dict spec.
+
+    Spec shape (FIXTURES.md §2): ``{caption, name, alt_captions?,
+    exact_match_only?, columns: [{caption, name, datatype, alt_captions?,
+    boost_phrases?, values?, exact_only?}]}``.
+    """
+    cols = [
+        ColumnSchema(
+            caption=c.get("caption"),
+            name=c.get("name"),
+            data_type=c.get("datatype", "string"),
+            alt_captions=c.get("alt_captions"),
+            caption_boost_phrases=c.get("boost_phrases"),
+            values=c.get("values"),
+            exact_match_only=bool(c.get("exact_only", False)),
+        )
+        for c in spec.get("columns", [])
+    ]
+    return TableSchema(
+        caption=spec.get("caption"),
+        name=spec.get("name"),
+        columns=cols,
+        alt_captions=spec.get("alt_captions"),
+        exact_match_only=bool(spec.get("exact_match_only", False)),
+    )
+
+
+def options_from_dict(spec: Optional[Dict]) -> Options:
+    opts = Options()
+    if not spec:
+        return opts
+    if spec.get("stop_words") is not None:
+        opts.stop_words = list(spec["stop_words"])
+    if spec.get("use_stemmer"):
+        opts.apply_stemmer = english_stem
+    if spec.get("now_year") is not None:
+        opts.now_year = int(spec["now_year"])
+    if spec.get("match_bool_operators") is not None:
+        opts.match_bool_operators = bool(spec["match_bool_operators"])
+    if spec.get("match_math_operators") is not None:
+        opts.match_math_operators = bool(spec["match_math_operators"])
+    return opts
+
+
+def build_recognizer(
+    schema_specs: Sequence[Dict], options_spec: Optional[Dict] = None
+) -> Recognizer:
+    """Dictionary compiler entrypoint: specs -> Recognizer."""
+    builder = TableMatcherBuilder(options_from_dict(options_spec))
+    for spec in schema_specs:
+        builder.add(schema_from_dict(spec))
+    rec = Recognizer(builder.build())
+    rec.include_zero_matches = True
+    return rec
+
+
+_RECOGNIZER_CACHE: Dict[int, Recognizer] = {}
+
+
+def cached_recognizer(
+    schema_specs: Sequence[Dict], options_spec: Optional[Dict], cache_key: int
+) -> Recognizer:
+    """Per-executor-process recognizer cache (compile once per worker)."""
+    rec = _RECOGNIZER_CACHE.get(cache_key)
+    if rec is None:
+        rec = build_recognizer(schema_specs, options_spec)
+        _RECOGNIZER_CACHE[cache_key] = rec
+    return rec
+
+
+def build_prescreen(
+    schema_specs: Sequence[Dict], options_spec: Optional[Dict] = None
+) -> str:
+    """Build the prescreen 'superstring' for the chunk fast path.
+
+    A chunk can only produce matches if some word token is a substring of a
+    dictionary phrase (captions/values/boost/month names/offset phrases) or
+    is a digit run (numbers & dates). We concatenate every matchable
+    phrase (lowercase, NUL-separated) so the per-token screen is a single
+    C-speed ``token in superstring`` check. Conservative: never skips a
+    chunk that could match.
+    """
+    from .matchers import _MONTH_ABBREVS, _MONTH_NAMES
+
+    opts = options_from_dict(options_spec)
+    parts: List[str] = []
+    for spec in schema_specs:
+        table = schema_from_dict(spec)
+        parts.extend(table.captions_to_match())
+        for col in table.columns:
+            parts.extend(col.captions_to_match())
+            if col.caption_boost_phrases:
+                parts.extend(col.caption_boost_phrases)
+            if col.values:
+                parts.extend(col.values)
+    parts.extend(_MONTH_NAMES)
+    parts.extend(_MONTH_ABBREVS)
+    for phrases in (
+        opts.yesterday_phrases, opts.tomorrow_phrases, opts.today_phrases,
+        opts.this_month_phrases, opts.prev_month_phrases, opts.next_month_phrases,
+        opts.this_year_phrases, opts.prev_year_phrases, opts.next_year_phrases,
+    ):
+        if phrases:
+            parts.extend(phrases)
+    return "\x00" + "\x00".join(p.lower() for p in parts) + "\x00"
+
+
+def _chunk_can_match(tokens, prescreen: str) -> bool:
+    for t in tokens:
+        if t.type == NUMBER:
+            return True
+        if t.type == WORD and t.value_lower in prescreen:
+            return True
+    return False
+
+
+def candidate_score(
+    matches: Sequence[Match], seq: TokenSequence, long_match_boost: bool = True
+) -> float:
+    """Weighted-match-sum scoring (QueryCandidate.cs:23-44) with the
+    optional long-match boost (ListQueryParser.cs:144-146)."""
+    tokens = seq.tokens
+    total_word_or_num = sum(1 for t in tokens if t.type == WORD or t.type == NUMBER)
+    if total_word_or_num == 0:
+        return 0.0
+    total = 0.0
+    total_matched = 0
+    for m in matches:
+        start_idx = seq.get_index(m.start)
+        end_idx = seq.get_index(m.end)
+        cnt = sum(
+            1
+            for i in range(start_idx, end_idx + 1)
+            if tokens[i].type == WORD or tokens[i].type == NUMBER
+        )
+        total_matched += cnt
+        total += m.score * cnt / total_word_or_num
+    if long_match_boost and total_matched > 0:
+        total += 0.3 * (1.0 - len(matches) / total_matched)
+    return total
+
+
+def _value_repr(m: Match) -> str:
+    """Canonical object string for a value match."""
+    if isinstance(m, NumberMatch):
+        return str(m.value)
+    if isinstance(m, DateOffsetMatch):
+        m = m.to_date(*REFERENCE_DATE)
+    if isinstance(m, DateMatch):
+        parts = []
+        if m.year is not None:
+            parts.append(f"Y{m.year}")
+        if m.month is not None:
+            parts.append(f"M{m.month}")
+        if m.day is not None:
+            parts.append(f"D{m.day}")
+        return "-".join(parts)
+    if isinstance(m, ColumnConditionMatch):
+        if m.matched_value is not None:
+            return m.matched_value
+        return _span_text(m)
+    return _span_text(m)
+
+
+def _span_text(m: Match) -> str:
+    # start/end are tokens carrying absolute char offsets within the chunk
+    return m.start.value if m.start is m.end else f"{m.start.value}..{m.end.value}"
+
+
+def _emit_triples(
+    matches: Sequence[Match],
+    seq: TokenSequence,
+    offset: int,
+    combo_score: float,
+) -> Iterator[Tuple[str, str, float, int, int, str]]:
+    """Yield (pred, obj, score, start, end, rule) per match of the winning
+    combination. Subject (the page url) is attached by the caller."""
+    for m in matches:
+        start = offset + m.start.start_index
+        end = offset + m.end.start_index + len(m.end.value)
+        if isinstance(m, ColumnConditionMatch):
+            cond = COND_NAMES[m.condition].lower()
+            pred = f"{m.column.name}:{cond}"
+            obj = _value_repr(m.value)
+            yield (pred, obj, m.score, start, end, "condition")
+        elif isinstance(m, GroupMatch):
+            # flatten the and/or tree: every leaf condition is a triple
+            for leaf in _iter_group_leaves(m):
+                if isinstance(leaf, ColumnConditionMatch):
+                    cond = COND_NAMES[leaf.condition].lower()
+                    lstart = offset + leaf.start.start_index
+                    lend = offset + leaf.end.start_index + len(leaf.end.value)
+                    yield (
+                        f"{leaf.column.name}:{cond}",
+                        _value_repr(leaf.value),
+                        leaf.score,
+                        lstart,
+                        lend,
+                        "group",
+                    )
+        elif isinstance(m, ColumnMatch):
+            yield ("mentions_column", m.column.name, m.score, start, end, "column")
+        elif isinstance(m, TableMatch):
+            yield ("mentions_table", m.table.name, m.score, start, end, "table")
+        # StubMatch / free Date / Number matches are not triples
+
+
+def _iter_group_leaves(g: GroupMatch) -> Iterator[Match]:
+    for m in g.group_matches:
+        if isinstance(m, GroupMatch):
+            yield from _iter_group_leaves(m)
+        else:
+            yield m
+
+
+def _chunks(text: str) -> Iterator[Tuple[int, str]]:
+    """Split page text into (offset, chunk) pairs on sentence boundaries,
+    windowing very long unpunctuated runs."""
+    pos = 0
+    for match in _SENTENCE_SPLIT.finditer(text):
+        chunk = match.group(0)
+        start = match.start()
+        while len(chunk) > MAX_CHUNK_CHARS:
+            head = chunk[:MAX_CHUNK_CHARS]
+            # backtrack to last whitespace to avoid splitting a token
+            cut = head.rfind(" ")
+            if cut <= 0:
+                cut = MAX_CHUNK_CHARS
+            yield start, chunk[:cut]
+            start += cut
+            chunk = chunk[cut:]
+        if chunk:
+            yield start, chunk
+        pos = match.end()
+    if pos < len(text) and text[pos:].strip():
+        yield pos, text[pos:]
+
+
+class _ScoredCombo:
+    __slots__ = ("score", "order", "matches")
+
+    def __init__(self, score: float, order: int, matches: List[Match]):
+        self.score = score
+        self.order = order
+        self.matches = matches
+
+
+def _combo_compare(a: _ScoredCombo, b: _ScoredCombo) -> int:
+    if a.score != b.score:
+        return -1 if a.score < b.score else 1
+    # deterministic tie-break: earlier enumeration wins (DFS order is
+    # greedy longest-first, so earlier == preferred)
+    if a.order != b.order:
+        return 1 if a.order < b.order else -1
+    return 0
+
+
+def extract_text_triples(
+    text: str,
+    recognizer: Recognizer,
+    top_k: int = 1,
+    long_match_boost: bool = True,
+    max_combinations: int = MAX_COMBINATIONS,
+    prescreen: Optional[str] = None,
+) -> List[Tuple[str, str, float, int, int, str]]:
+    """Extract triples from one page text.
+
+    Per chunk: tokenize -> recognize -> enumerate combinations (capped) ->
+    top-k by candidate score -> emit triples of the best combination(s).
+    Returns (pred, obj, score, start, end, rule) tuples with absolute char
+    offsets into ``text``.
+    """
+    out: List[Tuple[str, str, float, int, int, str]] = []
+    for offset, chunk in _chunks(text):
+        chunk_tokens = tokenize(chunk)
+        if prescreen is not None and not _chunk_can_match(chunk_tokens, prescreen):
+            continue  # fast path: no dictionary token in chunk
+        seq = TokenSequence(chunk_tokens)
+        top = TopSet(top_k, _combo_compare)
+        state = {"n": 0}
+
+        def handler(matches: List[Match]) -> bool:
+            significant = [
+                m
+                for m in matches
+                if not isinstance(m, StubMatch)
+            ]
+            if significant:
+                score = candidate_score(matches, seq, long_match_boost)
+                top.add(_ScoredCombo(score, state["n"], significant))
+            state["n"] += 1
+            return state["n"] <= max_combinations
+
+        def match_filter(m: Match) -> bool:
+            # keep triple-relevant matches (ListQueryParser.cs:59-66)
+            if isinstance(m, ColumnConditionMatch):
+                return m.value is not m or m.matched_value is not None
+            return isinstance(m, (ColumnMatch, TableMatch, GroupMatch))
+
+        recognizer.recognize(seq, handler, match_filter)
+        for combo in top.to_array():
+            combo_score = combo.score
+            out.extend(_emit_triples(combo.matches, seq, offset, combo_score))
+    return out

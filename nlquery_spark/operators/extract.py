@@ -1,0 +1,141 @@
+"""Distributed triple extraction: pages DataFrame -> triples DataFrame.
+
+The Spark re-expression of the reference's recognizer loop
+(Recognizer.cs:102-132 + examples' candidate scoring): the compiled
+dictionary spec is broadcast (small, pickle-safe), each executor compiles
+its matcher set once (process-level cache), and extraction runs inside
+``mapInPandas`` over Arrow batches — per-row logic never crosses the
+Python/JVM boundary row-at-a-time.
+
+Scale posture: the stage is embarrassingly parallel (no shuffle); output
+dedup/aggregation shuffles on (subj, pred, obj) with AQE handling skew;
+hot-entity salting lives in operators.canonicalize.
+"""
+
+from __future__ import annotations
+
+import json
+import zlib
+from typing import Dict, Iterator, Optional, Sequence
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    IntegerType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+TRIPLES_SCHEMA = StructType(
+    [
+        StructField("subj", StringType(), False),
+        StructField("pred", StringType(), False),
+        StructField("obj", StringType(), False),
+        StructField("score", DoubleType(), False),
+        StructField("start", IntegerType(), False),
+        StructField("end", IntegerType(), False),
+        StructField("rule", StringType(), False),
+    ]
+)
+
+
+def extract_triples(
+    pages: DataFrame,
+    schema_specs: Sequence[Dict],
+    options_spec: Optional[Dict] = None,
+    top_k: int = 1,
+    lang_filter: Optional[str] = "en",
+    use_prescreen: bool = True,
+) -> DataFrame:
+    """pages(url, text, ...) -> triples(subj=url, pred, obj, score,
+    start, end, rule).
+
+    Column pruning: only url+text are shipped to Python. The lang filter
+    is applied Spark-side so it pushes into the source scan.
+    """
+    from ..kernel.extract import build_prescreen
+
+    spark = pages.sparkSession
+    schema_specs = list(schema_specs)
+    prescreen = build_prescreen(schema_specs, options_spec) if use_prescreen else None
+    cache_key = zlib.crc32(
+        json.dumps([schema_specs, options_spec], sort_keys=True).encode()
+    )
+    payload_bc = spark.sparkContext.broadcast(
+        (schema_specs, options_spec, prescreen, cache_key, top_k)
+    )
+
+    if lang_filter is not None:
+        pages = pages.filter(F.col("lang") == lang_filter)
+
+    def run(batches) -> Iterator:
+        import pandas as pd
+
+        from ..kernel.extract import cached_recognizer, extract_text_triples
+
+        specs, opts, screen, key, k = payload_bc.value
+        rec = cached_recognizer(specs, opts, key)
+        for pdf in batches:
+            subjs, preds, objs, scores, starts, ends, rules = (
+                [], [], [], [], [], [], []
+            )
+            for url, text in zip(pdf["url"], pdf["text"]):
+                if not text:
+                    continue
+                for pred, obj, score, start, end, rule in extract_text_triples(
+                    text, rec, top_k=k, prescreen=screen
+                ):
+                    subjs.append(url)
+                    preds.append(pred)
+                    objs.append(obj)
+                    scores.append(score)
+                    starts.append(start)
+                    ends.append(end)
+                    rules.append(rule)
+            yield pd.DataFrame(
+                {
+                    "subj": pd.Series(subjs, dtype="object"),
+                    "pred": pd.Series(preds, dtype="object"),
+                    "obj": pd.Series(objs, dtype="object"),
+                    "score": pd.Series(scores, dtype="float64"),
+                    "start": pd.Series(starts, dtype="int32"),
+                    "end": pd.Series(ends, dtype="int32"),
+                    "rule": pd.Series(rules, dtype="object"),
+                }
+            )
+
+    return pages.select("url", "text").mapInPandas(run, TRIPLES_SCHEMA)
+
+
+def dedup_triples(triples: DataFrame) -> DataFrame:
+    """(subj, pred, obj) dedup keeping best score + support count.
+
+    Partial aggregation (map-side combine) is free via Catalyst hash-agg;
+    AQE coalesces the post-shuffle partitions.
+    """
+    return triples.groupBy("subj", "pred", "obj").agg(
+        F.max("score").alias("score"),
+        F.count(F.lit(1)).alias("support"),
+        F.min("start").alias("start"),
+        F.min("end").alias("end"),
+        F.first("rule").alias("rule"),
+    )
+
+
+def write_triples(triples: DataFrame, path: str, buckets: int = 64) -> None:
+    """Materialize the edge table partitioned by predicate + subject-hash
+    bucket (north_rule layout: pred prune + bounded files per pred).
+
+    On an Iceberg catalog this would be ``writeTo(...).partitionedBy(
+    col('pred'), bucket(N, 'subj'))``; parquet fallback encodes the bucket
+    as an explicit column (same pruning properties for readers that filter
+    on subj_bucket = pmod(hash(subj), N)).
+    """
+    (
+        triples.withColumn("subj_bucket", F.pmod(F.hash("subj"), F.lit(buckets)))
+        .repartition("pred", "subj_bucket")
+        .write.mode("overwrite")
+        .partitionBy("pred")
+        .parquet(path)
+    )

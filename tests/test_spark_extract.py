@@ -1,0 +1,89 @@
+"""Spark wiring tests for the extraction stage: byte-identity of page
+text, partitioning-independence, and Spark == local-kernel triple parity
+(the distributed stage must lose/alter nothing vs. the golden-tested
+kernel)."""
+
+import pytest
+
+from nlquery_spark.operators.extract import dedup_triples, extract_triples
+from nlquery_spark.sources.pages import orders_schema_spec, synth_pages
+
+N_PAGES = 120
+
+
+@pytest.fixture(scope="module")
+def pages(spark):
+    df = synth_pages(spark, N_PAGES)
+    df.cache().count()
+    return df
+
+
+def test_pages_deterministic_across_partitioning(spark):
+    a = synth_pages(spark, 60, num_partitions=2).orderBy("url").collect()
+    b = synth_pages(spark, 60, num_partitions=7).orderBy("url").collect()
+    assert [r.asDict() for r in a] == [r.asDict() for r in b]
+
+
+def test_page_text_byte_identity(pages):
+    """input_hint invariant: extracted per-url text is byte-identical —
+    the html payload embeds the text; nothing in the pipeline mutates it."""
+    for row in pages.collect():
+        assert row.html == b"<html><body>" + row.text.encode("utf-8") + b"</body></html>"
+        assert row.text.encode("utf-8").decode("utf-8") == row.text
+
+
+def test_spark_triples_match_local_kernel(spark, pages):
+    """P/R == 1.0 vs the (golden-tested) kernel run locally on the same
+    texts."""
+    from nlquery_spark.kernel.extract import (
+        build_prescreen,
+        build_recognizer,
+        extract_text_triples,
+    )
+
+    spec = orders_schema_spec()
+    triples = extract_triples(pages, [spec]).collect()
+    got = {
+        (r.subj, r.pred, r.obj, round(r.score, 9), r.start, r.end)
+        for r in triples
+    }
+
+    rec = build_recognizer([spec])
+    screen = build_prescreen([spec])
+    expected = set()
+    for row in pages.filter("lang = 'en'").select("url", "text").collect():
+        for pred, obj, score, start, end, rule in extract_text_triples(
+            row.text, rec, prescreen=screen
+        ):
+            expected.add((row.url, pred, obj, round(score, 9), start, end))
+
+    assert expected, "fixture should produce triples"
+    assert got == expected
+
+
+def test_prescreen_changes_nothing(spark, pages):
+    spec = orders_schema_spec()
+    with_screen = {
+        tuple(r)
+        for r in extract_triples(pages, [spec], use_prescreen=True).collect()
+    }
+    without_screen = {
+        tuple(r)
+        for r in extract_triples(pages, [spec], use_prescreen=False).collect()
+    }
+    assert with_screen == without_screen
+
+
+def test_dedup_triples(spark, pages):
+    spec = orders_schema_spec()
+    triples = extract_triples(pages, [spec])
+    deduped = dedup_triples(triples)
+    assert deduped.count() == deduped.select("subj", "pred", "obj").distinct().count()
+    assert deduped.count() <= triples.count()
+
+
+def test_extract_plan_no_shuffle(spark, pages):
+    """The extraction stage itself must not shuffle (embarrassingly
+    parallel map over the scan)."""
+    plan = extract_triples(pages, [orders_schema_spec()])._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
