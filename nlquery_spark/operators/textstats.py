@@ -1,0 +1,108 @@
+"""Text analysis operators for training-data pipelines.
+
+All hot-path logic uses built-in ``pyspark.sql.functions`` (JVM-side,
+whole-stage codegen) — no Python UDFs. Each operator has an exact ANSI-SQL
+oracle (see __spark_entry__.oracle_sql), which doubles as the correctness
+spec.
+
+Token model here is whitespace tokenization (the training-data-pipeline
+convention), distinct from the reference-parity FSM tokenizer used for
+triple extraction (nlquery_spark.kernel.tokenizer).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+# Small language-marker sets for the n-gram/stopword language heuristic.
+EN_MARKERS = ["the", "and", "of", "to", "in", "is", "that", "it", "for", "with"]
+DE_MARKERS = ["der", "die", "das", "und", "ist", "nicht", "ein", "mit", "für", "von"]
+FR_MARKERS = ["le", "la", "les", "et", "est", "une", "pas", "pour", "que", "dans"]
+
+EN_STOPWORDS = [
+    "a", "an", "and", "are", "as", "at", "be", "by", "for", "from", "has",
+    "he", "in", "is", "it", "its", "of", "on", "that", "the", "to", "was",
+    "were", "will", "with",
+]
+
+
+def tokens_col(text: Column) -> Column:
+    """Whitespace tokens; empty text -> empty array (not [''])."""
+    return F.when(
+        F.length(F.trim(text)) == 0, F.array().cast("array<string>")
+    ).otherwise(F.split(F.trim(text), r"\s+"))
+
+
+def token_count(text: Column) -> Column:
+    return F.size(tokens_col(text))
+
+
+def with_token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """n_tokens, n_chars_nospace, avg_token_len."""
+    toks = tokens_col(F.col(text_col))
+    n_tokens = F.size(toks)
+    n_chars = F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t))
+    return df.withColumn("n_tokens", n_tokens).withColumn(
+        "avg_token_len",
+        F.when(n_tokens > 0, n_chars.cast("double") / n_tokens).otherwise(F.lit(0.0)),
+    )
+
+
+def with_quality(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Length/stopword/alpha-ratio quality signals + a composite score.
+
+    The composite mirrors common web-text quality filters (length band,
+    stopword presence, alpha fraction); every term is SQL-expressible so
+    the oracle is exact.
+    """
+    toks = tokens_col(F.col(text_col))
+    n_tokens = F.size(toks)
+    stop_arr = F.array(*[F.lit(w) for w in EN_STOPWORDS])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, F.lower(t))))
+    alpha_chars = F.length(F.regexp_replace(F.col(text_col), r"[^A-Za-z]", ""))
+    total_chars = F.length(F.col(text_col))
+    stop_ratio = F.when(n_tokens > 0, n_stop.cast("double") / n_tokens).otherwise(0.0)
+    alpha_ratio = (
+        F.when(total_chars > 0, alpha_chars.cast("double") / total_chars)
+        .otherwise(0.0)
+    )
+    length_ok = (n_tokens >= 10) & (n_tokens <= 100000)
+    quality = (
+        F.when(length_ok, F.lit(0.4)).otherwise(F.lit(0.0))
+        + F.least(stop_ratio * F.lit(2.0), F.lit(0.3))
+        + alpha_ratio * F.lit(0.3)
+    )
+    return (
+        df.withColumn("n_tokens", n_tokens)
+        .withColumn("stopword_ratio", F.round(stop_ratio, 6))
+        .withColumn("alpha_ratio", F.round(alpha_ratio, 6))
+        .withColumn("quality", F.round(quality, 6))
+    )
+
+
+def with_lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Marker-word language heuristic (en/de/fr/unknown), deterministic
+    tie-break en > de > fr."""
+    toks = F.transform(tokens_col(F.col(text_col)), F.lower)
+
+    def hits(markers):
+        arr = F.array(*[F.lit(w) for w in markers])
+        return F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))
+
+    en, de, fr = hits(EN_MARKERS), hits(DE_MARKERS), hits(FR_MARKERS)
+    lang = (
+        F.when((en >= de) & (en >= fr) & (en > 0), F.lit("en"))
+        .when((de >= fr) & (de > 0), F.lit("de"))
+        .when(fr > 0, F.lit("fr"))
+        .otherwise(F.lit("unknown"))
+    )
+    return df.withColumn("lang_pred", lang)
+
+
+def with_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Order-insensitive document fingerprint: md5 of the sorted distinct
+    lowercase token set (classic bag-fingerprint for near-identical doc
+    grouping; robust to token reordering/duplication)."""
+    toks = F.transform(tokens_col(F.col(text_col)), F.lower)
+    canon = F.concat_ws(" ", F.array_sort(F.array_distinct(toks)))
+    return df.withColumn("fingerprint", F.md5(canon))

@@ -1,0 +1,185 @@
+"""Tests for training-data pipeline operators (dedup, similarity,
+textstats, multimodal plumbing) against python-computed expectations on
+the driver-provided testdata."""
+
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from nlquery_spark.operators import dedup, similarity, textstats
+from nlquery_spark.operators.multimodal import extract_features, synth_media
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    df.cache().count()
+    return df
+
+
+@pytest.fixture(scope="module")
+def embeddings(spark, sf_dir):
+    df = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    df.cache().count()
+    return df
+
+
+def test_token_count_matches_python(docs):
+    rows = (
+        docs.select("doc_id", "text", textstats.token_count(F.col("text")).alias("n"))
+        .collect()
+    )
+    for r in rows:
+        assert r.n == len(r.text.split()), r.doc_id
+
+
+def test_quality_and_langid_run(docs):
+    out = textstats.with_lang_id(textstats.with_quality(docs)).collect()
+    assert len(out) == docs.count()
+    for r in out[:50]:
+        toks = r.text.split()
+        n_stop = sum(1 for t in toks if t.lower() in textstats.EN_STOPWORDS)
+        assert r.n_tokens == len(toks)
+        assert r.stopword_ratio == pytest.approx(
+            round(n_stop / len(toks), 6) if toks else 0, abs=1e-6
+        )
+        assert 0 <= r.quality <= 1.0001
+        assert r.lang_pred in ("en", "de", "fr", "unknown")
+
+
+def test_fingerprint_order_insensitive(spark):
+    df = spark.createDataFrame(
+        [(1, "b a c"), (2, "c b a a"), (3, "totally different words")],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r.fingerprint for r in textstats.with_fingerprint(df).collect()}
+    assert rows[1] == rows[2]
+    assert rows[1] != rows[3]
+
+
+def test_exact_dedup(spark):
+    df = spark.createDataFrame(
+        [(1, "same text"), (2, "same text"), (3, "other")],
+        "doc_id long, text string",
+    )
+    groups = {r.canonical_id: r for r in dedup.exact_dup_groups(df).collect()}
+    assert groups[1].n_docs == 2 and groups[1].doc_ids == [1, 2]
+    assert groups[3].n_docs == 1
+    kept = sorted(r.doc_id for r in dedup.exact_dedup(df).collect())
+    assert kept == [1, 3]
+
+
+def _py_jaccard(a, b, n=3):
+    sa = {" ".join(a[i : i + n]) for i in range(max(len(a) - n + 1, 1))} if a else set()
+    sb = {" ".join(b[i : i + n]) for i in range(max(len(b) - n + 1, 1))} if b else set()
+    if not sa or not sb:
+        return 0.0
+    return len(sa & sb) / len(sa | sb)
+
+
+def test_ngram_jaccard_pairs(spark):
+    texts = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy cat"),
+        (3, "completely unrelated sentence about spark engines"),
+        (4, "the quick brown fox jumps over the lazy dog today"),
+    ]
+    df = spark.createDataFrame(texts, "doc_id long, text string")
+    got = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in dedup.ngram_jaccard_pairs(df, threshold=0.3).collect()
+    }
+    toks = {i: t.lower().split() for i, t in texts}
+    expected = {}
+    for i in toks:
+        for j in toks:
+            if i < j:
+                jac = _py_jaccard(toks[i], toks[j])
+                if jac >= 0.3:
+                    expected[(i, j)] = round(jac, 6)
+    assert got == {k: pytest.approx(v, abs=1e-6) for k, v in expected.items()}
+
+
+def test_minhash_lsh_finds_near_dups(spark):
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 3
+    texts = [
+        (1, base),
+        (2, base + "one extra token"),
+        (3, "entirely different content with no overlap whatsoever at all"),
+    ]
+    df = spark.createDataFrame(texts, "doc_id long, text string")
+    pairs = {(r.id_a, r.id_b) for r in dedup.minhash_lsh_pairs(df, threshold=0.5).collect()}
+    assert (1, 2) in pairs
+    assert all(3 not in p for p in pairs)
+
+
+def test_simhash_near_dup(spark):
+    # longer docs -> wider vote margins -> single-token edit flips few bits
+    base = " ".join(f"tok{i}" for i in range(300))
+    texts = [
+        (1, base),
+        (2, base.replace("tok5 ", "tok5x ")),  # exactly one token differs
+        (3, " ".join(f"other{i}" for i in range(300))),
+    ]
+    df = spark.createDataFrame(texts, "doc_id long, text string")
+    pairs = {(r.id_a, r.id_b): r.hamming for r in dedup.simhash_pairs(df, max_hamming=8).collect()}
+    assert (1, 2) in pairs
+    assert all(3 not in p for p in pairs)
+
+
+def test_embedding_neardup(spark):
+    rng = np.random.RandomState(0)
+    v1 = rng.randn(16)
+    v2 = v1 + rng.randn(16) * 0.01
+    v3 = rng.randn(16)
+    df = spark.createDataFrame(
+        [(1, [float(x) for x in v1]), (2, [float(x) for x in v2]), (3, [float(x) for x in v3])],
+        "vec_id long, embedding array<double>",
+    )
+    pairs = {(r.id_a, r.id_b) for r in dedup.embedding_neardup_pairs(df, threshold=0.98).collect()}
+    assert (1, 2) in pairs
+    assert all(3 not in p for p in pairs)
+
+
+def test_bruteforce_vs_blocked_topk(embeddings):
+    qids = [0, 1, 2]
+    bf = similarity.cosine_topk_bruteforce(embeddings, qids, k=5)
+    blocked = similarity.cosine_topk_blocked(embeddings, query_ids=qids, k=5)
+    a = {(r.query_id, r.rank): (r.neighbor_id, r.cosine) for r in bf.collect()}
+    b = {(r.query_id, r.rank): (r.neighbor_id, r.cosine) for r in blocked.collect()}
+    assert set(a) == set(b)
+    for key in a:
+        assert a[key][0] == b[key][0], key
+        assert a[key][1] == pytest.approx(b[key][1], abs=2e-6)
+
+
+def test_ivf_topk_recall(embeddings):
+    qids = [0, 1, 2, 3]
+    exact = similarity.cosine_topk_bruteforce(embeddings, qids, k=5).collect()
+    approx = similarity.ivf_topk(embeddings, qids, k=5, n_cells=8, nprobe=4).collect()
+    exact_sets = {}
+    for r in exact:
+        exact_sets.setdefault(r.query_id, set()).add(r.neighbor_id)
+    approx_sets = {}
+    for r in approx:
+        approx_sets.setdefault(r.query_id, set()).add(r.neighbor_id)
+    recalls = [
+        len(exact_sets[q] & approx_sets.get(q, set())) / len(exact_sets[q])
+        for q in exact_sets
+    ]
+    assert sum(recalls) / len(recalls) >= 0.5  # pruned search, partial recall ok
+
+
+def test_multimodal_plumbing(spark):
+    media = synth_media(spark, 30)
+    feats = extract_features(media, dim=8).collect()
+    assert len(feats) == 30
+    by_id = {r.media_id: r for r in feats}
+    assert all(len(r.feature) == 8 for r in feats)
+    # deterministic: same payload -> same feature
+    again = {r.media_id: r for r in extract_features(synth_media(spark, 30), dim=8).collect()}
+    for i in by_id:
+        assert by_id[i].feature == again[i].feature
+        assert by_id[i].n_bytes > 0
