@@ -1,0 +1,101 @@
+#!/usr/bin/env python
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR on
+local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
+{"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Extras (pages_per_sec / triples_per_sec for the KG-extraction headline)
+ride along as additional keys. Use scripts/bench_scaling.py for the
+N-vs-4N parallelism run recorded in BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+# pages for the extraction headline: scaled to the sf of the dir
+_SF = SF_DIR.rstrip("/").split("sf")[-1]
+try:
+    SF_NUM = float(_SF)
+except ValueError:
+    SF_NUM = 0.1
+N_PAGES = int(os.environ.get("SPARK_GRAFT_BENCH_PAGES", str(int(200_000 * SF_NUM))))
+
+
+def main() -> None:
+    import __spark_entry__ as entry_mod
+    from nlquery_spark.operators.extract import dedup_triples, extract_triples
+    from nlquery_spark.plans import get_spark
+    from nlquery_spark.sources.pages import orders_schema_spec, synth_pages
+
+    spark = get_spark("nlquery-bench", master=f"local[{CPUS}]",
+                      shuffle_partitions=max(CPUS, 8))
+    spark.sparkContext.setLogLevel("ERROR")
+
+    timings: dict[str, float] = {}
+    extras: dict[str, float] = {}
+
+    # -- headline: KG triple extraction over synthetic CC-style pages -----
+    pages = synth_pages(spark, N_PAGES, num_partitions=CPUS * 2)
+    pages = pages.persist()
+    n_pages = pages.count()  # materialize outside the timed window
+    t0 = time.time()
+    triples = dedup_triples(extract_triples(pages, [orders_schema_spec()]))
+    n_triples = triples.count()
+    dt = time.time() - t0
+    timings["kg_extract_pages"] = round(dt, 3)
+    extras["pages_per_sec"] = round(n_pages / dt, 1)
+    extras["triples_per_sec"] = round(n_triples / dt, 1)
+    extras["n_pages"] = n_pages
+    extras["n_triples"] = n_triples
+    pages.unpersist()
+
+    # -- operator suite over the driver-provided tables -------------------
+    qs = entry_mod.queries()
+    suite = [
+        "q1_pricing_summary",
+        "q3_shipping_priority",
+        "q5_local_supplier",
+        "topk_orders_per_customer",
+        "events_by_minute",
+        "nl_filter_orders",
+        "doc_token_stats",
+        "doc_quality",
+        "doc_lang_id",
+        "doc_fingerprint",
+        "dedup_exact",
+        "dedup_ngram_jaccard",
+        "gazetteer_mentions",
+        "ann_cosine_topk",
+        "dedup_minhash",
+        "dedup_simhash",
+        "dedup_embedding",
+        "kg_extract_triples",
+    ]
+    for name in suite:
+        t0 = time.time()
+        df = qs[name](spark, SF_DIR)
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    out = {
+        "metric": "suite_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": SF_NUM,
+        **extras,
+    }
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,169 @@
+"""NL query -> Spark filter compiler.
+
+The Spark re-expression of the reference's NL->SQL lifecycle
+(examples/NReco.NLQuery.Examples.NliDataFilter/Data/ListQueryParser.cs:51-76,
+153-268): recognize the NL string with the schema dictionary, take the
+best-scoring combination, and compile its (column, condition, value)
+matches into a Catalyst predicate — per-column OR groups under an AND
+root (ListQueryParser.cs:160-182). The predicate lands in the DataFrame
+filter, so pushdown/pruning come free.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Sequence, Tuple
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from ..kernel.extract import build_recognizer, candidate_score
+from ..kernel.matches import DateMatch, DateOffsetMatch, NumberMatch
+from ..kernel.recognizer import TopSet
+from ..kernel.table import (
+    COND_CONTAINS,
+    COND_EQUAL,
+    COND_EXACT,
+    COND_GREATERTHAN,
+    COND_GREATERTHANOREQUAL,
+    COND_LESSTHAN,
+    COND_LESSTHANOREQUAL,
+    COND_NOTEQUAL,
+    COND_STARTSWITH,
+    ColumnConditionMatch,
+    GroupMatch,
+)
+from ..kernel.tokenizer import tokenize
+from ..kernel.tokens import TokenSequence
+
+
+def parse_conditions(
+    nl: str,
+    schema_specs: Sequence[Dict],
+    options_spec: Optional[Dict] = None,
+    max_combinations: int = 1000,
+) -> List[ColumnConditionMatch]:
+    """Best-combination column conditions for an NL query string."""
+    rec = build_recognizer(schema_specs, options_spec)
+    rec.include_zero_matches = True
+    seq = TokenSequence(tokenize(nl))
+    best: List = [None, -1.0]  # (matches, score)
+    state = {"n": 0}
+
+    def handler(matches):
+        score = candidate_score(matches, seq)
+        if score > best[1]:
+            best[0], best[1] = matches, score
+        state["n"] += 1
+        return state["n"] <= max_combinations
+
+    def match_filter(m):
+        if isinstance(m, ColumnConditionMatch):
+            return m.value is not m or m.matched_value is not None
+        return isinstance(m, GroupMatch)
+
+    rec.recognize(seq, handler, match_filter)
+    out: List[ColumnConditionMatch] = []
+
+    def collect(m):
+        if isinstance(m, ColumnConditionMatch):
+            out.append(m)
+        elif isinstance(m, GroupMatch):
+            for child in m.group_matches:
+                collect(child)
+
+    for m in best[0] or []:
+        collect(m)
+    return out
+
+
+def _value_literal(cnd: ColumnConditionMatch):
+    v = cnd.value
+    if isinstance(v, NumberMatch):
+        return float(v.value)
+    if isinstance(v, (DateMatch, DateOffsetMatch)):
+        from ..kernel.extract import REFERENCE_DATE
+
+        if isinstance(v, DateOffsetMatch):
+            v = v.to_date(*REFERENCE_DATE)
+        return (v.year, v.month, v.day)
+    if cnd.matched_value is not None:
+        return cnd.matched_value
+    return v.start.value if v.start is v.end else None
+
+
+def conditions_to_predicate(
+    conditions: Sequence[ColumnConditionMatch],
+) -> Optional[Column]:
+    """Per-column OR groups under an AND root (ListQueryParser.cs:160-182)."""
+    by_col: Dict[str, List[Column]] = {}
+    for cnd in conditions:
+        col_name = cnd.column.name
+        lit = _value_literal(cnd)
+        if lit is None:
+            continue
+        c = F.col(col_name)
+        cond = cnd.condition
+        if cond in (COND_EXACT, COND_EQUAL):
+            if isinstance(lit, tuple):
+                pred = _date_range_pred(c, lit)
+            else:
+                pred = c == F.lit(lit)
+        elif cond == COND_STARTSWITH:
+            pred = c.startswith(str(lit))
+        elif cond == COND_CONTAINS:
+            pred = c.contains(str(lit))
+        elif cond == COND_GREATERTHAN:
+            pred = c > _scalar(lit)
+        elif cond == COND_GREATERTHANOREQUAL:
+            pred = c >= _scalar(lit)
+        elif cond == COND_LESSTHAN:
+            pred = c < _scalar(lit)
+        elif cond == COND_LESSTHANOREQUAL:
+            pred = c <= _scalar(lit)
+        elif cond == COND_NOTEQUAL:
+            pred = c != _scalar(lit)
+        else:
+            continue
+        by_col.setdefault(col_name, []).append(pred)
+    root: Optional[Column] = None
+    for preds in by_col.values():
+        group = preds[0]
+        for p in preds[1:]:
+            group = group | p
+        root = group if root is None else (root & group)
+    return root
+
+
+def _scalar(lit):
+    if isinstance(lit, tuple):  # partial date -> range start
+        y, m, d = lit
+        return F.lit(f"{y or 1}-{m or 1:02d}-{d or 1:02d}").cast("timestamp")
+    return F.lit(lit)
+
+
+def _date_range_pred(c: Column, ymd: Tuple) -> Column:
+    """Partial date -> [start, end) range (ListQueryParser.cs:216-242)."""
+    y, m, d = ymd
+    y = y or 1970
+    if m is None:
+        start, end = f"{y}-01-01", f"{y + 1}-01-01"
+    elif d is None:
+        ny, nm = (y + 1, 1) if m == 12 else (y, m + 1)
+        start, end = f"{y}-{m:02d}-01", f"{ny}-{nm:02d}-01"
+    else:
+        import datetime
+
+        nxt = datetime.date(y, m, d) + datetime.timedelta(days=1)
+        start, end = f"{y}-{m:02d}-{d:02d}", nxt.isoformat()
+    return (c >= F.lit(start).cast("timestamp")) & (c < F.lit(end).cast("timestamp"))
+
+
+def nl_filter(
+    df: DataFrame,
+    nl: str,
+    schema_specs: Sequence[Dict],
+    options_spec: Optional[Dict] = None,
+) -> DataFrame:
+    """Filter ``df`` by a natural-language query."""
+    conditions = parse_conditions(nl, schema_specs, options_spec)
+    pred = conditions_to_predicate(conditions)
+    return df.filter(pred) if pred is not None else df

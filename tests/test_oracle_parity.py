@@ -1,0 +1,81 @@
+"""Driver-style oracle parity: run every queries() entry on Spark and its
+oracle_sql() on DuckDB over the same parquet, compare row count, column
+names, and order-insensitive values — the same gate CORRECTNESS_r{N}.json
+records."""
+
+import math
+import os
+
+import duckdb
+import pytest
+
+import __spark_entry__ as entry_mod
+
+SF_DIR = os.environ.get("SPARK_GRAFT_ORACLE_SF", "/root/testdata/sf0.001")
+
+
+def _duck(sf_dir):
+    con = duckdb.connect()
+    for t in entry_mod.TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    return con
+
+
+def _canon(v):
+    if v is None:
+        return None
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "nan"
+        return round(v, 9)
+    if hasattr(v, "isoformat"):
+        return v.isoformat()
+    return v
+
+
+def _rows_to_multiset(cols, rows):
+    ordered = sorted(cols)
+    idx = [cols.index(c) for c in ordered]
+    return sorted(
+        tuple(_canon(r[i]) for i in idx) for r in rows
+    ), ordered
+
+
+@pytest.mark.parametrize("name", sorted(entry_mod.oracle_sql().keys()))
+def test_query_matches_oracle(spark, name):
+    q = entry_mod.queries()[name]
+    sdf = q(spark, SF_DIR)
+    spark_rows = [tuple(r) for r in sdf.collect()]
+    spark_cols = list(sdf.columns)
+
+    con = _duck(SF_DIR)
+    res = con.execute(entry_mod.oracle_sql()[name])
+    duck_cols = [d[0] for d in res.description]
+    duck_rows = res.fetchall()
+
+    assert sorted(spark_cols) == sorted(duck_cols), f"{name}: column names differ"
+    assert len(spark_rows) == len(duck_rows), f"{name}: row count differs"
+    s_vals, cols = _rows_to_multiset(spark_cols, spark_rows)
+    d_vals, _ = _rows_to_multiset(duck_cols, duck_rows)
+    mismatches = [
+        (a, b) for a, b in zip(s_vals, d_vals) if a != b
+    ]
+    assert not mismatches, f"{name}: first mismatches {mismatches[:5]}"
+
+
+@pytest.mark.parametrize(
+    "name",
+    [n for n in entry_mod.queries() if n not in entry_mod.oracle_sql()],
+)
+def test_rows_only_queries_run(spark, name):
+    df = entry_mod.queries()[name](spark, SF_DIR)
+    n = df.count()
+    assert n >= 0
+    assert df.columns
+
+
+def test_entry_smoke(spark):
+    df = entry_mod.entry(spark)
+    assert df.count() > 0
