@@ -1,0 +1,56 @@
+#!/usr/bin/env python
+"""Worker for the scaling benchmark: run the KG-extraction job at a given
+parallelism in a fresh JVM and print one JSON line.
+
+Usage: python scripts/_scale_worker.py <cpus> <n_pages>
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    cpus = int(sys.argv[1])
+    n_pages = int(sys.argv[2])
+
+    from nlquery_spark.operators.extract import dedup_triples, extract_triples
+    from nlquery_spark.plans import get_spark
+    from nlquery_spark.sources.pages import orders_schema_spec, synth_pages
+
+    spark = get_spark(
+        f"nlquery-scale-{cpus}", master=f"local[{cpus}]", shuffle_partitions=cpus
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    # identical input at every parallelism: generation is id-keyed;
+    # partition count fixed independently of cpus
+    pages = synth_pages(spark, n_pages, num_partitions=64).persist()
+    n = pages.count()
+
+    # warmup (JIT, Arrow, python worker pool)
+    extract_triples(pages.limit(2000), [orders_schema_spec()]).count()
+
+    t0 = time.time()
+    triples = dedup_triples(extract_triples(pages, [orders_schema_spec()]))
+    n_triples = triples.count()
+    wall = time.time() - t0
+    print(
+        json.dumps(
+            {
+                "cpus": cpus,
+                "n_pages": n,
+                "n_triples": n_triples,
+                "wall_sec": round(wall, 3),
+                "pages_per_sec": round(n / wall, 1),
+                "triples_per_sec": round(n_triples / wall, 1),
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
