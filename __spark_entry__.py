@@ -30,6 +30,19 @@ def _load(spark: SparkSession, sf_dir: str, *names: str) -> dict:
     return {n: spark.read.parquet(f"{sf_dir}/{n}.parquet") for n in names}
 
 
+def _parallelize(df: DataFrame) -> DataFrame:
+    """Repartition a few-file scan before a CPU-bound per-row stage.
+
+    Local test parquet is a single file (1 scan partition); on a real
+    corpus the scan has thousands of splits and this is a no-op. The
+    round-robin shuffle of the tiny input is much cheaper than running a
+    CPU-heavy Arrow stage on one core."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < max(target // 2, 2):
+        return df.repartition(target)
+    return df
+
+
 def _dec(col, prec: int = 10) -> "F.Column":
     return F.col(col).cast(f"decimal({prec},2)")
 
@@ -250,7 +263,7 @@ FROM documents
 def _doc_quality(spark, sf_dir):
     from nlquery_spark.operators.textstats import with_quality
 
-    docs = _load(spark, sf_dir, "documents")["documents"]
+    docs = _parallelize(_load(spark, sf_dir, "documents")["documents"])
     return with_quality(docs).select(
         "doc_id",
         F.col("n_tokens").cast("long").alias("n_tokens"),
@@ -284,7 +297,7 @@ FROM m
 def _doc_lang_id(spark, sf_dir):
     from nlquery_spark.operators.textstats import with_lang_id
 
-    docs = _load(spark, sf_dir, "documents")["documents"]
+    docs = _parallelize(_load(spark, sf_dir, "documents")["documents"])
     return with_lang_id(docs).select("doc_id", "lang_pred")
 
 
@@ -442,7 +455,7 @@ SELECT query_id, rank, neighbor_id, cosine FROM (
 def _kg_extract_triples(spark, sf_dir):
     from nlquery_spark.operators.extract import dedup_triples, extract_triples
 
-    docs = _load(spark, sf_dir, "documents")["documents"]
+    docs = _parallelize(_load(spark, sf_dir, "documents")["documents"])
     pages = docs.select(
         F.concat(F.lit("doc:"), F.col("doc_id")).alias("url"),
         F.col("text"),
@@ -456,21 +469,25 @@ def _kg_extract_triples(spark, sf_dir):
 def _dedup_minhash(spark, sf_dir):
     from nlquery_spark.operators.dedup import minhash_lsh_pairs
 
-    docs = _load(spark, sf_dir, "documents")["documents"].filter(F.col("doc_id") < 200)
+    docs = _parallelize(
+        _load(spark, sf_dir, "documents")["documents"].filter(F.col("doc_id") < 200)
+    )
     return minhash_lsh_pairs(docs, n=2, threshold=0.3)
 
 
 def _dedup_simhash(spark, sf_dir):
     from nlquery_spark.operators.dedup import simhash_pairs
 
-    docs = _load(spark, sf_dir, "documents")["documents"].filter(F.col("doc_id") < 200)
+    docs = _parallelize(
+        _load(spark, sf_dir, "documents")["documents"].filter(F.col("doc_id") < 200)
+    )
     return simhash_pairs(docs, max_hamming=12)
 
 
 def _dedup_embedding(spark, sf_dir):
     from nlquery_spark.operators.dedup import embedding_neardup_pairs
 
-    emb = _load(spark, sf_dir, "embeddings")["embeddings"]
+    emb = _parallelize(_load(spark, sf_dir, "embeddings")["embeddings"])
     return embedding_neardup_pairs(emb, threshold=0.6, block_planes=4)
 
 

@@ -32,7 +32,7 @@ from .table import (
     english_stem,
 )
 from .tokenizer import tokenize
-from .tokens import NUMBER, WORD, TokenSequence
+from .tokens import NUMBER, SENTENCE_END, SEPARATOR, WORD, TokenSequence
 
 # Pinned base date for DateOffset resolution (reference uses DateTime.Now,
 # e.g. ListQueryParser.cs:218 — determinism hazard; we pin).
@@ -319,36 +319,76 @@ def extract_text_triples(
     top-k by candidate score -> emit triples of the best combination(s).
     Returns (pred, obj, score, start, end, rule) tuples with absolute char
     offsets into ``text``.
+
+    Scoring fast path: with IncludeZeroMatches semantics, stub spans
+    partition the non-covered tokens, so total-matched-word-count always
+    equals the chunk's word count and the stub count equals the number of
+    significant gaps between match spans — both computable from prefix
+    sums in O(|combo|) instead of materializing StubMatches per
+    combination (numerically identical to candidate_score over the
+    stub-including combination; covered by tests).
     """
     out: List[Tuple[str, str, float, int, int, str]] = []
-    for offset, chunk in _chunks(text):
-        chunk_tokens = tokenize(chunk)
-        if prescreen is not None and not _chunk_can_match(chunk_tokens, prescreen):
-            continue  # fast path: no dictionary token in chunk
-        seq = TokenSequence(chunk_tokens)
-        top = TopSet(top_k, _combo_compare)
-        state = {"n": 0}
+    include_zero = recognizer.include_zero_matches
+    recognizer.include_zero_matches = False
+    try:
+        for offset, chunk in _chunks(text):
+            chunk_tokens = tokenize(chunk)
+            if prescreen is not None and not _chunk_can_match(chunk_tokens, prescreen):
+                continue  # fast path: no dictionary token in chunk
+            n_tok = len(chunk_tokens)
+            pre_won = [0] * (n_tok + 1)  # word-or-number prefix counts
+            pre_sig = [0] * (n_tok + 1)  # non-separator/sentence-end prefix
+            for i, t in enumerate(chunk_tokens):
+                tt = t.type
+                pre_won[i + 1] = pre_won[i] + (1 if tt == WORD or tt == NUMBER else 0)
+                pre_sig[i + 1] = pre_sig[i] + (
+                    1 if tt != SEPARATOR and tt != SENTENCE_END else 0
+                )
+            total_won = pre_won[n_tok]
+            if total_won == 0:
+                continue
+            seq = TokenSequence(chunk_tokens)
+            seq.get_index(chunk_tokens[0])  # force index map build
+            idx_map = seq._token_to_index
+            top = TopSet(top_k, _combo_compare)
+            state = {"n": 0}
 
-        def handler(matches: List[Match]) -> bool:
-            significant = [
-                m
-                for m in matches
-                if not isinstance(m, StubMatch)
-            ]
-            if significant:
-                score = candidate_score(matches, seq, long_match_boost)
-                top.add(_ScoredCombo(score, state["n"], significant))
-            state["n"] += 1
-            return state["n"] <= max_combinations
+            def handler(matches: List[Match]) -> bool:
+                n_combo = state["n"]
+                state["n"] = n_combo + 1
+                if matches:
+                    total = 0.0
+                    spans = []
+                    for m in matches:
+                        s = idx_map[m.start]
+                        e = idx_map[m.end]
+                        total += m.score * (pre_won[e + 1] - pre_won[s])
+                        spans.append((s, e))
+                    total /= total_won
+                    if long_match_boost:
+                        # stubs = significant gaps (see docstring)
+                        n_matches = len(matches)
+                        prev_end = -1
+                        for s, e in reversed(spans):  # DFS order is reversed
+                            if pre_sig[s] - pre_sig[prev_end + 1] > 0:
+                                n_matches += 1
+                            prev_end = e
+                        if pre_sig[n_tok] - pre_sig[prev_end + 1] > 0:
+                            n_matches += 1
+                        total += 0.3 * (1.0 - n_matches / total_won)
+                    top.add(_ScoredCombo(total, n_combo, matches))
+                return state["n"] <= max_combinations
 
-        def match_filter(m: Match) -> bool:
-            # keep triple-relevant matches (ListQueryParser.cs:59-66)
-            if isinstance(m, ColumnConditionMatch):
-                return m.value is not m or m.matched_value is not None
-            return isinstance(m, (ColumnMatch, TableMatch, GroupMatch))
+            def match_filter(m: Match) -> bool:
+                # keep triple-relevant matches (ListQueryParser.cs:59-66)
+                if isinstance(m, ColumnConditionMatch):
+                    return m.value is not m or m.matched_value is not None
+                return isinstance(m, (ColumnMatch, TableMatch, GroupMatch))
 
-        recognizer.recognize(seq, handler, match_filter)
-        for combo in top.to_array():
-            combo_score = combo.score
-            out.extend(_emit_triples(combo.matches, seq, offset, combo_score))
+            recognizer.recognize(seq, handler, match_filter)
+            for combo in top.to_array():
+                out.extend(_emit_triples(combo.matches, seq, offset, combo.score))
+    finally:
+        recognizer.include_zero_matches = include_zero
     return out

@@ -41,13 +41,14 @@ class Token:
     the reference (Token.cs:56-66); MatchBag indexes rely on this.
     """
 
-    __slots__ = ("value", "type", "start_index", "_lower")
+    __slots__ = ("value", "type", "start_index", "_lower", "_hash")
 
     def __init__(self, token_type: int, start_index: int, value: str):
         self.value = value
         self.type = token_type
         self.start_index = start_index
         self._lower: Optional[str] = None
+        self._hash = hash((value, start_index))
 
     @property
     def value_lower(self) -> str:
@@ -58,7 +59,7 @@ class Token:
         return lower
 
     def __hash__(self) -> int:
-        return hash((self.value, self.start_index))
+        return self._hash
 
     def __eq__(self, other) -> bool:
         if isinstance(other, Token):

@@ -54,18 +54,31 @@ def with_quality(df: DataFrame, text_col: str = "text") -> DataFrame:
     The composite mirrors common web-text quality filters (length band,
     stopword presence, alpha fraction); every term is SQL-expressible so
     the oracle is exact.
+
+    Expensive base quantities (tokenize, stopword filter, regex strip)
+    are computed in a first projection and only *referenced* afterwards —
+    Catalyst's CollapseProject keeps multi-referenced non-cheap
+    expressions separate, so each runs once per row instead of once per
+    use site (~6x less work than a single fused expression tree).
     """
     toks = tokens_col(F.col(text_col))
-    n_tokens = F.size(toks)
     stop_arr = F.array(*[F.lit(w) for w in EN_STOPWORDS])
-    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, F.lower(t))))
-    alpha_chars = F.length(F.regexp_replace(F.col(text_col), r"[^A-Za-z]", ""))
-    total_chars = F.length(F.col(text_col))
-    stop_ratio = F.when(n_tokens > 0, n_stop.cast("double") / n_tokens).otherwise(0.0)
-    alpha_ratio = (
-        F.when(total_chars > 0, alpha_chars.cast("double") / total_chars)
-        .otherwise(0.0)
+    base = df.select(
+        "*",
+        F.size(toks).alias("_n_tokens"),
+        F.size(
+            F.filter(toks, lambda t: F.array_contains(stop_arr, F.lower(t)))
+        ).alias("_n_stop"),
+        F.length(F.regexp_replace(F.col(text_col), r"[^A-Za-z]", "")).alias("_alpha"),
+        F.length(F.col(text_col)).alias("_chars"),
     )
+    n_tokens = F.col("_n_tokens")
+    stop_ratio = F.when(
+        n_tokens > 0, F.col("_n_stop").cast("double") / n_tokens
+    ).otherwise(0.0)
+    alpha_ratio = F.when(
+        F.col("_chars") > 0, F.col("_alpha").cast("double") / F.col("_chars")
+    ).otherwise(0.0)
     length_ok = (n_tokens >= 10) & (n_tokens <= 100000)
     quality = (
         F.when(length_ok, F.lit(0.4)).otherwise(F.lit(0.0))
@@ -73,10 +86,11 @@ def with_quality(df: DataFrame, text_col: str = "text") -> DataFrame:
         + alpha_ratio * F.lit(0.3)
     )
     return (
-        df.withColumn("n_tokens", n_tokens)
+        base.withColumn("n_tokens", n_tokens)
         .withColumn("stopword_ratio", F.round(stop_ratio, 6))
         .withColumn("alpha_ratio", F.round(alpha_ratio, 6))
         .withColumn("quality", F.round(quality, 6))
+        .drop("_n_tokens", "_n_stop", "_alpha", "_chars")
     )
 
 
@@ -89,14 +103,22 @@ def with_lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
         arr = F.array(*[F.lit(w) for w in markers])
         return F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))
 
-    en, de, fr = hits(EN_MARKERS), hits(DE_MARKERS), hits(FR_MARKERS)
+    # base projection so each marker scan runs once per row (CASE below
+    # references each count three times)
+    base = df.select(
+        "*",
+        hits(EN_MARKERS).alias("_en"),
+        hits(DE_MARKERS).alias("_de"),
+        hits(FR_MARKERS).alias("_fr"),
+    )
+    en, de, fr = F.col("_en"), F.col("_de"), F.col("_fr")
     lang = (
         F.when((en >= de) & (en >= fr) & (en > 0), F.lit("en"))
         .when((de >= fr) & (de > 0), F.lit("de"))
         .when(fr > 0, F.lit("fr"))
         .otherwise(F.lit("unknown"))
     )
-    return df.withColumn("lang_pred", lang)
+    return base.withColumn("lang_pred", lang).drop("_en", "_de", "_fr")
 
 
 def with_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:

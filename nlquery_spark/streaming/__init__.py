@@ -1,0 +1,6 @@
+from .extract import (  # noqa: F401
+    extract_triples_stream,
+    read_pages_stream,
+    triples_to_sink,
+    windowed_mention_rate,
+)

@@ -1,0 +1,89 @@
+"""Structured Streaming triple extraction.
+
+The reference is strictly batch (SURVEY.md §2.3: no streaming anywhere);
+this module extends the engine so a pages *stream* (e.g. a WARC drop
+folder or Kafka topic) feeds the same extraction kernel incrementally:
+
+    readStream -> mapInPandas(extract) -> [watermark] -> agg -> writeStream
+
+The extraction stage is stateless, so it composes with any source/sink;
+the windowed mention-rate aggregation shows the stateful path (watermark
++ append mode) for late-arriving warc_ts.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional, Sequence
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..operators.extract import TRIPLES_SCHEMA, extract_triples
+from ..sources.pages import PAGES_SCHEMA
+
+
+def read_pages_stream(
+    spark: SparkSession, path: str, max_files_per_trigger: int = 4
+) -> DataFrame:
+    """Stream parquet page files dropped into ``path``."""
+    return (
+        spark.readStream.schema(PAGES_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(path)
+    )
+
+
+def extract_triples_stream(
+    pages_stream: DataFrame,
+    schema_specs: Sequence[Dict],
+    options_spec: Optional[Dict] = None,
+) -> DataFrame:
+    """Same operator as batch — extract_triples is master/stream agnostic
+    because it is a stateless mapInPandas."""
+    return extract_triples(pages_stream, schema_specs, options_spec)
+
+
+def triples_to_sink(
+    triples_stream: DataFrame,
+    out_path: str,
+    checkpoint_path: str,
+    trigger_once: bool = True,
+):
+    """Append triples to a parquet sink with exactly-once checkpointing."""
+    writer = (
+        triples_stream.writeStream.format("parquet")
+        .option("path", out_path)
+        .option("checkpointLocation", checkpoint_path)
+        .outputMode("append")
+    )
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def windowed_mention_rate(
+    pages_stream: DataFrame,
+    schema_specs: Sequence[Dict],
+    options_spec: Optional[Dict] = None,
+    window: str = "1 minute",
+    watermark: str = "2 minutes",
+) -> DataFrame:
+    """Stateful path: per-predicate mention counts in event-time windows
+    with a watermark for late pages. The join back to warc_ts happens
+    before extraction so the event-time column survives the map."""
+    with_ts = pages_stream.select("url", "text", "lang", "warc_ts")
+    # carry warc_ts through extraction via a url->ts rejoin-free trick:
+    # extraction keys on url; embed ts into the stream after extraction
+    triples = extract_triples(with_ts, schema_specs, options_spec)
+    ts_map = with_ts.select(F.col("url").alias("subj"), "warc_ts")
+    enriched = triples.join(ts_map, "subj")
+    return (
+        enriched.withWatermark("warc_ts", watermark)
+        .groupBy(F.window("warc_ts", window).alias("w"), "pred")
+        .agg(F.count(F.lit(1)).alias("n_mentions"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "pred",
+            "n_mentions",
+        )
+    )
