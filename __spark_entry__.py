@@ -66,6 +66,10 @@ DOCS_SCHEMA_SPEC = {
     ],
 }
 
+from nlquery_spark.kernel.table import ENGLISH_STOP_WORDS
+
+NL_OPTIONS = {"stop_words": ENGLISH_STOP_WORDS + ["with", "where", "whose"]}
+
 ORDERS_TPCH_SPEC = {
     "caption": "Orders",
     "name": "orders",
@@ -229,7 +233,7 @@ def _nl_filter_orders(spark, sf_dir):
 
     orders = _load(spark, sf_dir, "orders")["orders"]
     nl = "show orders with total price more than 150000"
-    return nl_filter(orders, nl, [ORDERS_TPCH_SPEC]).select(
+    return nl_filter(orders, nl, [ORDERS_TPCH_SPEC], NL_OPTIONS).select(
         "o_orderkey", "o_custkey", "o_totalprice"
     )
 
@@ -237,6 +241,82 @@ def _nl_filter_orders(spark, sf_dir):
 _NL_FILTER_SQL = """
 SELECT o_orderkey, o_custkey, o_totalprice
 FROM orders WHERE o_totalprice > 150000
+"""
+
+
+def _nl_agg_orders(spark, sf_dir):
+    """OLAP lifecycle: NL -> dims + measures + filters (NlqForOlap)."""
+    from nlquery_spark.operators.nlsql import nl_aggregate
+
+    orders = _load(spark, sf_dir, "orders")["orders"]
+    nl = "total price by order status"
+    return nl_aggregate(
+        orders,
+        nl,
+        [ORDERS_TPCH_SPEC],
+        measures={"o_totalprice": ("sum", "sum_total_price")},
+        options_spec=NL_OPTIONS,
+    )
+
+
+_NL_AGG_SQL = """
+SELECT o_orderstatus,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(10,2))) AS DOUBLE) AS sum_total_price
+FROM orders GROUP BY o_orderstatus
+"""
+
+
+def _customers_without_orders(spark, sf_dir):
+    """Anti-join (NOT EXISTS) — set-operation surface."""
+    t = _load(spark, sf_dir, "customer", "orders")
+    return (
+        t["customer"]
+        .join(t["orders"], F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name")
+    )
+
+
+_ANTI_SQL = """
+SELECT c_custkey, c_name FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+"""
+
+
+def _order_priority_rollup(spark, sf_dir):
+    """Rollup aggregation (multi-level OLAP totals)."""
+    orders = _load(spark, sf_dir, "orders")["orders"]
+    return (
+        orders.rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(_dec("o_totalprice")).cast("double").alias("sum_total"),
+        )
+    )
+
+
+_ROLLUP_SQL = """
+SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(10,2))) AS DOUBLE) AS sum_total
+FROM orders
+GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+"""
+
+
+def _part_supplier_setops(spark, sf_dir):
+    """INTERSECT/EXCEPT surface: parts that appear in lineitems of 1998
+    but not 1999."""
+    li = _load(spark, sf_dir, "lineitem")["lineitem"]
+    y98 = li.filter(F.year("l_shipdate") == 1998).select("l_partkey").distinct()
+    y99 = li.filter(F.year("l_shipdate") == 1999).select("l_partkey").distinct()
+    return y98.exceptAll(y99).select(F.col("l_partkey").alias("partkey"))
+
+
+_SETOPS_SQL = """
+SELECT l_partkey AS partkey FROM (
+  SELECT DISTINCT l_partkey FROM lineitem WHERE year(l_shipdate) = 1998
+  EXCEPT
+  SELECT DISTINCT l_partkey FROM lineitem WHERE year(l_shipdate) = 1999
+)
 """
 
 
@@ -507,6 +587,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topk_orders_per_customer": _topk_orders_per_customer,
         "events_by_minute": _events_by_minute,
         "nl_filter_orders": _nl_filter_orders,
+        "nl_agg_orders": _nl_agg_orders,
+        "customers_without_orders": _customers_without_orders,
+        "order_priority_rollup": _order_priority_rollup,
+        "part_setops_98_not_99": _part_supplier_setops,
         "doc_token_stats": _doc_token_stats,
         "doc_quality": _doc_quality,
         "doc_lang_id": _doc_lang_id,
@@ -530,6 +614,10 @@ def oracle_sql() -> dict[str, str]:
         "topk_orders_per_customer": _TOPK_SQL,
         "events_by_minute": _EVENTS_SQL,
         "nl_filter_orders": _NL_FILTER_SQL,
+        "nl_agg_orders": _NL_AGG_SQL,
+        "customers_without_orders": _ANTI_SQL,
+        "order_priority_rollup": _ROLLUP_SQL,
+        "part_setops_98_not_99": _SETOPS_SQL,
         "doc_token_stats": _DOC_TOKEN_SQL,
         "doc_quality": _quality_sql(),
         "doc_lang_id": _lang_sql(),

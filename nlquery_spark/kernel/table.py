@@ -249,6 +249,20 @@ def english_stem(word: str) -> str:
     return word
 
 
+# English stop words, verbatim from the reference example
+# (examples/NReco.NLQuery.Examples.NerByDataset/Program.cs:134-142).
+ENGLISH_STOP_WORDS = [
+    "a", "by", "an", "at", "are", "as", "be", "at", "do", "does", "did",
+    "etc", "for", "has", "have", "had", "in", "is", "just", "near",
+    "of", "on", "per", "the", "to", "vs", "versus", "x", "was",
+    "how", "many", "much", "if", "it", "its", "up", "so", "out",
+    "show", "about", "after",
+    "me", "i", "am", "he", "his", "she", "her", "any", "all", "they",
+    "their", "them", "our", "ours",
+    "be", "been", "being", "both", "but", "that", "than", "could",
+    "and", "or", "from", "no", "not",
+]
+
 # Default operator phrase tables (Table/TableMatcherBuilder.cs:459-494).
 DEFAULT_MATH_OPERATOR_PHRASES: List[Tuple[str, int]] = [
     ("equal", CMP_EQUAL),

@@ -35,13 +35,21 @@ from ..kernel.tokenizer import tokenize
 from ..kernel.tokens import TokenSequence
 
 
-def parse_conditions(
+def parse_best(
     nl: str,
     schema_specs: Sequence[Dict],
     options_spec: Optional[Dict] = None,
     max_combinations: int = 1000,
-) -> List[ColumnConditionMatch]:
-    """Best-combination column conditions for an NL query string."""
+    keep_column_mentions: bool = False,
+):
+    """Best-scoring combination for an NL query string.
+
+    Returns (conditions, column_mentions): flattened
+    ColumnConditionMatches (group trees expanded) and — when
+    ``keep_column_mentions`` — bare ColumnMatches (the OLAP dims/measures
+    signal, NlqForOlap/QueryCandidate.cs:55-126)."""
+    from ..kernel.table import ColumnMatch
+
     rec = build_recognizer(schema_specs, options_spec)
     rec.include_zero_matches = True
     seq = TokenSequence(tokenize(nl))
@@ -58,21 +66,36 @@ def parse_conditions(
     def match_filter(m):
         if isinstance(m, ColumnConditionMatch):
             return m.value is not m or m.matched_value is not None
+        if keep_column_mentions and isinstance(m, ColumnMatch):
+            return True
         return isinstance(m, GroupMatch)
 
     rec.recognize(seq, handler, match_filter)
-    out: List[ColumnConditionMatch] = []
+    conditions: List[ColumnConditionMatch] = []
+    mentions: List = []
 
     def collect(m):
         if isinstance(m, ColumnConditionMatch):
-            out.append(m)
+            conditions.append(m)
         elif isinstance(m, GroupMatch):
             for child in m.group_matches:
                 collect(child)
+        elif isinstance(m, ColumnMatch):
+            mentions.append(m)
 
     for m in best[0] or []:
         collect(m)
-    return out
+    return conditions, mentions
+
+
+def parse_conditions(
+    nl: str,
+    schema_specs: Sequence[Dict],
+    options_spec: Optional[Dict] = None,
+    max_combinations: int = 1000,
+) -> List[ColumnConditionMatch]:
+    """Best-combination column conditions for an NL query string."""
+    return parse_best(nl, schema_specs, options_spec, max_combinations)[0]
 
 
 def _value_literal(cnd: ColumnConditionMatch):
@@ -167,3 +190,97 @@ def nl_filter(
     conditions = parse_conditions(nl, schema_specs, options_spec)
     pred = conditions_to_predicate(conditions)
     return df.filter(pred) if pred is not None else df
+
+
+# agg function registry for NL measures (NlqForOlap's measure columns)
+_AGG_FNS = {
+    "sum": F.sum,
+    "avg": F.avg,
+    "min": F.min,
+    "max": F.max,
+    "count": F.count,
+}
+
+
+def nl_aggregate(
+    df: DataFrame,
+    nl: str,
+    schema_specs: Sequence[Dict],
+    measures: Dict[str, Tuple[str, str]],
+    options_spec: Optional[Dict] = None,
+    use_decimal: bool = True,
+) -> DataFrame:
+    """NL -> groupBy(dims).agg(measures) — the OLAP lifecycle
+    (NlqForOlap/QueryCandidate.cs:55-126; PivotTable splits the same dims
+    into rows/cols, QueryParser.cs:245-385).
+
+    ``measures`` maps a dictionary column *name* to (agg_fn, out_alias);
+    recognized bare ColumnMatches over measure columns become aggregates,
+    the rest become grouping dims; ColumnConditionMatches become the
+    pre-agg filter (pushed below the aggregation by construction).
+    """
+    conditions, mentions = parse_best(
+        nl, schema_specs, options_spec, keep_column_mentions=True
+    )
+    pred = conditions_to_predicate(conditions)
+    if pred is not None:
+        df = df.filter(pred)
+    dims: List[str] = []
+    aggs: List[Column] = []
+    seen = set()
+    for m in mentions:
+        name = m.column.name
+        if name in seen:
+            continue
+        seen.add(name)
+        if name in measures:
+            fn_name, alias = measures[name]
+            fn = _AGG_FNS[fn_name]
+            col = F.col(name)
+            if use_decimal and fn_name == "sum":
+                # order-independent exact money sums (see __spark_entry__)
+                aggs.append(fn(col.cast("decimal(10,2)")).cast("double").alias(alias))
+            else:
+                aggs.append(fn(col).alias(alias))
+        else:
+            dims.append(name)
+    if not aggs:
+        aggs = [F.count(F.lit(1)).alias("n_rows")]
+    grouped = df.groupBy(*dims) if dims else df.groupBy()
+    return grouped.agg(*aggs)
+
+
+def suggest_keywords(
+    prefix: str,
+    schema_specs: Sequence[Dict],
+    options_spec: Optional[Dict] = None,
+    top_n: int = 10,
+) -> List[Tuple[str, float]]:
+    """Autocomplete: top caption/value completions for a 1-token prefix
+    (ListQueryParser.SuggestKeywords, ListQueryParser.cs:81-107) —
+    recognize the single token and rank matched captions/gazetteer values
+    by score."""
+    from ..kernel.matches import MatchBag
+    from ..kernel.table import ColumnMatch, TableMatch
+
+    rec = build_recognizer(schema_specs, options_spec)
+    seq = TokenSequence(tokenize(prefix))
+    bag = MatchBag(seq, [])
+    from ..kernel.matchers import CompositeMatcher
+
+    first_pass = CompositeMatcher([m for m in rec.matchers if m.first_pass_only])
+    for m in first_pass.get_matches(bag):
+        bag.add(m)
+    scored: Dict[str, float] = {}
+    for m in bag.matches:
+        if isinstance(m, ColumnConditionMatch) and m.matched_value:
+            key = m.matched_value
+        elif isinstance(m, ColumnMatch):
+            key = m.matched_caption or m.column.caption or m.column.name
+        elif isinstance(m, TableMatch):
+            key = m.table.caption or m.table.name
+        else:
+            continue
+        if m.score > scored.get(key, 0.0):
+            scored[key] = m.score
+    return sorted(scored.items(), key=lambda kv: (-kv[1], kv[0]))[:top_n]

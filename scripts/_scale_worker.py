@@ -27,16 +27,24 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     # identical input at every parallelism: generation is id-keyed;
     # partition count fixed independently of cpus
-    pages = synth_pages(spark, n_pages, num_partitions=64).persist()
+    pages = synth_pages(spark, n_pages, num_partitions=128).persist()
     n = pages.count()
 
-    # warmup (JIT, Arrow, python worker pool)
-    extract_triples(pages.limit(2000), [orders_schema_spec()]).count()
+    # warmup: full-width job so every python worker pays its imports and
+    # recognizer compilation outside the timed window (limit() would only
+    # warm one partition's worker)
+    warm = synth_pages(spark, cpus * 100, num_partitions=cpus)
+    dedup_triples(extract_triples(warm, [orders_schema_spec()])).count()
 
-    t0 = time.time()
-    triples = dedup_triples(extract_triples(pages, [orders_schema_spec()]))
-    n_triples = triples.count()
-    wall = time.time() - t0
+    best = None
+    for _ in range(3):
+        t0 = time.time()
+        triples = dedup_triples(extract_triples(pages, [orders_schema_spec()]))
+        n_triples = triples.count()
+        wall = time.time() - t0
+        if best is None or wall < best:
+            best = wall
+    wall = best
     print(
         json.dumps(
             {
