@@ -1,0 +1,100 @@
+"""Skew utilities + physical-plan assertions (pushdown, broadcast,
+partitioned sink) — the '100 TB posture' checks."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+import __spark_entry__ as em
+from nlquery_spark.operators.extract import extract_triples, write_triples
+from nlquery_spark.operators.skew import hot_keys, salted_count, salted_join
+from nlquery_spark.sources.pages import orders_schema_spec, synth_pages
+
+
+def test_salted_join_matches_plain_join(spark):
+    left = spark.createDataFrame(
+        [(1, i) for i in range(500)] + [(2, i) for i in range(10)] + [(3, 1)],
+        "k long, v long",
+    )
+    right = spark.createDataFrame([(1, "a"), (2, "b"), (4, "d")], "k long, w string")
+    plain = {(r.k, r.v, r.w) for r in left.join(right, "k").collect()}
+    salted = {
+        (r.k, r.v, r.w)
+        for r in salted_join(left, right, "k", salt=8, hot_threshold=100).collect()
+    }
+    assert plain == salted
+    assert {r.k for r in hot_keys(left, "k", 100).collect()} == {1}
+
+
+def test_salted_count_matches_plain(spark):
+    df = spark.createDataFrame(
+        [(1,)] * 1000 + [(2,)] * 3 + [(5,)] * 7, "k long"
+    )
+    plain = {r.k: r["count"] for r in df.groupBy("k").count().collect()}
+    salted = {r.k: r.cnt for r in salted_count(df, "k", salt=8).collect()}
+    assert plain == salted
+
+
+def test_skewed_corpus_extraction(spark):
+    """Hot-entity fixture: one gazetteer value dominates; extraction and
+    dedup still produce correct, balanced output."""
+    pages = synth_pages(spark, 300, skew_entity_frac=0.9)
+    from nlquery_spark.operators.extract import dedup_triples
+
+    triples = dedup_triples(extract_triples(pages, [orders_schema_spec()]))
+    by_obj = triples.filter(F.col("pred") == "country:exact").groupBy("obj").count()
+    counts = {r.obj: r["count"] for r in by_obj.collect()}
+    assert counts.get("Italy", 0) > 0.5 * sum(counts.values())  # skew present
+    assert triples.count() == triples.dropDuplicates(["subj", "pred", "obj"]).count()
+
+
+def test_filter_pushdown_reaches_scan(spark, sf_dir):
+    """nl_filter predicates must push into the parquet scan."""
+    from nlquery_spark.operators.nlsql import nl_filter
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    df = nl_filter(
+        orders,
+        "orders with total price more than 150000",
+        [em.ORDERS_TPCH_SPEC],
+        em.NL_OPTIONS,
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [IsNotNull(o_totalprice), GreaterThan(o_totalprice,150000.0)" in plan, plan
+
+
+def test_q5_uses_broadcast_joins(spark, sf_dir):
+    plan = (
+        em.queries()["q5_local_supplier"](spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan
+
+
+def test_column_pruning_in_extraction(spark, tmp_path):
+    """Extraction ships only url+text to Python: column pruning must
+    reach the parquet scan (html binary never read)."""
+    path = str(tmp_path / "pages")
+    synth_pages(spark, 20).write.parquet(path)
+    pages = spark.read.parquet(path)
+    df = extract_triples(pages, [orders_schema_spec()])
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    read_schema = plan.split("ReadSchema:")[-1].splitlines()[0]
+    assert "html" not in read_schema, read_schema
+    assert "url" in read_schema and "text" in read_schema
+
+
+def test_write_triples_partitioned_sink(spark, tmp_path):
+    pages = synth_pages(spark, 60)
+    triples = extract_triples(pages, [orders_schema_spec()])
+    out = str(tmp_path / "edges")
+    write_triples(triples, out, buckets=8)
+    assert os.path.exists(out)
+    preds = [d for d in os.listdir(out) if d.startswith("pred=")]
+    assert len(preds) >= 3  # pred-partitioned layout
+    back = spark.read.parquet(out)
+    assert back.count() == triples.count()
+    assert "subj_bucket" in back.columns
