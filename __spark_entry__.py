@@ -320,6 +320,124 @@ SELECT l_partkey AS partkey FROM (
 """
 
 
+def _events_sessionize(spark, sf_dir):
+    """Stateful sessionization: 30-min inactivity gap starts a new
+    session (lag + cumulative sum over an event-time window)."""
+    events = _load(spark, sf_dir, "events")["events"]
+    w_user = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # NTZ timestamps can't cast straight to long in Spark 4; go via LTZ
+    # (session tz is UTC-stable for the deterministic synthetic data)
+    epoch = F.col("ts").cast("timestamp_ltz").cast("long")
+    gap = epoch - F.lag(epoch).over(w_user)
+    new_session = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    with_session = events.withColumn(
+        "session_id", F.sum(new_session).over(w_user).cast("long")
+    )
+    return with_session.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        F.sum(_dec("value")).cast("double").alias("sum_value"),
+    )
+
+
+_SESSIONIZE_SQL = """
+WITH g AS (
+  SELECT user_id, event_id, ts, value,
+    CASE WHEN lag(ts) OVER w IS NULL
+           OR date_diff('second', lag(ts) OVER w, ts) > 1800
+         THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), s AS (
+  SELECT *, SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM g
+)
+SELECT user_id, session_id, COUNT(*) AS n_events,
+  MIN(ts) AS session_start, MAX(ts) AS session_end,
+  CAST(SUM(CAST(value AS DECIMAL(10,2))) AS DOUBLE) AS sum_value
+FROM s GROUP BY user_id, session_id
+"""
+
+
+def _orders_with_returns(spark, sf_dir):
+    """Semi-join (EXISTS): orders having at least one returned lineitem,
+    counted by priority."""
+    t = _load(spark, sf_dir, "orders", "lineitem")
+    returned = t["lineitem"].filter(F.col("l_returnflag") == "R")
+    return (
+        t["orders"]
+        .join(returned, F.col("o_orderkey") == F.col("l_orderkey"), "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+_SEMI_SQL = """
+SELECT o_orderpriority, COUNT(*) AS n_orders
+FROM orders
+WHERE EXISTS (
+  SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey AND l_returnflag = 'R'
+)
+GROUP BY o_orderpriority
+"""
+
+
+def _promo_revenue_share(spark, sf_dir):
+    """Conditional aggregation (TPC-H Q14 style): promo revenue share per
+    ship month."""
+    t = _load(spark, sf_dir, "lineitem", "part")
+    disc = _dec("l_extendedprice") * (F.lit(1).cast("decimal(10,2)") - _dec("l_discount"))
+    return (
+        t["lineitem"]
+        .join(F.broadcast(t["part"]), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy(F.date_trunc("month", F.col("l_shipdate")).alias("ship_month"))
+        .agg(
+            F.sum(F.when(F.col("p_type").startswith("PROMO"), disc).otherwise(F.lit(0)))
+            .cast("double")
+            .alias("promo_revenue"),
+            F.sum(disc).cast("double").alias("total_revenue"),
+        )
+        .withColumn(
+            "promo_share",
+            F.round(F.col("promo_revenue") / F.col("total_revenue"), 6),
+        )
+    )
+
+
+_PROMO_SQL = """
+WITH j AS (
+  SELECT CAST(date_trunc('month', l_shipdate) AS TIMESTAMP) AS ship_month,
+    CAST(l_extendedprice AS DECIMAL(10,2)) * (CAST(1 AS DECIMAL(10,2)) - CAST(l_discount AS DECIMAL(10,2))) AS disc,
+    p_type
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+)
+SELECT ship_month,
+  CAST(SUM(CASE WHEN p_type LIKE 'PROMO%' THEN disc ELSE 0 END) AS DOUBLE) AS promo_revenue,
+  CAST(SUM(disc) AS DOUBLE) AS total_revenue,
+  ROUND(CAST(SUM(CASE WHEN p_type LIKE 'PROMO%' THEN disc ELSE 0 END) AS DOUBLE)
+        / CAST(SUM(disc) AS DOUBLE), 6) AS promo_share
+FROM j GROUP BY ship_month
+"""
+
+
+def _daily_active_users(spark, sf_dir):
+    """Distinct aggregation per day + event type counts."""
+    events = _load(spark, sf_dir, "events")["events"]
+    return events.groupBy(F.date_trunc("day", F.col("ts")).alias("day")).agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+_DAU_SQL = """
+SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+  COUNT(DISTINCT user_id) AS n_users, COUNT(*) AS n_events
+FROM events GROUP BY 1
+"""
+
+
 def _doc_token_stats(spark, sf_dir):
     from nlquery_spark.operators.textstats import with_token_stats
 
@@ -591,6 +709,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "customers_without_orders": _customers_without_orders,
         "order_priority_rollup": _order_priority_rollup,
         "part_setops_98_not_99": _part_supplier_setops,
+        "events_sessionize": _events_sessionize,
+        "orders_with_returns": _orders_with_returns,
+        "promo_revenue_share": _promo_revenue_share,
+        "daily_active_users": _daily_active_users,
         "doc_token_stats": _doc_token_stats,
         "doc_quality": _doc_quality,
         "doc_lang_id": _doc_lang_id,
@@ -618,6 +740,10 @@ def oracle_sql() -> dict[str, str]:
         "customers_without_orders": _ANTI_SQL,
         "order_priority_rollup": _ROLLUP_SQL,
         "part_setops_98_not_99": _SETOPS_SQL,
+        "events_sessionize": _SESSIONIZE_SQL,
+        "orders_with_returns": _SEMI_SQL,
+        "promo_revenue_share": _PROMO_SQL,
+        "daily_active_users": _DAU_SQL,
         "doc_token_stats": _DOC_TOKEN_SQL,
         "doc_quality": _quality_sql(),
         "doc_lang_id": _lang_sql(),

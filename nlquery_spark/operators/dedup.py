@@ -86,6 +86,9 @@ def ngram_jaccard_pairs(
     join (bounded skew; identical to stop-shingle practice at CC scale).
     """
     sh = shingles_df(df, id_col, text_col, n)
+    # the shingle subtree feeds three consumers (sizes + both join sides);
+    # materialize once instead of recomputing the tokenize/explode tree
+    sh = sh.localCheckpoint(eager=False)
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
     if max_shingle_df is not None:
         hot = (
