@@ -224,6 +224,8 @@ class LikePhraseMatcher:
     first_pass_only = True
     recursive = False
 
+    MEMO_MAX = 500_000
+
     def __init__(self, match_words: Sequence[str], get_match: Callable[[], Match]):
         self.words = list(match_words)
         self.get_match = get_match
@@ -232,6 +234,10 @@ class LikePhraseMatcher:
         self.score_weight_by_total_length = False
         self.apply_stemmer: Optional[Callable[[str], str]] = None
         self._words_lower = [w.lower() for w in self.words]
+        # token -> (score, matched_word) | None; keyed by exact token
+        # value (stemmer is case-sensitive); tokens are Zipfian so the
+        # per-token phrase scan amortizes away
+        self._like_memo = {}
 
     def get_matches(self, match_bag: MatchBag) -> Iterator[Match]:
         start = None
@@ -258,7 +264,15 @@ class LikePhraseMatcher:
             if t.type == SEPARATOR:
                 continue
             if t.type == NUMBER or t.type == WORD:
-                like = self._like(t.value)
+                memo = self._like_memo
+                tv = t.value
+                if tv in memo:
+                    like = memo[tv]
+                else:
+                    if len(memo) > self.MEMO_MAX:
+                        memo.clear()
+                    like = self._like(tv)
+                    memo[tv] = like
                 if like is not None:
                     like_score, matched_word = like
                     if matched_word in matched:
@@ -313,6 +327,9 @@ class ListContainsMatcher:
     first_pass_only = True
     recursive = False
 
+    # memo size cap per matcher instance (per executor process)
+    MEMO_MAX = 500_000
+
     def __init__(self, values: Sequence[str], get_match):
         # get_match(contains_type, (value_index, value)) -> Match
         self.values = list(values)
@@ -320,6 +337,38 @@ class ListContainsMatcher:
         self.apply_stemmer: Optional[Callable[[str], str]] = None
         self.max_score_filter_threshold = 10
         self._values_lower = [v.lower() for v in self.values]
+        # token -> [(value_idx, idx, token_val_used)] across all values;
+        # keyed by the exact token value (the stemmer is case-sensitive)
+        self._token_memo = {}
+
+    def _lookup(self, token_val: str, token_lower: str):
+        """All (value_idx, substring_idx, effective_token) hits for a
+        token, across the whole gazetteer — memoized (tokens are Zipfian;
+        one O(V) scan per distinct token amortizes the V x T loop away)."""
+        memo = self._token_memo
+        hits = memo.get(token_val)
+        if hits is None:
+            if len(memo) > self.MEMO_MAX:
+                memo.clear()
+            hits = []
+            stemmer = self.apply_stemmer
+            token_stem = None
+            if stemmer is not None:
+                ts = stemmer(token_val)
+                if ts != token_val:
+                    token_stem = ts
+            stem_lower = token_stem.lower() if token_stem is not None else None
+            for vi, val_lower in enumerate(self._values_lower):
+                idx = val_lower.find(token_lower)
+                used = token_val
+                if idx < 0 and stem_lower is not None:
+                    idx = val_lower.find(stem_lower)
+                    if idx >= 0:
+                        used = token_stem
+                if idx >= 0:
+                    hits.append((vi, idx, used))
+            memo[token_val] = hits
+        return hits
 
     def get_matches(self, match_bag: MatchBag) -> Iterator[Match]:
         word_or_num = [
@@ -329,21 +378,21 @@ class ListContainsMatcher:
         token_matches_count = [0] * len(word_or_num)
         token_max_score = [0.0] * len(word_or_num)
 
-        for i, val in enumerate(self.values):
-            val_lower = self._values_lower[i]
+        # assemble hits grouped by value, preserving the reference's
+        # emission order (value-outer, token-inner)
+        hits_by_value: dict = {}
+        for t_idx, t in enumerate(word_or_num):
+            for vi, idx, used in self._lookup(t.value, t.value_lower):
+                hits_by_value.setdefault(vi, []).append((t_idx, t, idx, used))
+
+        for i in range(len(self.values)):
+            entries = hits_by_value.get(i)
+            if not entries:
+                continue
+            val = self.values[i]
             skipped: List[Match] = []
             val_matches_count = 0
-            for t_idx, t in enumerate(word_or_num):
-                token_val = t.value
-                idx = val_lower.find(t.value_lower)
-                if idx < 0 and self.apply_stemmer is not None:
-                    token_stem = self.apply_stemmer(token_val)
-                    if token_stem != token_val:
-                        idx = val_lower.find(token_stem.lower())
-                        if idx >= 0:
-                            token_val = token_stem
-                if idx < 0:
-                    continue
+            for t_idx, t, idx, token_val in entries:
                 if idx == 0:
                     contains = EXACT if len(val) == len(token_val) else STARTS_WITH
                 else:
