@@ -64,7 +64,15 @@ def main() -> None:
         "q5_local_supplier",
         "topk_orders_per_customer",
         "events_by_minute",
+        "events_sessionize",
+        "daily_active_users",
+        "orders_with_returns",
+        "promo_revenue_share",
+        "customers_without_orders",
+        "order_priority_rollup",
+        "part_setops_98_not_99",
         "nl_filter_orders",
+        "nl_agg_orders",
         "doc_token_stats",
         "doc_quality",
         "doc_lang_id",
