@@ -54,3 +54,44 @@ def test_windowed_mention_rate_plan(spark, tmp_path):
     # the final watermark update may keep windows open — the plan running
     # end-to-end (state store + watermark wiring) is the assertion here.
     spark.sql("select * from mention_rate").collect()
+
+
+def test_stateful_pred_stats(spark, tmp_path):
+    """applyInPandasWithState running stats equal batch ground truth."""
+    from nlquery_spark.streaming.stateful import streaming_pred_stats
+
+    src = str(tmp_path / "pages_state")
+    synth_pages(spark, 80).write.mode("overwrite").parquet(src)
+    stream = read_pages_stream(spark, src, max_files_per_trigger=1)
+    triples_stream = extract_triples(stream, [orders_schema_spec()])
+    stats = streaming_pred_stats(triples_stream)
+    q = (
+        stats.writeStream.format("memory")
+        .queryName("pred_stats")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    rows = spark.sql(
+        "select * from pred_stats"
+    ).toPandas()
+    # last update per pred = final state
+    final = rows.groupby("pred").last()
+
+    batch = extract_triples(spark.read.parquet(src), [orders_schema_spec()])
+    expected = (
+        batch.groupBy("pred")
+        .agg(
+            F.count(F.lit(1)).alias("n_mentions"),
+            F.countDistinct("subj").alias("n_subjects"),
+            F.max("score").alias("max_score"),
+        )
+        .collect()
+    )
+    assert len(expected) > 0
+    for r in expected:
+        got = final.loc[r.pred]
+        assert int(got.n_mentions) == r.n_mentions, r.pred
+        assert int(got.n_subjects_bounded) == r.n_subjects, r.pred
+        assert abs(float(got.max_score) - r.max_score) < 1e-9, r.pred
