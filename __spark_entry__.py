@@ -244,6 +244,67 @@ FROM orders WHERE o_totalprice > 150000
 """
 
 
+def _dict_spec_part(spark, sf_dir):
+    """Dictionary inference from a dataset (NerByDataset lifecycle,
+    examples/.../NerByDataset/Program.cs:87-115): distinct string-column
+    values become broadcast gazetteers. Exploded to rows for the oracle."""
+    from nlquery_spark.operators.dictionary import spec_from_dataframe
+
+    part = _load(spark, sf_dir, "part")["part"]
+    spec = spec_from_dataframe(part, "part", value_columns=["p_brand", "p_type"])
+    rows = [
+        (c["name"], c["caption"], c["datatype"], v)
+        for c in spec["columns"]
+        for v in c.get("values", [])
+    ]
+    return spark.createDataFrame(
+        rows, "col_name string, caption string, datatype string, value string"
+    )
+
+
+_DICT_SPEC_SQL = """
+SELECT 'p_brand' AS col_name, 'p brand' AS caption, 'string' AS datatype,
+       CAST(p_brand AS VARCHAR) AS value
+FROM (SELECT DISTINCT p_brand FROM part WHERE p_brand IS NOT NULL
+      ORDER BY p_brand LIMIT 5000)
+UNION ALL
+SELECT 'p_type' AS col_name, 'p type' AS caption, 'string' AS datatype,
+       CAST(p_type AS VARCHAR) AS value
+FROM (SELECT DISTINCT p_type FROM part WHERE p_type IS NOT NULL
+      ORDER BY p_type LIMIT 5000)
+"""
+
+
+def _nl_filter_inferred(spark, sf_dir):
+    """NerByDataset end-to-end: infer the dictionary FROM the dataset
+    (no hand-written spec), then compile an NL query against it. The
+    gazetteer value 'F' is discovered from the data, not declared."""
+    from nlquery_spark.operators.dictionary import spec_from_dataframe
+    from nlquery_spark.operators.nlsql import nl_filter
+
+    orders = _load(spark, sf_dir, "orders")["orders"]
+    spec = spec_from_dataframe(
+        orders,
+        "orders",
+        value_columns=["o_orderstatus", "o_totalprice", "o_orderdate"],
+        caption_overrides={
+            "o_totalprice": "total price",
+            "o_orderstatus": "order status",
+            "o_orderdate": "order date",
+        },
+    )
+    nl = "orders with order status F and total price more than 150000"
+    return nl_filter(orders, nl, [spec], NL_OPTIONS).select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+
+
+_NL_FILTER_INFERRED_SQL = """
+SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+FROM orders WHERE o_orderstatus = 'F' AND o_totalprice > 150000
+"""
+
+
 def _nl_agg_orders(spark, sf_dir):
     """OLAP lifecycle: NL -> dims + measures + filters (NlqForOlap)."""
     from nlquery_spark.operators.nlsql import nl_aggregate
@@ -706,6 +767,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_by_minute": _events_by_minute,
         "nl_filter_orders": _nl_filter_orders,
         "nl_agg_orders": _nl_agg_orders,
+        "dict_spec_part": _dict_spec_part,
+        "nl_filter_inferred": _nl_filter_inferred,
         "customers_without_orders": _customers_without_orders,
         "order_priority_rollup": _order_priority_rollup,
         "part_setops_98_not_99": _part_supplier_setops,
@@ -737,6 +800,8 @@ def oracle_sql() -> dict[str, str]:
         "events_by_minute": _EVENTS_SQL,
         "nl_filter_orders": _NL_FILTER_SQL,
         "nl_agg_orders": _NL_AGG_SQL,
+        "dict_spec_part": _DICT_SPEC_SQL,
+        "nl_filter_inferred": _NL_FILTER_INFERRED_SQL,
         "customers_without_orders": _ANTI_SQL,
         "order_priority_rollup": _ROLLUP_SQL,
         "part_setops_98_not_99": _SETOPS_SQL,
