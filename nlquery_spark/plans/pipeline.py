@@ -1,25 +1,67 @@
-"""Staged pipeline runner: per-stage parquet checkpoints, per-partition
+"""Staged pipeline runner: per-stage checkpoints, per-partition
 metrics, lineage records, and resume-from-checkpoint (north_rule).
 
-On an Iceberg catalog each stage would land as a table snapshot; the
-parquet layout used here has the same resume semantics (atomic _SUCCESS
-marker per stage) and keeps the sandbox dependency-free.
+Checkpoints land either as parquet directories (default; atomic
+_SUCCESS marker per stage) or as Iceberg table snapshots when the
+session has an Iceberg catalog configured (pass ``catalog="local.db"``
+and build the session with ``get_spark(iceberg_warehouse=...)``).
+All filesystem access goes through the Hadoop FileSystem API, so the
+same code resumes from ``file://``, ``hdfs://`` or ``s3a://`` workdirs
+— a driver-local ``os.path`` check would silently recompute every
+stage on a real cluster.
 
-Layout under ``workdir``:
+Parquet layout under ``workdir``:
   <stage>/            checkpointed output (parquet)
   _meta/<stage>.json  lineage: inputs, row count, wall time, config hash
   _metrics/<stage>/   per-partition row counts (parquet)
+
+Iceberg layout (``catalog`` set): tables ``<catalog>.<stage>`` plus
+``<catalog>.<stage>__metrics``; lineage JSON still lands under
+``workdir/_meta`` via the Hadoop FS.
 """
 
 from __future__ import annotations
 
 import json
-import os
 import time
 from dataclasses import dataclass
 from typing import Callable, Dict, List, Optional
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
+
+
+# ------------------------------------------------------------- hadoop fs --
+# Cluster-safe path ops (work for file://, hdfs://, s3a://). The JVM
+# gateway objects are tiny driver-side calls — no data moves.
+
+
+def _jpath(spark: SparkSession, path: str):
+    return spark._jvm.org.apache.hadoop.fs.Path(path)
+
+
+def _fs(spark: SparkSession, path: str):
+    jp = _jpath(spark, path)
+    conf = spark._jsc.hadoopConfiguration()
+    return jp.getFileSystem(conf), jp
+
+
+def fs_exists(spark: SparkSession, path: str) -> bool:
+    fs, jp = _fs(spark, path)
+    return bool(fs.exists(jp))
+
+
+def fs_mkdirs(spark: SparkSession, path: str) -> None:
+    fs, jp = _fs(spark, path)
+    fs.mkdirs(jp)
+
+
+def fs_write_text(spark: SparkSession, path: str, text: str) -> None:
+    fs, jp = _fs(spark, path)
+    out = fs.create(jp, True)  # overwrite
+    try:
+        out.write(bytearray(text.encode("utf-8")))
+    finally:
+        out.close()
 
 
 @dataclass
@@ -31,40 +73,79 @@ class Stage:
 
 
 class Pipeline:
-    def __init__(self, spark: SparkSession, workdir: str, stages: List[Stage]):
+    """Resumable staged job.
+
+    ``catalog=None`` (default): parquet checkpoints under ``workdir``.
+    ``catalog="local.db"``: each stage materializes as an Iceberg table
+    ``local.db.<name>`` (requires an Iceberg-enabled session — see
+    ``plans.session.get_spark(iceberg_warehouse=...)``); resume checks
+    table existence instead of _SUCCESS markers and benefits from
+    Iceberg's atomic snapshot commits.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        workdir: str,
+        stages: List[Stage],
+        catalog: Optional[str] = None,
+    ):
         self.spark = spark
-        self.workdir = workdir
+        self.workdir = workdir.rstrip("/")
         self.stages = stages
-        os.makedirs(os.path.join(workdir, "_meta"), exist_ok=True)
+        self.catalog = catalog
+        fs_mkdirs(spark, f"{self.workdir}/_meta")
+
+    # ------------------------------------------------------ checkpoints --
 
     def _stage_path(self, name: str) -> str:
-        return os.path.join(self.workdir, name)
+        return f"{self.workdir}/{name}"
+
+    def _table(self, name: str) -> str:
+        return f"{self.catalog}.{name}"
 
     def _is_complete(self, name: str) -> bool:
-        return os.path.exists(os.path.join(self._stage_path(name), "_SUCCESS"))
+        if self.catalog:
+            return self.spark.catalog.tableExists(self._table(name))
+        return fs_exists(self.spark, f"{self._stage_path(name)}/_SUCCESS")
+
+    def _read_checkpoint(self, name: str) -> DataFrame:
+        if self.catalog:
+            return self.spark.read.table(self._table(name))
+        return self.spark.read.parquet(self._stage_path(name))
+
+    def _write_checkpoint(self, name: str, df: DataFrame, partition_by) -> None:
+        if self.catalog:
+            writer = df.writeTo(self._table(name)).using("iceberg")
+            if partition_by:
+                writer = writer.partitionedBy(*[F.col(c) for c in partition_by])
+            writer.createOrReplace()
+            return
+        writer = df.write.mode("overwrite")
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(self._stage_path(name))
+
+    # -------------------------------------------------------------- run --
 
     def run(
         self, inputs: Optional[Dict[str, DataFrame]] = None, force: bool = False
     ) -> Dict[str, DataFrame]:
-        """Run all stages; completed stages (by _SUCCESS marker) are
-        loaded from checkpoint, not recomputed — kill the job anywhere
-        and rerun to resume."""
+        """Run all stages; completed stages (by checkpoint marker /
+        Iceberg snapshot) are loaded, not recomputed — kill the job
+        anywhere and rerun to resume."""
         ctx: Dict[str, DataFrame] = dict(inputs or {})
         report: List[dict] = []
         for stage in self.stages:
-            path = self._stage_path(stage.name)
             if not force and self._is_complete(stage.name):
-                ctx[stage.name] = self.spark.read.parquet(path)
+                ctx[stage.name] = self._read_checkpoint(stage.name)
                 report.append({"stage": stage.name, "status": "resumed"})
                 continue
             t0 = time.time()
             out = stage.fn(self.spark, ctx)
-            writer = out.write.mode("overwrite")
-            if stage.partition_by:
-                writer = writer.partitionBy(*stage.partition_by)
-            writer.parquet(path)
+            self._write_checkpoint(stage.name, out, stage.partition_by)
             wall = time.time() - t0
-            df = self.spark.read.parquet(path)
+            df = self._read_checkpoint(stage.name)
             ctx[stage.name] = df
             self._write_metrics(stage.name, df)
             n_rows = df.count()
@@ -75,21 +156,23 @@ class Pipeline:
                 "wall_sec": round(wall, 3),
                 "completed_at": time.strftime("%Y-%m-%dT%H:%M:%S"),
             }
-            with open(
-                os.path.join(self.workdir, "_meta", f"{stage.name}.json"), "w"
-            ) as fh:
-                json.dump(meta, fh)
+            fs_write_text(
+                self.spark, f"{self.workdir}/_meta/{stage.name}.json", json.dumps(meta)
+            )
             report.append({"stage": stage.name, "status": "computed", **meta})
         self._report = report
         return ctx
 
     def _write_metrics(self, name: str, df: DataFrame) -> None:
-        (
-            df.groupBy(F.spark_partition_id().alias("partition_id"))
-            .agg(F.count(F.lit(1)).alias("rows"))
-            .write.mode("overwrite")
-            .parquet(os.path.join(self.workdir, "_metrics", name))
+        metrics = df.groupBy(F.spark_partition_id().alias("partition_id")).agg(
+            F.count(F.lit(1)).alias("rows")
         )
+        if self.catalog:
+            metrics.writeTo(self._table(f"{name}__metrics")).using(
+                "iceberg"
+            ).createOrReplace()
+            return
+        metrics.write.mode("overwrite").parquet(f"{self.workdir}/_metrics/{name}")
 
     @property
     def report(self) -> List[dict]:

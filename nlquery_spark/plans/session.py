@@ -19,7 +19,20 @@ def get_spark(
     master: str | None = None,
     shuffle_partitions: int | None = None,
     extra_conf: dict | None = None,
+    iceberg_warehouse: str | None = None,
+    iceberg_catalog: str = "local",
 ) -> SparkSession:
+    """Session factory.
+
+    ``iceberg_warehouse``: when set, wires an Iceberg hadoop catalog
+    named ``iceberg_catalog`` at that path so ``Pipeline(catalog=...)``
+    checkpoints land as table snapshots. Requires the
+    iceberg-spark-runtime jar: either on the cluster's classpath
+    already or pointed to by ``$SPARK_GRAFT_ICEBERG_JAR`` (added via
+    ``spark.jars``). This sandbox has no such jar, so tests exercise
+    the parquet checkpoint path; the config wiring below is the
+    standard public Iceberg quickstart configuration.
+    """
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     if master is None:
         master = f"local[{cpus}]"
@@ -40,6 +53,20 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
     )
+    if iceberg_warehouse:
+        cat = f"spark.sql.catalog.{iceberg_catalog}"
+        builder = (
+            builder.config(
+                "spark.sql.extensions",
+                "org.apache.iceberg.spark.extensions.IcebergSparkSessionExtensions",
+            )
+            .config(cat, "org.apache.iceberg.spark.SparkCatalog")
+            .config(f"{cat}.type", "hadoop")
+            .config(f"{cat}.warehouse", iceberg_warehouse)
+        )
+        jar = os.environ.get("SPARK_GRAFT_ICEBERG_JAR")
+        if jar:
+            builder = builder.config("spark.jars", jar)
     if extra_conf:
         for k, v in extra_conf.items():
             builder = builder.config(k, v)
