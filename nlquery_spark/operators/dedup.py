@@ -20,10 +20,9 @@ from __future__ import annotations
 from typing import Optional
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, Window, functions as F
-from pyspark.sql.types import ArrayType, LongType, StructField, StructType
-
-from .textstats import tokens_col
+from pyspark.sql.types import ArrayType, LongType, StringType, StructField, StructType
 
 # ---------------------------------------------------------------- exact --
 
@@ -55,19 +54,43 @@ def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
 def shingles_df(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3
 ) -> DataFrame:
-    """Distinct word n-gram shingles per doc: (id, shingle)."""
-    toks = F.transform(tokens_col(F.col(text_col)), F.lower)
-    # guard: Spark's sequence(0, stop) counts DOWN when stop < 0 — docs
-    # shorter than n tokens must produce no shingles, not a reversed range
-    idx = F.when(
-        F.size(toks) >= n, F.sequence(F.lit(0), F.size(toks) - n)
-    ).otherwise(F.array().cast("array<int>"))
-    sh = F.transform(
-        idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n))
-    )
-    return (
-        df.select(F.col(id_col).alias("id"), F.array_distinct(sh).alias("shingles"))
-        .select("id", F.explode("shingles").alias("shingle"))
+    """Distinct word n-gram shingles per doc: (id, shingle).
+
+    Shingling runs in an Arrow-batched pandas UDF rather than nested
+    built-in higher-order functions: the HOF formulation
+    (transform(sequence(...), slice(...)) under array_distinct) gets
+    cloned by the optimizer into the generate pre-filter and the scan
+    residual, and the resulting multi-copy expression blows Janino
+    codegen — measured ~5s of per-query recompilation plus interpreted
+    (non-codegen) evaluation, ~10x slower steady-state than this UDF.
+    The explode stays JVM-side so downstream joins see plain rows.
+    """
+
+    @F.pandas_udf(ArrayType(StringType()))
+    def _shingles(texts: pd.Series) -> pd.Series:
+        import re
+
+        # ASCII \s+, space-only trim: exact parity with the JVM
+        # split(trim(text), '\s+') this replaces and with the DuckDB
+        # oracle's string_split_regex(trim(text), '\s+') — python
+        # str.split() would also break on \xa0 etc. and diverge.
+        ws = re.compile(r"\s+", re.ASCII)
+        out = []
+        for t in texts:
+            t = t.strip(" ") if isinstance(t, str) else ""
+            w = ws.split(t) if t else []
+            if len(w) < n:
+                out.append([])
+                continue
+            w = [x.lower() for x in w]
+            # dict.fromkeys: distinct, first-occurrence order
+            out.append(
+                list(dict.fromkeys(" ".join(w[i : i + n]) for i in range(len(w) - n + 1)))
+            )
+        return pd.Series(out)
+
+    return df.select(
+        F.col(id_col).alias("id"), F.explode(_shingles(F.col(text_col))).alias("shingle")
     )
 
 
