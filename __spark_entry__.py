@@ -275,6 +275,38 @@ FROM (SELECT DISTINCT p_type FROM part WHERE p_type IS NOT NULL
 """
 
 
+def _emb_cosine_jvm(spark, sf_dir):
+    """Single-pair cosine scoring entirely in whole-stage codegen
+    (functions/vectors.py: zip_with+aggregate, no Python worker) — the
+    re-rank path of the ANN stack; the broadcast turns the query-vector
+    lookup into a map-side expression with no shuffle."""
+    from nlquery_spark.functions import cosine
+
+    emb = _load(spark, sf_dir, "embeddings")["embeddings"]
+    q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("q_emb"))
+    return (
+        emb.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            F.round(cosine(F.col("embedding"), F.col("q_emb")), 6).alias("cos_sim"),
+        )
+        .orderBy(F.desc("cos_sim"), "vec_id")
+        .limit(10)
+    )
+
+
+_EMB_COSINE_SQL = """
+WITH q AS (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qe
+           FROM embeddings WHERE vec_id = 0)
+SELECT e.vec_id,
+       ROUND(list_cosine_similarity(
+         list_transform(e.embedding, x -> CAST(x AS DOUBLE)), q.qe), 6) AS cos_sim
+FROM embeddings e, q WHERE e.vec_id <> 0
+ORDER BY cos_sim DESC, e.vec_id LIMIT 10
+"""
+
+
 def _nl_filter_inferred(spark, sf_dir):
     """NerByDataset end-to-end: infer the dictionary FROM the dataset
     (no hand-written spec), then compile an NL query against it. The
@@ -769,6 +801,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nl_agg_orders": _nl_agg_orders,
         "dict_spec_part": _dict_spec_part,
         "nl_filter_inferred": _nl_filter_inferred,
+        "emb_cosine_jvm": _emb_cosine_jvm,
         "customers_without_orders": _customers_without_orders,
         "order_priority_rollup": _order_priority_rollup,
         "part_setops_98_not_99": _part_supplier_setops,
@@ -802,6 +835,7 @@ def oracle_sql() -> dict[str, str]:
         "nl_agg_orders": _NL_AGG_SQL,
         "dict_spec_part": _DICT_SPEC_SQL,
         "nl_filter_inferred": _NL_FILTER_INFERRED_SQL,
+        "emb_cosine_jvm": _EMB_COSINE_SQL,
         "customers_without_orders": _ANTI_SQL,
         "order_priority_rollup": _ROLLUP_SQL,
         "part_setops_98_not_99": _SETOPS_SQL,

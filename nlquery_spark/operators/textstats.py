@@ -26,15 +26,10 @@ EN_STOPWORDS = [
 ]
 
 
-def tokens_col(text: Column) -> Column:
-    """Whitespace tokens; empty text -> empty array (not [''])."""
-    return F.when(
-        F.length(F.trim(text)) == 0, F.array().cast("array<string>")
-    ).otherwise(F.split(F.trim(text), r"\s+"))
-
-
-def token_count(text: Column) -> Column:
-    return F.size(tokens_col(text))
+# column-level primitives live in the functions package; kept under the
+# original names here for existing imports
+from ..functions.text import tokens as tokens_col  # noqa: E402
+from ..functions.text import token_count  # noqa: E402, F401
 
 
 def with_token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
