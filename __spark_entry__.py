@@ -307,6 +307,28 @@ ORDER BY cos_sim DESC, e.vec_id LIMIT 10
 """
 
 
+def _streaming_extract(spark, sf_dir):
+    """Structured Streaming extraction (rows-only check: streaming is
+    not SQL-expressible). Pages land in a temp dir, an availableNow
+    file-stream runs the SAME stateless mapInPandas extraction as the
+    batch path, and the exactly-once parquet sink is read back — the
+    streaming analog of kg_extract_triples (tests assert stream==batch
+    on identical input)."""
+    import tempfile
+
+    from nlquery_spark.operators.extract import extract_triples
+    from nlquery_spark.sources.pages import orders_schema_spec, synth_pages
+    from nlquery_spark.streaming import read_pages_stream, triples_to_sink
+
+    work = tempfile.mkdtemp(prefix="nlq_stream_")
+    src, out, ckpt = f"{work}/in", f"{work}/out", f"{work}/ckpt"
+    synth_pages(spark, 200).write.mode("overwrite").parquet(src)
+    stream = read_pages_stream(spark, src, max_files_per_trigger=4)
+    q = triples_to_sink(extract_triples(stream, [orders_schema_spec()]), out, ckpt, trigger_once=True)
+    q.awaitTermination(300)
+    return spark.read.parquet(out).select("subj", "pred", "obj")
+
+
 def _nl_filter_inferred(spark, sf_dir):
     """NerByDataset end-to-end: infer the dictionary FROM the dataset
     (no hand-written spec), then compile an NL query against it. The
@@ -802,6 +824,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dict_spec_part": _dict_spec_part,
         "nl_filter_inferred": _nl_filter_inferred,
         "emb_cosine_jvm": _emb_cosine_jvm,
+        "streaming_extract": _streaming_extract,
         "customers_without_orders": _customers_without_orders,
         "order_priority_rollup": _order_priority_rollup,
         "part_setops_98_not_99": _part_supplier_setops,

@@ -58,34 +58,9 @@ def main() -> None:
 
     # -- operator suite over the driver-provided tables -------------------
     qs = entry_mod.queries()
-    suite = [
-        "q1_pricing_summary",
-        "q3_shipping_priority",
-        "q5_local_supplier",
-        "topk_orders_per_customer",
-        "events_by_minute",
-        "events_sessionize",
-        "daily_active_users",
-        "orders_with_returns",
-        "promo_revenue_share",
-        "customers_without_orders",
-        "order_priority_rollup",
-        "part_setops_98_not_99",
-        "nl_filter_orders",
-        "nl_agg_orders",
-        "doc_token_stats",
-        "doc_quality",
-        "doc_lang_id",
-        "doc_fingerprint",
-        "dedup_exact",
-        "dedup_ngram_jaccard",
-        "gazetteer_mentions",
-        "ann_cosine_topk",
-        "dedup_minhash",
-        "dedup_simhash",
-        "dedup_embedding",
-        "kg_extract_triples",
-    ]
+    # every driver query rides along automatically — a new queries()
+    # entry is benchmarked without touching this file
+    suite = list(qs)
     for name in suite:
         t0 = time.time()
         df = qs[name](spark, SF_DIR)
