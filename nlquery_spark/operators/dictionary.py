@@ -54,25 +54,51 @@ def spec_from_dataframe(
     captions = caption_overrides or {}
     cols: List[Dict] = []
     value_columns = list(value_columns if value_columns is not None else df.columns)
+    datatypes = {c: _infer_datatype(df, c) for c in value_columns}
+    gazetteer_cols = [c for c in value_columns if datatypes[c] == "string"]
+
+    # all gazetteers in ONE job: union the (col_name, value) pairs,
+    # distinct, cap per column with a window BEFORE collect (so the
+    # driver transfer stays bounded by n_cols * max_values even on
+    # high-cardinality columns), instead of one scan+shuffle per column
+    values_by_col: Dict[str, List[str]] = {}
+    if gazetteer_cols and max_values > 0:
+        pairs = None
+        for c in gazetteer_cols:
+            p = (
+                df.select(
+                    F.lit(c).alias("col_name"),
+                    F.col(c).cast("string").alias("value"),
+                )
+                .filter(F.col(c).isNotNull())
+            )
+            pairs = p if pairs is None else pairs.unionAll(p)
+        from pyspark.sql import Window
+
+        rn = F.row_number().over(
+            Window.partitionBy("col_name").orderBy("value")  # deterministic
+        )
+        rows = (
+            pairs.distinct()
+            .withColumn("_rn", rn)
+            .filter(F.col("_rn") <= max_values)
+            .select("col_name", "value")
+            .collect()
+        )
+        for r in rows:
+            values_by_col.setdefault(r.col_name, []).append(r.value)
+        for vs in values_by_col.values():
+            vs.sort()
+
     for col in value_columns:
-        datatype = _infer_datatype(df, col)
+        datatype = datatypes[col]
         entry: Dict = {
             "caption": captions.get(col, col.replace("_", " ").strip()),
             "name": col,
             "datatype": datatype,
         }
-        if datatype == "string":
-            values = [
-                r[0]
-                for r in df.select(col)
-                .filter(F.col(col).isNotNull())
-                .distinct()
-                .orderBy(col)  # deterministic gazetteer order
-                .limit(max_values)
-                .collect()
-            ]
-            if values:
-                entry["values"] = [str(v) for v in values]
+        if values_by_col.get(col):
+            entry["values"] = values_by_col[col]
         cols.append(entry)
     return {
         "caption": caption or name.replace("_", " ").strip(),
