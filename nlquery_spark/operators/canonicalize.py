@@ -18,7 +18,9 @@ Scale posture:
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql.types import ArrayType, StringType
 
 
 def normalize_form(col):
@@ -26,12 +28,25 @@ def normalize_form(col):
 
 
 def _trigrams(col):
-    padded = F.concat(F.lit("  "), col, F.lit("  "))
-    n = F.length(padded) - 2
-    idx = F.when(n >= 1, F.sequence(F.lit(1), n)).otherwise(
-        F.array().cast("array<int>")
-    )
-    return F.array_distinct(F.transform(idx, lambda i: F.substring(padded, i, 3)))
+    """Distinct char trigrams of '  <form>  ' as an Arrow pandas UDF.
+
+    Same Janino pathology as dedup.shingles_df (see that docstring): the
+    HOF formulation (transform over sequence + substring) gets cloned by
+    the optimizer into both self-join sides and the join filters, and
+    cold-compiling the multi-copy expression measured 60+s on the first
+    similarity_edges execution. One vectorized UDF evaluated once per
+    distinct form replaces it; runs on the deduped form table (dictionary-
+    sized), so the Python stage sees thousands of rows, not the corpus.
+    """
+    @F.pandas_udf(ArrayType(StringType()))
+    def _tri(forms: pd.Series) -> pd.Series:
+        out = []
+        for s in forms:
+            p = f"  {s}  " if isinstance(s, str) else "    "
+            out.append(list(dict.fromkeys(p[i : i + 3] for i in range(len(p) - 2))))
+        return pd.Series(out)
+
+    return _tri(col)
 
 
 def similarity_edges(
@@ -82,6 +97,29 @@ def similarity_edges(
     )
 
 
+def _union_find_components(edge_rows, node_rows):
+    """Driver-side union-find; root of every tree is kept at the
+    lexicographic min of its members, so find(x) returns the min form of
+    x's component — identical labeling to the hash-to-min fixpoint."""
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent.get(root, root) != root:
+            root = parent[root]
+        while parent.get(x, x) != x:
+            parent[x], x = root, parent[x]
+        return root
+
+    for src, dst in edge_rows:
+        ra, rb = find(src), find(dst)
+        if ra != rb:
+            if rb < ra:
+                ra, rb = rb, ra
+            parent[rb] = ra
+    return [(n, find(n)) for (n,) in node_rows]
+
+
 def connected_components(
     edges: DataFrame,
     nodes: DataFrame,
@@ -89,21 +127,41 @@ def connected_components(
     src_col: str = "form_a",
     dst_col: str = "form_b",
     max_iter: int = 20,
+    driver_max_graph: int = 2_000_000,
 ) -> DataFrame:
-    """(node, component) via iterative hash-to-min label propagation.
+    """(node, component) labeling, component id = min form in component.
 
-    Pure DataFrame ops; per-iteration localCheckpoint breaks lineage so
-    plans stay bounded. Converges when no label changes.
-    """
+    Adaptive execution: when nodes+edges fit under ``driver_max_graph``
+    the labeling runs as driver-side union-find — the similarity graph
+    is over DISTINCT surface forms (dictionary-sized, and the caller
+    broadcasts the resulting mapping anyway), so a 20-iteration shuffle
+    loop for it is pure overhead. Above the threshold it falls back to
+    iterative hash-to-min label propagation in pure DataFrame ops
+    (one shuffle per iteration, per-iteration localCheckpoint breaks
+    lineage so plans stay bounded; converges when no label changes) —
+    that path has no driver-memory footprint and handles graphs of any
+    size."""
     sym = (
         edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
         .union(edges.select(F.col(dst_col).alias("src"), F.col(src_col).alias("dst")))
         .distinct()
         .localCheckpoint(eager=True)
     )
-    labels = nodes.select(F.col(node_col).alias("node")).distinct().withColumn(
-        "label", F.col("node")
-    ).localCheckpoint(eager=True)
+    node_df = nodes.select(F.col(node_col).alias("node")).distinct().localCheckpoint(
+        eager=True
+    )
+    n_edges, n_nodes = sym.count(), node_df.count()
+    if n_edges + n_nodes <= driver_max_graph:
+        labeled = _union_find_components(
+            ((r.src, r.dst) for r in sym.toLocalIterator()),
+            ((r.node,) for r in node_df.toLocalIterator()),
+        )
+        return (
+            edges.sparkSession.createDataFrame(
+                labeled, f"{node_col} string, component string"
+            )
+        )
+    labels = node_df.withColumn("label", F.col("node")).localCheckpoint(eager=True)
 
     for _ in range(max_iter):
         neighbor_min = (

@@ -47,6 +47,26 @@ def test_connected_components_chain(spark):
     assert cc["z"] == "z"
 
 
+def test_connected_components_driver_equals_distributed(spark):
+    """The adaptive driver-side union-find path must label identically
+    to the distributed hash-to-min loop (forced via driver_max_graph=0),
+    including a longer chain (diameter > 2) and isolated nodes."""
+    edges = spark.createDataFrame(
+        [("d", "c"), ("c", "b"), ("b", "a"), ("p", "q"), ("q", "p")],
+        "form_a string, form_b string",
+    )
+    nodes = spark.createDataFrame(
+        [(x,) for x in "abcdpqz"], "form string"
+    )
+    fast = {r.form: r.component for r in connected_components(edges, nodes).collect()}
+    dist = {
+        r.form: r.component
+        for r in connected_components(edges, nodes, driver_max_graph=0).collect()
+    }
+    assert fast == dist
+    assert fast["d"] == fast["a"] == "a" and fast["p"] == "p" and fast["z"] == "z"
+
+
 def test_pipeline_resume(spark, tmp_path):
     workdir = str(tmp_path / "pipe")
     pages = synth_pages(spark, 80).cache()
