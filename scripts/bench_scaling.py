@@ -105,32 +105,39 @@ def main() -> None:
         "normalized_efficiency": round(min(norm_eff, 1.0), 3),
     }
     print(json.dumps(summary))
-    md = [
-        "# BENCH baseline — scaling evidence (north_rule)",
-        "",
-        "## Measured scaling run (scripts/bench_scaling.py)",
-        "",
-        f"- input: {N_PAGES} synthesized pages (identical at both levels, fixed 128",
-        f"  partitions); identical triple output verified ({r8['n_triples']} triples)",
-        "- sandbox proxy for N vs 4N executors per the driver instruction:",
-        "  local[8] vs local[32], same job, fresh JVM each",
-        "",
-        "| parallelism | wall (s) | pages/s | triples/s | no-Spark control pages/s |",
-        "|---|---|---|---|---|",
-        f"| local[8] (N) | {r8['wall_sec']} | {r8['pages_per_sec']} | {r8['triples_per_sec']} | {summary['control_pages_per_sec']['8']} |",
-        f"| local[32] (4N) | {r32['wall_sec']} | {r32['pages_per_sec']} | {r32['triples_per_sec']} | {summary['control_pages_per_sec']['32']} |",
-        "",
-        f"- **raw single-box efficiency (N→4N): {summary['raw_efficiency']}**",
-        f"- no-Spark multiprocessing control efficiency on the same VM: {summary['hardware_control_efficiency']}",
-        "  (the VM's all-core frequency/bandwidth ceiling; steal ~0%)",
-        f"- **hardware-normalized efficiency: {summary['normalized_efficiency']}** —",
-        "  the estimate for a real N→4N cluster scale-up (4× machines, constant",
-        "  per-core resources), where the single-box ceiling does not apply.",
-        "  Target ≥ 0.8 per BASELINE.json north_rule.",
-        "",
-    ]
-    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as fh:
-        fh.write("\n".join(md))
+    # append this run as a row to the run-history table in
+    # BENCH/BASELINE.md (marked by <!-- RUNS -->) — never rewrite the
+    # file: it carries hand-written analysis and prior runs
+    path = os.path.join(REPO, "BENCH", "BASELINE.md")
+    with open(path) as fh:
+        lines = fh.read().splitlines(keepends=False)
+    row = (
+        f"| {time.strftime('%m-%d %H:%M')} | {r8['pages_per_sec']:.0f} | "
+        f"{r32['pages_per_sec']:.0f} | {summary['control_pages_per_sec']['8']:.0f} | "
+        f"{summary['control_pages_per_sec']['32']:.0f} | {summary['raw_efficiency']} | "
+        f"{summary['hardware_control_efficiency']} | {summary['normalized_efficiency']} |"
+    )
+    out_lines, inserted = [], False
+    for i, ln in enumerate(lines):
+        out_lines.append(ln)
+    # insert after the last table row following the marker
+    try:
+        start = next(i for i, ln in enumerate(out_lines) if "<!-- RUNS -->" in ln)
+        end = start + 1
+        while end < len(out_lines) and (
+            out_lines[end].startswith("|") or end <= start + 2
+        ):
+            end += 1
+        out_lines.insert(end, row)
+        inserted = True
+    except StopIteration:
+        pass
+    if inserted:
+        with open(path, "w") as fh:
+            fh.write("\n".join(out_lines) + "\n")
+    else:
+        print("WARN: <!-- RUNS --> marker missing in BENCH/BASELINE.md; row not recorded:")
+        print(row)
 
 
 if __name__ == "__main__":
