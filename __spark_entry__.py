@@ -801,7 +801,10 @@ def _dedup_embedding(spark, sf_dir):
     from nlquery_spark.operators.dedup import embedding_neardup_pairs
 
     emb = _parallelize(_load(spark, sf_dir, "embeddings")["embeddings"])
-    return embedding_neardup_pairs(emb, threshold=0.6, block_planes=4)
+    # 0.3: the synthetic embeddings top out near cosine 0.37, so this
+    # returns a non-trivial pair set for the rows-only driver check
+    # (0.6 would be the production near-dup bar but yields 0 rows here)
+    return embedding_neardup_pairs(emb, threshold=0.3, block_planes=4)
 
 
 # ----------------------------------------------------------------- driver --

@@ -22,7 +22,14 @@ from typing import Optional
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, Window, functions as F
-from pyspark.sql.types import ArrayType, LongType, StringType, StructField, StructType
+from pyspark.sql.types import (
+    ArrayType,
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
 
 # ---------------------------------------------------------------- exact --
 
@@ -366,62 +373,92 @@ def embedding_neardup_pairs(
     threshold: float = 0.95,
     block_planes: int = 8,
     seed: int = 42,
+    max_bucket_block: int = 4096,
 ) -> DataFrame:
     """Pairs with cosine >= threshold.
 
     Blocking: random-hyperplane sign signature (``block_planes`` bits);
     near-identical vectors land in the same bucket with high probability.
-    Verification: exact cosine via zip_with/aggregate (JVM-side).
+    Two numpy stages, one shuffle:
+    1. mapInPandas: GEMM the batch against the broadcast plane matrix ->
+       bucket id; normalize each vector once (cosine later = plain dot).
+       (A previous formulation built the 8-plane signature as literal
+       zip_with/aggregate expressions; the optimizer cloned that tree
+       into both self-join sides — the dedup-wide Janino pathology — and
+       norms were recomputed per candidate PAIR.)
+    2. shuffle on bucket; applyInPandas per bucket: blocked GEMM over the
+       normalized vectors, emit upper-triangle pairs >= threshold.
+       ``max_bucket_block`` bounds per-GEMM memory on hot buckets (the
+       skew guard): verification runs in block x block tiles, exact.
     """
     first = df.select(F.size(vec_col).alias("d")).first()
     dim = first["d"] if first else 0
     rng = np.random.RandomState(seed)
     planes = rng.randn(block_planes, dim)
-    plane_cols = [
-        F.when(
-            F.aggregate(
-                F.zip_with(
-                    F.col(vec_col),
-                    F.array(*[F.lit(float(x)) for x in planes[p]]),
-                    lambda a, b: a.cast("double") * b,
-                ),
-                F.lit(0.0),
-                lambda acc, v: acc + v,
-            )
-            >= 0,
-            F.lit(1),
-        ).otherwise(F.lit(0))
-        for p in range(block_planes)
-    ]
-    sig = sum(
-        (c * (2 ** i) for i, c in enumerate(plane_cols)), F.lit(0)
-    )
-    with_sig = df.select(
-        F.col(id_col).alias("id"), F.col(vec_col).alias("vec"), sig.alias("bucket")
-    )
-    a = with_sig.alias("a")
-    b = with_sig.alias("b")
-    dot = F.aggregate(
-        F.zip_with(F.col("a.vec"), F.col("b.vec"), lambda x, y: x.cast("double") * y.cast("double")),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
+    weights = (2 ** np.arange(block_planes)).astype(np.int64)
+
+    sig_schema = StructType(
+        [
+            StructField("id", LongType(), False),
+            StructField("bucket", LongType(), False),
+            StructField("unit", ArrayType(DoubleType(), False), False),
+        ]
     )
 
-    def norm(side):
-        return F.sqrt(
-            F.aggregate(
-                F.transform(F.col(f"{side}.vec"), lambda x: x.cast("double") * x.cast("double")),
-                F.lit(0.0),
-                lambda acc, v: acc + v,
+    def signatures(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            signs = (x @ planes.T >= 0).astype(np.int64)
+            buckets = signs @ weights
+            norms = np.linalg.norm(x, axis=1)
+            norms[norms == 0] = 1.0  # zero vectors stay zero after divide
+            unit = x / norms[:, None]
+            yield pd.DataFrame(
+                {
+                    "id": pdf[id_col].astype("int64"),
+                    "bucket": buckets,
+                    "unit": list(unit),
+                }
             )
-        )
 
-    return (
-        a.join(
-            b,
-            (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.id") < F.col("b.id")),
-        )
-        .withColumn("cosine", F.round(dot / (norm("a") * norm("b")), 6))
-        .filter(F.col("cosine") >= threshold)
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"), "cosine")
+    out_schema = StructType(
+        [
+            StructField("id_a", LongType(), False),
+            StructField("id_b", LongType(), False),
+            StructField("cosine", DoubleType(), False),
+        ]
+    )
+
+    def verify_bucket(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        n = len(pdf)
+        if n < 2:
+            return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []}).astype(
+                {"id_a": "int64", "id_b": "int64", "cosine": "float64"}
+            )
+        ids = pdf["id"].to_numpy()
+        u = np.array(pdf["unit"].tolist(), dtype=np.float64)
+        ia, ib, cs = [], [], []
+        step = max_bucket_block
+        for r0 in range(0, n, step):
+            r1 = min(r0 + step, n)
+            for c0 in range(r0, n, step):
+                c1 = min(c0 + step, n)
+                sims = u[r0:r1] @ u[c0:c1].T
+                rr, cc = np.nonzero(np.round(sims, 6) >= threshold)
+                for r, c in zip(rr, cc):
+                    gi, gj = r0 + r, c0 + c
+                    if gi < gj:
+                        a_id, b_id = ids[gi], ids[gj]
+                        if a_id > b_id:
+                            a_id, b_id = b_id, a_id
+                        ia.append(a_id)
+                        ib.append(b_id)
+                        cs.append(round(float(sims[r, c]), 6))
+        return pd.DataFrame({"id_a": ia, "id_b": ib, "cosine": cs})
+
+    sig = df.select(id_col, vec_col).mapInPandas(signatures, sig_schema)
+    return sig.groupBy("bucket").applyInPandas(
+        lambda pdf: verify_bucket(pdf), out_schema
     )
