@@ -11,8 +11,12 @@ Scale posture:
 - MinHash/LSH: signature computation is a vectorized numpy pandas-UDF
   (Arrow batches); candidate generation explodes band buckets and
   self-joins per bucket — linear in bucket sizes, never all-pairs.
-- SimHash: 64-bit signatures, banded into 4x16-bit chunks for blocking;
+- SimHash: 64-bit md5-token signatures (portable: the DuckDB oracle can
+  recompute them in SQL); COMPLETE combination blocking for any hamming
+  budget (generalized Manku multi-table; see simhash_blocking_plan);
   hamming verify on candidates.
+- embedding near-dup: OR-amplified multi-table hyperplane LSH + exact
+  tiled-GEMM verify per bucket.
 """
 
 from __future__ import annotations
@@ -119,7 +123,6 @@ def ngram_jaccard_pairs(
     # the shingle subtree feeds three consumers (sizes + both join sides);
     # materialize once instead of recomputing the tokenize/explode tree
     sh = sh.localCheckpoint(eager=False)
-    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
     if max_shingle_df is not None:
         hot = (
             sh.groupBy("shingle")
@@ -128,6 +131,12 @@ def ngram_jaccard_pairs(
             .select("shingle")
         )
         sh = sh.join(F.broadcast(hot), "shingle", "left_anti")
+        sh = sh.localCheckpoint(eager=False)
+    # sizes are computed over the FILTERED shingle set: with stop-shingle
+    # removal, Jaccard is defined on the surviving universe (otherwise the
+    # denominator counts shingles that can never appear in `common` and
+    # scores are systematically underestimated for docs with hot shingles).
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.alias("a")
     b = sh.alias("b")
     common = (
@@ -270,50 +279,80 @@ def minhash_lsh_pairs(
 def simhash_signatures(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
-    """64-bit SimHash over word tokens (vectorized numpy bit-count)."""
+    """64-bit SimHash over word tokens (vectorized numpy bit-vote).
+
+    Token hash = first 64 bits of md5(token): md5 is available verbatim
+    in every SQL engine, so the whole signature (tokenize -> md5 -> per-bit
+    vote -> sign) is reproducible as portable SQL — the driver's DuckDB
+    oracle recomputes identical signatures, upgrading simhash dedup from a
+    rows-only check to a full value-hash oracle. Tokenization is the
+    repo-standard ASCII ``\\s+`` split (parity with RE2 ``\\s`` in DuckDB;
+    python ``str.split()`` would diverge on U+00A0 etc.). Docs with zero
+    tokens are excluded (no meaningful near-dup signature; exact dedup
+    owns the empty-text class).
+    """
     schema = StructType([StructField("id", LongType(), False), StructField("simhash", LongType(), False)])
 
     def compute(batches):
+        import hashlib
+        import re
+
         import pandas as pd
-        import zlib
 
-        def mix64(x: np.ndarray) -> np.ndarray:
-            # splitmix64 finalizer: crc32 is linear, so correlated tokens
-            # (shared prefixes) would otherwise yield degenerate vote
-            # margins; this decorrelates the per-token bit patterns.
-            with np.errstate(over="ignore"):
-                x = (x + np.uint64(0x9E3779B97F4A7C15)) & np.uint64(0xFFFFFFFFFFFFFFFF)
-                x = ((x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)) & np.uint64(0xFFFFFFFFFFFFFFFF)
-                x = ((x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)) & np.uint64(0xFFFFFFFFFFFFFFFF)
-                return x ^ (x >> np.uint64(31))
+        ws = re.compile(r"\s+", re.ASCII)
+        memo: dict = {}  # tokens repeat heavily; one md5 per distinct token
 
+        def tok_hash(t: str) -> int:
+            h = memo.get(t)
+            if h is None:
+                h = int(hashlib.md5(t.encode()).hexdigest()[:16], 16)
+                memo[t] = h
+            return h
+
+        bit_idx = np.arange(64, dtype=np.uint64)
         for pdf in batches:
             ids, hashes = [], []
             for doc_id, text in zip(pdf[id_col], pdf[text_col]):
-                toks = str(text).lower().split()
-                ids.append(int(doc_id))
+                toks = [t for t in ws.split(str(text).lower() if text is not None else "") if t]
                 if not toks:
-                    hashes.append(0)
                     continue
-                hv = mix64(
-                    np.array(
-                        [
-                            (zlib.crc32(t.encode()) << 32)
-                            | zlib.crc32((t + "#").encode())
-                            for t in toks
-                        ],
-                        dtype=np.uint64,
-                    )
-                )
-                bits = ((hv[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & 1).astype(
-                    np.int32
-                )
+                hv = np.array([tok_hash(t) for t in toks], dtype=np.uint64)
+                bits = ((hv[:, None] >> bit_idx[None, :]) & 1).astype(np.int32)
                 votes = bits.sum(axis=0) * 2 - len(toks)
-                sig = int(((votes > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)).sum())
+                sig = int(((votes > 0).astype(np.uint64) << bit_idx).sum())
                 hashes.append(sig - (1 << 64) if sig >= (1 << 63) else sig)
-            yield pd.DataFrame({"id": ids, "simhash": hashes})
+                ids.append(int(doc_id))
+            yield pd.DataFrame({"id": pd.Series(ids, dtype="int64"), "simhash": pd.Series(hashes, dtype="int64")})
 
     return df.select(id_col, text_col).mapInPandas(compute, schema)
+
+
+def _n_choose_k(m: int, c: int) -> int:
+    from math import comb
+
+    return comb(m, c)
+
+
+def simhash_blocking_plan(max_hamming: int, max_keys: int = 128):
+    """(n_chunks, combinations) for COMPLETE simhash blocking.
+
+    Split 64 bits into ``m`` chunks and key each doc on every combination
+    of ``c = m - max_hamming`` chunks: a pair within hamming ``k`` has
+    differing bits in at most ``k`` chunks, so at least ``m - k`` chunks
+    agree, and one full combination of ``m - k`` chunks is shared — no
+    false negatives (generalized Manku multi-table blocking). Larger ``c``
+    means wider, more selective keys at the cost of C(m, c) keys per doc;
+    we pick the widest key with fan-out <= ``max_keys``.
+    """
+    from itertools import combinations
+
+    k = max_hamming
+    m = k + 1
+    for cand_m in range(min(k + 4, 32), k, -1):
+        if _n_choose_k(cand_m, cand_m - k) <= max_keys:
+            m = cand_m
+            break
+    return m, list(combinations(range(m), m - k))
 
 
 def simhash_pairs(
@@ -321,31 +360,46 @@ def simhash_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     max_hamming: int = 3,
+    max_keys: int = 128,
 ) -> DataFrame:
-    """Near-dup pairs with hamming(simhash) <= max_hamming, blocked on
-    4x16-bit chunks (a pair within distance 3 must agree on >=1 chunk)."""
-    sigs = simhash_signatures(df, id_col, text_col).cache()
-    chunks = sigs.select(
+    """Near-dup pairs with hamming(simhash) <= max_hamming.
+
+    Blocking is COMPLETE for the requested ``max_hamming`` (see
+    simhash_blocking_plan): the old fixed 4x16-bit chunking guaranteed
+    recall only for hamming <= 3 by pigeonhole, silently dropping
+    wider pairs. Candidates are exploded as xxhash64(combination-id,
+    chunk values) keys — one shuffle on key, hamming-verified JVM-side
+    with bit_count(xor). At max_hamming=3 this is Manku's 20-table
+    design (6 chunks, keys of 3 chunks ~ 32 bits); at 12 it is 91 keys
+    of 2 chunks (~9 bits) — still never all-pairs.
+    """
+    m, combos = simhash_blocking_plan(max_hamming, max_keys)
+    widths = [(64 // m) + (1 if i < 64 % m else 0) for i in range(m)]
+    starts = [sum(widths[:i]) for i in range(m)]
+    chunk_expr = [
+        F.shiftrightunsigned(F.col("simhash"), starts[i]).bitwiseAND(
+            F.lit((1 << widths[i]) - 1)
+        )
+        for i in range(m)
+    ]
+    sigs = simhash_signatures(df, id_col, text_col).localCheckpoint(eager=False)
+    keys = sigs.select(
         "id",
         "simhash",
-        F.posexplode(
+        F.explode(
             F.array(
                 *[
-                    F.shiftrightunsigned(F.col("simhash"), b * 16)
-                    .bitwiseAND(F.lit(0xFFFF))
-                    .alias(f"c{b}")
-                    for b in range(4)
+                    F.xxhash64(F.lit(j), *[chunk_expr[i] for i in combo])
+                    for j, combo in enumerate(combos)
                 ]
             )
-        ).alias("chunk_idx", "chunk"),
+        ).alias("key"),
     )
     cand = (
-        chunks.alias("x")
+        keys.alias("x")
         .join(
-            chunks.alias("y"),
-            (F.col("x.chunk_idx") == F.col("y.chunk_idx"))
-            & (F.col("x.chunk") == F.col("y.chunk"))
-            & (F.col("x.id") < F.col("y.id")),
+            keys.alias("y"),
+            (F.col("x.key") == F.col("y.key")) & (F.col("x.id") < F.col("y.id")),
         )
         .select(
             F.col("x.id").alias("id_a"),
@@ -355,7 +409,7 @@ def simhash_pairs(
         )
         .distinct()
     )
-    hamming = F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b")))
+    hamming = F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b"))).cast("long")
     return (
         cand.withColumn("hamming", hamming)
         .filter(F.col("hamming") <= max_hamming)
@@ -372,34 +426,44 @@ def embedding_neardup_pairs(
     vec_col: str = "embedding",
     threshold: float = 0.95,
     block_planes: int = 8,
+    n_tables: int = 12,
     seed: int = 42,
     max_bucket_block: int = 4096,
 ) -> DataFrame:
-    """Pairs with cosine >= threshold.
+    """Pairs with cosine >= threshold (OR-amplified hyperplane LSH).
 
-    Blocking: random-hyperplane sign signature (``block_planes`` bits);
-    near-identical vectors land in the same bucket with high probability.
+    Blocking: ``n_tables`` INDEPENDENT random-hyperplane sign signatures
+    of ``block_planes`` bits each. A single signature misses most true
+    pairs (P[collide] = (1 - theta/pi)^planes ~ 43% at cos 0.95 with 8
+    planes); OR-amplification across R tables lifts recall to
+    1 - (1 - p)^R (>= 99.8% for the same setting at R=12). Pairs found
+    in several tables are deduplicated after verification.
+
     Two numpy stages, one shuffle:
-    1. mapInPandas: GEMM the batch against the broadcast plane matrix ->
-       bucket id; normalize each vector once (cosine later = plain dot).
-       (A previous formulation built the 8-plane signature as literal
+    1. mapInPandas: one GEMM of the batch against the broadcast
+       (R*planes, dim) plane matrix -> R bucket ids per vector (emitted
+       as R rows); each vector normalized once (cosine later = plain
+       dot). (A previous formulation built the signature as literal
        zip_with/aggregate expressions; the optimizer cloned that tree
-       into both self-join sides — the dedup-wide Janino pathology — and
-       norms were recomputed per candidate PAIR.)
-    2. shuffle on bucket; applyInPandas per bucket: blocked GEMM over the
-       normalized vectors, emit upper-triangle pairs >= threshold.
-       ``max_bucket_block`` bounds per-GEMM memory on hot buckets (the
-       skew guard): verification runs in block x block tiles, exact.
+       into both self-join sides — the dedup-wide Janino pathology.)
+    2. shuffle on (table, bucket); applyInPandas per bucket: tiled GEMM
+       over the normalized vectors, emit upper-triangle pairs >=
+       threshold. ``max_bucket_block`` bounds per-GEMM memory on hot
+       buckets (the skew guard); verification is exact, so extra
+       candidates from OR-ing never cause false positives.
+    3. distinct() on the verified pairs (cosines are rounded
+       identically in every table, so cross-table duplicates collapse).
     """
     first = df.select(F.size(vec_col).alias("d")).first()
     dim = first["d"] if first else 0
     rng = np.random.RandomState(seed)
-    planes = rng.randn(block_planes, dim)
+    planes = rng.randn(n_tables * block_planes, dim)
     weights = (2 ** np.arange(block_planes)).astype(np.int64)
 
     sig_schema = StructType(
         [
             StructField("id", LongType(), False),
+            StructField("table", LongType(), False),
             StructField("bucket", LongType(), False),
             StructField("unit", ArrayType(DoubleType(), False), False),
         ]
@@ -410,16 +474,20 @@ def embedding_neardup_pairs(
             if not len(pdf):
                 continue
             x = np.array(pdf[vec_col].tolist(), dtype=np.float64)
-            signs = (x @ planes.T >= 0).astype(np.int64)
-            buckets = signs @ weights
+            n = len(x)
+            signs = (x @ planes.T >= 0).astype(np.int64)  # (n, R*planes)
+            # (n, R): bucket id per table
+            buckets = signs.reshape(n, n_tables, block_planes) @ weights
             norms = np.linalg.norm(x, axis=1)
             norms[norms == 0] = 1.0  # zero vectors stay zero after divide
             unit = x / norms[:, None]
+            ids = pdf[id_col].astype("int64").to_numpy()
             yield pd.DataFrame(
                 {
-                    "id": pdf[id_col].astype("int64"),
-                    "bucket": buckets,
-                    "unit": list(unit),
+                    "id": np.repeat(ids, n_tables),
+                    "table": np.tile(np.arange(n_tables, dtype=np.int64), n),
+                    "bucket": buckets.reshape(-1),
+                    "unit": [u for u in unit for _ in range(n_tables)],
                 }
             )
 
@@ -459,6 +527,8 @@ def embedding_neardup_pairs(
         return pd.DataFrame({"id_a": ia, "id_b": ib, "cosine": cs})
 
     sig = df.select(id_col, vec_col).mapInPandas(signatures, sig_schema)
-    return sig.groupBy("bucket").applyInPandas(
-        lambda pdf: verify_bucket(pdf), out_schema
+    return (
+        sig.groupBy("table", "bucket")
+        .applyInPandas(lambda pdf: verify_bucket(pdf), out_schema)
+        .distinct()
     )

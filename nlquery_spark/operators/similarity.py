@@ -21,6 +21,7 @@ from typing import List, Optional, Sequence
 import numpy as np
 from pyspark.sql import DataFrame, Window, functions as F
 from pyspark.sql.types import (
+    ArrayType,
     DoubleType,
     LongType,
     StructField,
@@ -143,6 +144,115 @@ def cosine_topk_blocked(
         .filter(F.col("rank") <= k)
         .select("query_id", "rank", "neighbor_id", "cosine")
     )
+
+
+_PAIRS_SCHEMA = StructType(
+    [
+        StructField("id_a", LongType(), False),
+        StructField("id_b", LongType(), False),
+        StructField("cosine", DoubleType(), False),
+    ]
+)
+
+
+def cosine_allpairs_exact(
+    df: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_blocks: int = 8,
+    tile: int = 4096,
+) -> DataFrame:
+    """EXACT all-pairs cosine >= threshold via a distributed triangle join.
+
+    Every vector is normalized once and hashed to a block ``b``; each row
+    is then replicated to the ``n_blocks`` unordered block-pairs containing
+    ``b``, and each (i, j) group computes a single tiled GEMM between its
+    side-i and side-j rows (upper triangle when i == j). Work is O(n^2)
+    — exactness costs that — but it is spread over B*(B+1)/2 independent
+    tasks with B-fold replication, so per-task memory is bounded and the
+    plan scales out; choose B ~ sqrt(2 * target_tasks). This is the
+    bruteforce baseline LSH recall is measured against, and the
+    oracle-checkable exact path (SQL: self-join + list_dot_product).
+    For large corpora prefer embedding_neardup_pairs (OR-amplified LSH).
+    """
+    B = n_blocks
+
+    sig_schema = StructType(
+        [
+            StructField("key", LongType(), False),
+            StructField("block", LongType(), False),
+            StructField("id", LongType(), False),
+            StructField("unit", ArrayType(DoubleType(), False), False),
+        ]
+    )
+
+    def fan_out(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            x = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            norms = np.linalg.norm(x, axis=1)
+            norms[norms == 0] = 1.0
+            unit = x / norms[:, None]
+            blocks = (ids % B + B) % B  # deterministic, sign-safe
+            out_key, out_block, out_id, out_unit = [], [], [], []
+            for r in range(len(ids)):
+                b = int(blocks[r])
+                for j in range(B):
+                    i, jj = (b, j) if b <= j else (j, b)
+                    out_key.append(i * B + jj)
+                    out_block.append(b)
+                    out_id.append(int(ids[r]))
+                    out_unit.append(unit[r])
+            yield pd.DataFrame(
+                {"key": out_key, "block": out_block, "id": out_id, "unit": out_unit}
+            )
+
+    def verify_pair(pdf):
+        import pandas as pd
+
+        key = int(pdf["key"].iloc[0])
+        i, j = key // B, key % B
+        ids = pdf["id"].to_numpy()
+        u = np.array(pdf["unit"].tolist(), dtype=np.float64)
+        blk = pdf["block"].to_numpy()
+        ia, ib, cs = [], [], []
+
+        def emit(rows_idx, cols_idx, triangle):
+            ur, uc = u[rows_idx], u[cols_idx]
+            idr, idc = ids[rows_idx], ids[cols_idx]
+            for r0 in range(0, len(idr), tile):
+                r1 = min(r0 + tile, len(idr))
+                for c0 in range(0, len(idc), tile):
+                    c1 = min(c0 + tile, len(idc))
+                    sims = ur[r0:r1] @ uc[c0:c1].T
+                    rr, cc = np.nonzero(np.round(sims, 6) >= threshold)
+                    for r, c in zip(rr, cc):
+                        gi, gj = int(idr[r0 + r]), int(idc[c0 + c])
+                        if triangle and r0 + r >= c0 + c:
+                            continue
+                        if gi == gj:
+                            continue
+                        a, b2 = (gi, gj) if gi < gj else (gj, gi)
+                        ia.append(a)
+                        ib.append(b2)
+                        cs.append(round(float(sims[r, c]), 6))
+
+        if i == j:
+            idx = np.arange(len(ids))
+            emit(idx, idx, triangle=True)
+        else:
+            emit(np.nonzero(blk == i)[0], np.nonzero(blk == j)[0], triangle=False)
+        return pd.DataFrame({"id_a": ia, "id_b": ib, "cosine": cs}).astype(
+            {"id_a": "int64", "id_b": "int64", "cosine": "float64"}
+        )
+
+    fanned = df.select(id_col, vec_col).mapInPandas(fan_out, sig_schema)
+    return fanned.groupBy("key").applyInPandas(lambda p: verify_pair(p), _PAIRS_SCHEMA)
 
 
 def ivf_topk(

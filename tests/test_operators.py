@@ -183,3 +183,105 @@ def test_multimodal_plumbing(spark):
     for i in by_id:
         assert by_id[i].feature == again[i].feature
         assert by_id[i].n_bytes > 0
+
+
+def test_simhash_blocking_plan_complete():
+    # key = combination of (m - k) chunks out of m: completeness needs
+    # m > k (so c >= 1) and every key to contain exactly m - k chunks.
+    from itertools import combinations
+
+    for k in (1, 3, 8, 12, 20):
+        m, combos = dedup.simhash_blocking_plan(k)
+        assert m > k
+        assert combos == list(combinations(range(m), m - k))
+        assert len(combos) <= 128
+
+
+def test_simhash_pairs_bruteforce_parity(spark):
+    # Round-1 bug class: 4x16-bit chunk blocking missed pairs with
+    # hamming 4..12 whose differing bits spread across all chunks.
+    # This fixture mutates 2..30 tokens of a base doc to spread the
+    # hamming distances, then checks the blocked operator against a
+    # bruteforce bit_count(xor) over collected signatures — exact match.
+    base = [f"tok{i}" for i in range(400)]
+    rows = [(0, " ".join(base))]
+    rng = np.random.RandomState(7)
+    for d in range(1, 25):
+        toks = list(base)
+        for pos in rng.choice(len(base), size=rng.randint(2, 30), replace=False):
+            toks[pos] = f"mut{d}_{pos}"
+        rows.append((d, " ".join(toks)))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    sigs = {r.id: r.simhash & ((1 << 64) - 1)
+            for r in dedup.simhash_signatures(df).collect()}
+    max_h = 12
+    expected = {}
+    ids = sorted(sigs)
+    for i in ids:
+        for j in ids:
+            if i < j:
+                h = bin(sigs[i] ^ sigs[j]).count("1")
+                if h <= max_h:
+                    expected[(i, j)] = h
+    got = {(r.id_a, r.id_b): r.hamming
+           for r in dedup.simhash_pairs(df, max_hamming=max_h).collect()}
+    assert got == expected
+    assert expected, "fixture must produce at least one qualifying pair"
+
+
+def _np_cosine_pairs(ids, mat, threshold):
+    u = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    sims = u @ u.T
+    out = {}
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            c = round(float(sims[i, j]), 6)
+            if np.round(sims[i, j], 6) >= threshold:
+                a, b = sorted((ids[i], ids[j]))
+                out[(a, b)] = c
+    return out
+
+
+def test_cosine_allpairs_exact_matches_numpy(spark):
+    rng = np.random.RandomState(3)
+    mat = rng.randn(80, 12)
+    # plant near-dup clusters so the threshold actually fires
+    for k in range(0, 80, 10):
+        mat[k + 1] = mat[k] + rng.randn(12) * 0.03
+    ids = list(range(100, 180))
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in mat[r]]) for r, i in enumerate(ids)],
+        "vec_id long, embedding array<double>",
+    )
+    got = {(r.id_a, r.id_b): r.cosine
+           for r in similarity.cosine_allpairs_exact(df, threshold=0.6, n_blocks=4).collect()}
+    expected = _np_cosine_pairs(ids, mat, 0.6)
+    assert got.keys() == expected.keys()
+    for k in got:
+        assert got[k] == pytest.approx(expected[k], abs=1e-6)
+
+
+def test_embedding_neardup_recall_vs_exact(spark):
+    # OR-amplified LSH must reach >= 0.95 recall at the production bar
+    # (threshold 0.95, 8 planes, 12 tables); round 1's single signature
+    # achieved ~43% by construction. Precision is 1.0 (exact verify).
+    rng = np.random.RandomState(11)
+    rows = []
+    vid = 0
+    mats = []
+    for c in range(40):
+        basev = rng.randn(32)
+        for _ in range(3):  # 3 copies per cluster -> 3 near-dup pairs
+            v = basev + rng.randn(32) * 0.02
+            rows.append((vid, [float(x) for x in v]))
+            mats.append(v)
+            vid += 1
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    exact = _np_cosine_pairs(list(range(vid)), np.array(mats), 0.95)
+    got = {(r.id_a, r.id_b): r.cosine
+           for r in dedup.embedding_neardup_pairs(
+               df, threshold=0.95, block_planes=8, n_tables=12).collect()}
+    assert exact, "fixture must contain true near-dup pairs"
+    recall = len(got.keys() & exact.keys()) / len(exact)
+    assert recall >= 0.95
+    assert not (got.keys() - exact.keys())  # exact verify: no false positives
