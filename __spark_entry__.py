@@ -381,6 +381,97 @@ FROM orders GROUP BY o_orderstatus
 """
 
 
+# pivot lifecycle spec: adds clerk + status gazetteer values so the OR
+# group over status values recognizes (kept separate from
+# ORDERS_TPCH_SPEC so the other nl_* queries keep their dictionaries)
+ORDERS_PIVOT_SPEC = {
+    "caption": "Orders",
+    "name": "orders",
+    "columns": [
+        {"caption": "Total Price", "name": "o_totalprice", "datatype": "number"},
+        {
+            "caption": "Order Status",
+            "name": "o_orderstatus",
+            "datatype": "string",
+            "values": ["F", "O", "P"],
+        },
+        {"caption": "Order Date", "name": "o_orderdate", "datatype": "date"},
+        {"caption": "Priority", "name": "o_orderpriority", "datatype": "string"},
+    ],
+}
+
+
+def _nl_pivot_orders(spark, sf_dir):
+    """Pivot lifecycle (NliPivotTable QueryParser.cs:244-331): the best
+    combination splits dims into rows vs columns, preferring FILTERED
+    dims for columns — here 'order status F or O' marks o_orderstatus
+    filter-preferred, so it pivots to columns F/O while priority stays
+    on rows."""
+    from nlquery_spark.operators.nlsql import nl_pivot
+
+    orders = _load(spark, sf_dir, "orders")["orders"]
+    nl = "total price by priority with order status F or O"
+    return nl_pivot(
+        orders,
+        nl,
+        [ORDERS_PIVOT_SPEC],
+        measures={"o_totalprice": ("sum", "sum_total_price")},
+        options_spec=NL_OPTIONS,
+    )
+
+
+_NL_PIVOT_SQL = """
+SELECT o_orderpriority,
+  CAST(SUM(CASE WHEN o_orderstatus = 'F'
+                THEN CAST(o_totalprice AS DECIMAL(10,2)) END) AS DOUBLE) AS "F",
+  CAST(SUM(CASE WHEN o_orderstatus = 'O'
+                THEN CAST(o_totalprice AS DECIMAL(10,2)) END) AS DOUBLE) AS "O"
+FROM orders
+WHERE o_orderstatus = 'F' OR o_orderstatus = 'O'
+GROUP BY o_orderpriority
+"""
+
+
+# stemmed lifecycle spec: demo-style captions WITHOUT the table-name
+# prefix (like the reference's NliDataFilter Products schema) — the
+# stemmer maps query plurals onto these exact captions
+ORDERS_STEM_SPEC = {
+    "caption": "Orders",
+    "name": "orders",
+    "columns": [
+        {"caption": "Total Price", "name": "o_totalprice", "datatype": "number"},
+        {"caption": "Status", "name": "o_orderstatus", "datatype": "string"},
+        {"caption": "Placed", "name": "o_orderdate", "datatype": "date"},
+    ],
+}
+
+
+def _nl_filter_stemmed(spark, sf_dir):
+    """Stemmed NL lifecycle (ListQueryParser.cs:52-53,284-295 +
+    EnglishStemmer.cs): query tokens are stemmed BEFORE recognition —
+    'statuses'->'status' exact-matches the caption, 'placed'->'plac'
+    still like-matches 'Placed' via the stemmer-aware phrase matcher.
+    Without stem_tokens this query mis-parses (no status condition at
+    all) — see tests/test_nlsql.py stemmer goldens."""
+    from nlquery_spark.operators.nlsql import nl_filter
+
+    orders = _load(spark, sf_dir, "orders")["orders"]
+    nl = "orders placed in 1995 with statuses F"
+    opts = {**NL_OPTIONS, "stem_tokens": True, "use_stemmer": True}
+    return nl_filter(orders, nl, [ORDERS_STEM_SPEC], opts).select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+
+
+_NL_STEMMED_SQL = """
+SELECT o_orderkey, o_orderstatus, o_totalprice
+FROM orders
+WHERE o_orderstatus LIKE '%F%'
+  AND o_orderdate >= TIMESTAMP '1995-01-01'
+  AND o_orderdate < TIMESTAMP '1996-01-01'
+"""
+
+
 def _customers_without_orders(spark, sf_dir):
     """Anti-join (NOT EXISTS) — set-operation surface."""
     t = _load(spark, sf_dir, "customer", "orders")
@@ -898,6 +989,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_by_minute": _events_by_minute,
         "nl_filter_orders": _nl_filter_orders,
         "nl_agg_orders": _nl_agg_orders,
+        "nl_pivot_orders": _nl_pivot_orders,
+        "nl_filter_stemmed": _nl_filter_stemmed,
         "dict_spec_part": _dict_spec_part,
         "nl_filter_inferred": _nl_filter_inferred,
         "emb_cosine_jvm": _emb_cosine_jvm,
@@ -934,6 +1027,8 @@ def oracle_sql() -> dict[str, str]:
         "events_by_minute": _EVENTS_SQL,
         "nl_filter_orders": _NL_FILTER_SQL,
         "nl_agg_orders": _NL_AGG_SQL,
+        "nl_pivot_orders": _NL_PIVOT_SQL,
+        "nl_filter_stemmed": _NL_STEMMED_SQL,
         "dict_spec_part": _DICT_SPEC_SQL,
         "nl_filter_inferred": _NL_FILTER_INFERRED_SQL,
         "emb_cosine_jvm": _EMB_COSINE_SQL,

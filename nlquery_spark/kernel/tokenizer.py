@@ -133,3 +133,21 @@ def parse_quoted_constants(tokens: Iterable[Token], quote_char: str = '"') -> It
                 if t.type == SENTENCE_END and in_quoted:
                     yield Token(WORD, quoted_start, "".join(buf))
                 yield t
+
+
+def apply_stemmer_tokens(tokens, stem):
+    """Pre-recognition token stemming
+    (examples/.../NliDataFilter/Data/ListQueryParser.cs:284-295): WORD
+    tokens whose stem differs are replaced by a new token with the
+    stemmed value (same type and start index — losslessness is traded
+    for recall exactly as in the reference parser); all other tokens
+    pass through unchanged."""
+    out = []
+    for t in tokens:
+        if t.type == WORD:
+            stemmed = stem(t.value)
+            if stemmed != t.value:
+                out.append(Token(WORD, t.start_index, stemmed))
+                continue
+        out.append(t)
+    return out

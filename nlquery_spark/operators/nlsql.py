@@ -31,8 +31,24 @@ from ..kernel.table import (
     ColumnConditionMatch,
     GroupMatch,
 )
-from ..kernel.tokenizer import tokenize
+from ..kernel.tokenizer import apply_stemmer_tokens, tokenize
 from ..kernel.tokens import TokenSequence
+
+
+def _query_tokens(nl: str, options_spec: Optional[Dict]):
+    """Tokenize, optionally stemming query tokens BEFORE recognition
+    (the ListQueryParser.cs:52-53,284-295 lifecycle): with
+    ``options_spec["stem_tokens"]`` truthy, WORD tokens are replaced by
+    their english_stem — 'statuses' matches caption 'status' exactly,
+    and partially-stemmed forms still like-match via LikePhraseMatcher.
+    Matcher-side stemmer fallback is separately controlled by
+    ``use_stemmer`` (TableMatcherBuilder options)."""
+    toks = tokenize(nl)
+    if options_spec and options_spec.get("stem_tokens"):
+        from ..kernel.table import english_stem
+
+        toks = apply_stemmer_tokens(toks, english_stem)
+    return toks
 
 
 def parse_best(
@@ -52,7 +68,7 @@ def parse_best(
 
     rec = build_recognizer(schema_specs, options_spec)
     rec.include_zero_matches = True
-    seq = TokenSequence(tokenize(nl))
+    seq = TokenSequence(_query_tokens(nl, options_spec))
     best: List = [None, -1.0]  # (matches, score)
     state = {"n": 0}
 
@@ -247,6 +263,254 @@ def nl_aggregate(
     if not aggs:
         aggs = [F.count(F.lit(1)).alias("n_rows")]
     grouped = df.groupBy(*dims) if dims else df.groupBy()
+    return grouped.agg(*aggs)
+
+
+def parse_best_matches(
+    nl: str,
+    schema_specs: Sequence[Dict],
+    options_spec: Optional[Dict] = None,
+    max_combinations: int = 1000,
+):
+    """Ordered best-combination matches with group trees expanded in
+    place — the QueryCandidate.Matches analog the pivot lifecycle
+    iterates (NliPivotTable QueryParser.cs:249-270) — plus the token
+    sequence (for filter-string rendering)."""
+    from ..kernel.table import ColumnMatch
+
+    rec = build_recognizer(schema_specs, options_spec)
+    rec.include_zero_matches = True
+    seq = TokenSequence(_query_tokens(nl, options_spec))
+    best: List = [None, -1.0]
+    state = {"n": 0}
+
+    def handler(matches):
+        score = candidate_score(matches, seq)
+        if score > best[1]:
+            best[0], best[1] = matches, score
+        state["n"] += 1
+        return state["n"] <= max_combinations
+
+    def match_filter(m):
+        if isinstance(m, ColumnConditionMatch):
+            return m.value is not m or m.matched_value is not None
+        from ..kernel.table import ColumnMatch as _CM
+
+        return isinstance(m, (GroupMatch, _CM))
+
+    rec.recognize(seq, handler, match_filter)
+    out: List = []
+
+    def collect(m):
+        if isinstance(m, GroupMatch):
+            for ch in m.group_matches:
+                collect(ch)
+        else:
+            out.append(m)
+
+    for m in best[0] or []:
+        collect(m)
+    return out, seq
+
+
+class PivotReport:
+    """Rows/columns/measures split of an NL OLAP query
+    (NliPivotTable QueryParser.cs:244-296 PivotReport analog)."""
+
+    __slots__ = ("rows", "columns", "measures", "filter", "conditions", "date_parts")
+
+    def __init__(self, rows, columns, measures, filter_str, conditions, date_parts):
+        self.rows = rows
+        self.columns = columns
+        self.measures = measures
+        self.filter = filter_str
+        self.conditions = conditions  # ColumnConditionMatches -> Spark predicate
+        self.date_parts = date_parts  # (date_col, part, value) dims+filters
+
+    def __repr__(self):
+        return (
+            f"PivotReport(rows={self.rows}, columns={self.columns}, "
+            f"measures={self.measures}, filter={self.filter!r})"
+        )
+
+
+_FILTER_FMT = {
+    COND_EXACT: "{c}:{v}",
+    COND_STARTSWITH: "{c}:{v}*",
+    COND_CONTAINS: "{c}:*{v}*",
+    COND_EQUAL: "{c}={v}",
+    COND_NOTEQUAL: "{c}<>{v}",
+    COND_LESSTHAN: "{c}<{v}",
+    COND_LESSTHANOREQUAL: "{c}<={v}",
+    COND_GREATERTHAN: "{c}>{v}",
+    COND_GREATERTHANOREQUAL: "{c}>={v}",
+}
+
+
+def _quote_ident(s: str) -> str:
+    """QueryParser.cs:383-390 isOnlyAlphaNum -> quote."""
+    if s and all(ch.isalnum() or ch == "_" for ch in s):
+        return s
+    return f'"{s}"'
+
+
+def _format_filter(cnd: ColumnConditionMatch, seq: TokenSequence) -> Optional[str]:
+    """addFilter's display string (QueryParser.cs:332-381)."""
+    val = "".join(
+        t.value for t in seq.between(cnd.value.start, cnd.value.end, True)
+    )
+    fmt = _FILTER_FMT.get(cnd.condition)
+    if fmt is None:
+        # COND_LIKE renders like Contains in the reference switch
+        fmt = _FILTER_FMT[COND_CONTAINS]
+    col_hint = cnd.column.caption or cnd.column.name
+    return fmt.format(c=_quote_ident(col_hint), v=_quote_ident(val))
+
+
+def to_pivot_report(matches, seq, measure_cols) -> PivotReport:
+    """ToPivotReport (NliPivotTable QueryParser.cs:244-296): reverse-
+    iterate the best combination; measure mentions become measures,
+    bare dims become dims with filter-count 0, scored conditions mark
+    their dim filter-preferred, date conditions expand to year/month/day
+    part-dims each with an equality filter (addDatePartFilter,
+    :309-331). Dims WITH filters are preferred for pivot COLUMNS
+    (ascending filter count, capped at half the dim count, :273-283);
+    the remainder fills rows first."""
+    from ..kernel.extract import REFERENCE_DATE
+    from ..kernel.table import DT_DATE, ColumnMatch
+
+    dim_flt: Dict[str, int] = {}
+    dims: List[Optional[str]] = []
+    filters: List[str] = []
+    measures: List[str] = []
+    conditions: List[ColumnConditionMatch] = []
+    date_parts: List[Tuple[str, str, int]] = []
+
+    def add_dim(d: str, fc: int):
+        if d not in dim_flt:
+            dim_flt[d] = 0
+            dims.append(d)
+        dim_flt[d] += fc
+
+    def add_measure(name: str):
+        if name not in measures:
+            measures.append(name)
+
+    for m in reversed(list(matches)):
+        if isinstance(m, ColumnConditionMatch):
+            col = m.column
+            v = m.value
+            if col.data_type == DT_DATE:
+                # addDatePartFilter (:309-331): date conditions become
+                # per-part dims + equality filters; the condition TYPE is
+                # deliberately ignored, matching the reference; non-date
+                # values on a date dim are dropped (dateMatch == null).
+                if isinstance(v, DateOffsetMatch):
+                    v = v.to_date(*REFERENCE_DATE)
+                if not isinstance(v, DateMatch):
+                    continue
+                cap = col.caption or col.name
+                for part in ("year", "month", "day"):
+                    val = getattr(v, part)
+                    if val is not None:
+                        add_dim(f"{col.name}_{part}", 1)
+                        filters.append(f"{cap} {part.capitalize()}:{val}")
+                        date_parts.append((col.name, part, int(val)))
+            elif m.score > 0:
+                # addFilter (:332-381)
+                if col.name in measure_cols:
+                    add_measure(col.name)
+                else:
+                    add_dim(col.name, 1)
+                conditions.append(m)
+                f = _format_filter(m, seq)
+                if f is not None:
+                    filters.append(f)
+            else:
+                add_dim(col.name, 0)
+        elif isinstance(m, ColumnMatch):
+            if m.column.name in measure_cols:
+                add_measure(m.column.name)
+            else:
+                add_dim(m.column.name, 0)
+
+    row_dims: List[str] = []
+    col_dims: List[str] = []
+    # prefer dims with filters for columns (:273-283); insertion-ordered
+    # dict + stable sort == the reference's Dictionary + OrderBy
+    for name, _cnt in sorted(
+        ((k, c) for k, c in dim_flt.items() if c > 0), key=lambda kv: kv[1]
+    ):
+        if len(col_dims) >= len(dims) // 2:
+            break
+        col_dims.append(name)
+        dims[dims.index(name)] = None  # excluded; list LENGTH unchanged
+    for d in dims:
+        if d is None:
+            continue
+        if len(row_dims) <= len(dims) // 2:
+            row_dims.append(d)
+        else:
+            col_dims.append(d)
+    return PivotReport(
+        row_dims, col_dims, measures, ", ".join(filters), conditions, date_parts
+    )
+
+
+_DATE_PART_FN = {"year": F.year, "month": F.month, "day": F.dayofmonth}
+
+
+def nl_pivot(
+    df: DataFrame,
+    nl: str,
+    schema_specs: Sequence[Dict],
+    measures: Dict[str, Tuple[str, str]],
+    options_spec: Optional[Dict] = None,
+    use_decimal: bool = True,
+) -> DataFrame:
+    """NL -> pivot report -> ``groupBy(rows).pivot(columns).agg(...)`` —
+    the third reference lifecycle (NliPivotTable QueryParser.cs:244-331).
+
+    ``measures`` maps column name -> (agg_fn, alias) as in nl_aggregate.
+    Spark's pivot() takes one expression, so multi-level column dims are
+    concatenated with '/' (the flat-header analog of nested pivot
+    columns). Filters (scored conditions + date-part equalities) are
+    applied BELOW the aggregation, so pushdown still reaches the scan.
+    """
+    matches, seq = parse_best_matches(nl, schema_specs, options_spec)
+    report = to_pivot_report(matches, seq, set(measures))
+    for col, part, _val in report.date_parts:
+        df = df.withColumn(
+            f"{col}_{part}", _DATE_PART_FN[part](F.col(col)).cast("long")
+        )
+    pred = conditions_to_predicate(report.conditions)
+    if pred is not None:
+        df = df.filter(pred)
+    for col, part, val in report.date_parts:
+        df = df.filter(F.col(f"{col}_{part}") == val)
+    aggs: List[Column] = []
+    for name in report.measures:
+        fn_name, alias = measures[name]
+        fn = _AGG_FNS[fn_name]
+        col = F.col(name)
+        if use_decimal and fn_name == "sum":
+            aggs.append(fn(col.cast("decimal(10,2)")).cast("double").alias(alias))
+        else:
+            aggs.append(fn(col).alias(alias))
+    if not aggs:
+        aggs = [F.count(F.lit(1)).alias("n_rows")]
+    if report.columns:
+        # Spark pivot takes one column: materialize the (possibly
+        # concatenated) pivot key, then pivot on it.
+        pivot_expr = (
+            F.col(report.columns[0])
+            if len(report.columns) == 1
+            else F.concat_ws("/", *[F.col(c) for c in report.columns])
+        )
+        pdf = df.withColumn("_pivot", pivot_expr)
+        grouped = pdf.groupBy(*report.rows) if report.rows else pdf.groupBy()
+        return grouped.pivot("_pivot").agg(*aggs)
+    grouped = df.groupBy(*report.rows) if report.rows else df.groupBy()
     return grouped.agg(*aggs)
 
 

@@ -95,3 +95,132 @@ def test_suggest_keywords():
     assert suggestions[0][0] == "Krusovice 0.5l"
     sugg2 = dict(suggest_keywords("cust", [orders_schema_spec()]))
     assert "Customer" in sugg2
+
+
+# ------------------------------------------------------------- stemmer --
+
+
+def test_english_stem_reference_goldens():
+    # EnglishStemmer.cs:306-323 rules, case by case
+    from nlquery_spark.kernel.table import english_stem
+
+    assert english_stem("statuses") == "status"      # -ses (len>5) -> drop es
+    assert english_stem("orders") == "order"         # -rs -> drop s
+    assert english_stem("products") == "product"     # -ts -> drop s
+    assert english_stem("prices") == "prices"        # 'e' not a plural suffix
+    assert english_stem("delivered") == "deliver"    # -ed (len>5)
+    assert english_stem("placed") == "plac"          # -ed rule is naive
+    assert english_stem("shipping") == "shipp"       # -ing (len>4)
+    assert english_stem("king") == "king"            # len 4: -ing needs >4
+    assert english_stem("gas") == "gas"              # len 3: -s needs >3
+
+
+def test_apply_stemmer_tokens_word_only():
+    # ListQueryParser.cs:284-295: only WORD tokens are stemmed; offsets
+    # and all other token types survive unchanged.
+    from nlquery_spark.kernel.table import english_stem
+    from nlquery_spark.kernel.tokenizer import apply_stemmer_tokens, tokenize
+
+    toks = tokenize("orders > 150 delivered")
+    stemmed = apply_stemmer_tokens(toks, english_stem)
+    assert [t.value for t in stemmed] == ["order", " ", ">", " ", "150", " ", "deliver", ""]
+    assert [t.start_index for t in stemmed] == [t.start_index for t in toks]
+    assert [t.type for t in stemmed] == [t.type for t in toks]
+
+
+def test_stemmed_parse_end_to_end():
+    # Without stem_tokens the plural query mis-parses (no status
+    # condition); with it, 'statuses'->'status' hits the caption and
+    # the hint matcher attaches F.
+    from nlquery_spark.kernel.table import COND_CONTAINS
+
+    plain = parse_conditions(
+        "orders placed in 1995 with statuses F", [em.ORDERS_STEM_SPEC], em.NL_OPTIONS
+    )
+    assert not any(c.column.name == "o_orderstatus" for c in plain)
+    opts = {**em.NL_OPTIONS, "stem_tokens": True, "use_stemmer": True}
+    conds = parse_conditions(
+        "orders placed in 1995 with statuses F", [em.ORDERS_STEM_SPEC], opts
+    )
+    by_col = {c.column.name: c for c in conds}
+    assert by_col["o_orderstatus"].condition == COND_CONTAINS
+    assert by_col["o_orderstatus"].value.start.value == "F"
+    from nlquery_spark.kernel.matches import DateMatch
+
+    d = by_col["o_orderdate"].value
+    assert isinstance(d, DateMatch) and d.year == 1995 and d.month is None
+
+
+# --------------------------------------------------------------- pivot --
+
+
+def _pivot_report(nl, spec, measures, opts=None):
+    from nlquery_spark.operators.nlsql import parse_best_matches, to_pivot_report
+
+    matches, seq = parse_best_matches(nl, [spec], opts or em.NL_OPTIONS)
+    return to_pivot_report(matches, seq, measures)
+
+
+def test_pivot_report_prefers_filtered_dims_for_columns():
+    # QueryParser.cs:273-283: the filtered dim (status, via the F-or-O
+    # condition group) goes to COLUMNS; the bare dim (clerk) to rows.
+    r = _pivot_report(
+        "total price by priority with order status F or O",
+        em.ORDERS_PIVOT_SPEC,
+        {"o_totalprice"},
+    )
+    assert r.rows == ["o_orderpriority"]
+    assert r.columns == ["o_orderstatus"]
+    assert r.measures == ["o_totalprice"]
+    assert r.filter == '"Order Status":O, "Order Status":F'
+
+
+def test_pivot_report_date_parts():
+    # addDatePartFilter (QueryParser.cs:309-331): a date condition
+    # expands to per-part dims, each filter-preferred; year lands in
+    # columns (first inserted among equal filter counts), month+status
+    # fill rows.
+    r = _pivot_report(
+        "total price by order status in april 1995",
+        em.ORDERS_PIVOT_SPEC,
+        {"o_totalprice"},
+    )
+    assert r.columns == ["o_orderdate_year"]
+    assert r.rows == ["o_orderstatus", "o_orderdate_month"]
+    assert ("o_orderdate", "year", 1995) in r.date_parts
+    assert ("o_orderdate", "month", 4) in r.date_parts
+    assert r.filter == "Order Date Year:1995, Order Date Month:4"
+
+
+def test_pivot_report_two_unfiltered_dims_both_rows():
+    # rowDims.Count <= dims.Count/2 (QueryParser.cs:284-292): with two
+    # unfiltered dims both land in rows, columns stay empty.
+    r = _pivot_report(
+        "total price by priority and order status",
+        em.ORDERS_PIVOT_SPEC,
+        {"o_totalprice"},
+    )
+    assert r.rows == ["o_orderpriority", "o_orderstatus"]
+    assert r.columns == []
+
+
+def test_nl_pivot_matches_manual(spark, sf_dir):
+    from nlquery_spark.operators.nlsql import nl_pivot
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    got = nl_pivot(
+        orders,
+        "total price by priority with order status F or O",
+        [em.ORDERS_PIVOT_SPEC],
+        measures={"o_totalprice": ("sum", "sum_total_price")},
+        options_spec=em.NL_OPTIONS,
+    )
+    manual = (
+        orders.filter(F.col("o_orderstatus").isin("F", "O"))
+        .groupBy("o_orderpriority")
+        .pivot("o_orderstatus")
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(10,2)")).cast("double"))
+    )
+    g = {(r.o_orderpriority): (r.F, r.O) for r in got.collect()}
+    m = {(r.o_orderpriority): (r.F, r.O) for r in manual.collect()}
+    assert g == m and g
