@@ -89,6 +89,8 @@ def options_from_dict(spec: Optional[Dict]) -> Options:
         opts.match_bool_operators = bool(spec["match_bool_operators"])
     if spec.get("match_math_operators") is not None:
         opts.match_math_operators = bool(spec["match_math_operators"])
+    if spec.get("date_month_tables") is not None:
+        opts.date_month_tables = [list(t) for t in spec["date_month_tables"]]
     return opts
 
 

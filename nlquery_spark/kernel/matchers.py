@@ -506,6 +506,19 @@ class DateMatcher:
         self.now_year = now_year if now_year is not None else REFERENCE_YEAR
         self.month_lookup = _MONTH_LOOKUP
 
+    def set_month_tables(self, tables) -> None:
+        """Culture injection (Options.DateTimeFormat analog,
+        DateMatcher.cs:72-83): ordered month-name tables — typically
+        (MonthNames, MonthGenitiveNames, AbbreviatedMonthNames,
+        AbbreviatedMonthGenitiveNames); first table containing a name
+        wins, matching the reference's loop order."""
+        lookup: dict = {}
+        for table in tables:
+            for i, name in enumerate(table):
+                if name:
+                    lookup.setdefault(name.lower(), i + 1)
+        self.month_lookup = lookup
+
     def get_matches(self, match_bag: MatchBag) -> Iterator[Match]:
         return run_state_machine(
             match_bag.statement.tokens, _DateState(self, DateMatch())

@@ -310,6 +310,12 @@ class Options:
         self.match_bool_operators = True
         self.apply_stemmer: Optional[Callable[[str], str]] = None
         self.now_year: Optional[int] = None  # pins DateMatcher year boost
+        # Options.DateTimeFormat analog (TableMatcherBuilder.cs:498-504,
+        # :401-402): ordered month-name tables (full, genitive,
+        # abbreviated, abbreviated-genitive — first hit wins, as in
+        # DateMatcher.cs:72-83) injected into the DateMatcher; None
+        # keeps the built-in en-US tables.
+        self.date_month_tables: Optional[Sequence[Sequence[str]]] = None
 
 
 class TableMatcherBuilder:
@@ -710,6 +716,8 @@ class TableMatcherBuilder:
         date_matcher = DateMatcher()
         if self.opts.now_year is not None:
             date_matcher.now_year = self.opts.now_year
+        if self.opts.date_month_tables is not None:
+            date_matcher.set_month_tables(self.opts.date_month_tables)
         matchers.append(date_matcher)
 
         def add_offset(phrases, year, month, day):

@@ -18,6 +18,9 @@ Scale posture:
 
 from __future__ import annotations
 
+import warnings
+from typing import Optional
+
 import pandas as pd
 from pyspark.sql import DataFrame, Window, functions as F
 from pyspark.sql.types import ArrayType, StringType
@@ -54,11 +57,19 @@ def similarity_edges(
     form_col: str = "form",
     threshold: float = 0.6,
     max_block_size: int = 200,
+    metrics: Optional[dict] = None,
 ) -> DataFrame:
     """(form_a, form_b, sim) edges between distinct surface forms.
 
     Blocks: full normalized form (catches case/punct variants) and first
     normalized token (catches suffix variants like 'Krusovice 0.5l').
+
+    The ``max_block_size`` skew guard DROPS rows from oversized blocks
+    (edges those rows would have contributed are never generated). No
+    silent caps: pass ``metrics`` (a dict) and it records
+    ``blocks_capped`` / ``block_rows_dropped`` — one extra
+    dictionary-sized aggregation, only when asked for. The pipeline
+    runner persists these next to the stage lineage.
     """
     f = (
         forms.select(F.col(form_col).alias("form"))
@@ -71,6 +82,19 @@ def similarity_edges(
     blocked = f.select(
         "form", "norm", "tri", F.explode(F.array("norm", "first_tok")).alias("block")
     ).distinct()
+    if metrics is not None:
+        over = (
+            blocked.groupBy("block")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .filter(F.col("n") > max_block_size)
+            .agg(
+                F.count(F.lit(1)).alias("blocks"),
+                F.sum(F.col("n") - max_block_size).alias("dropped"),
+            )
+            .first()
+        )
+        metrics["blocks_capped"] = int(over["blocks"] or 0)
+        metrics["block_rows_dropped"] = int(over["dropped"] or 0)
     # skew guard: cap block sizes
     w = Window.partitionBy("block").orderBy("form")
     blocked = (
@@ -128,6 +152,7 @@ def connected_components(
     dst_col: str = "form_b",
     max_iter: int = 20,
     driver_max_graph: int = 2_000_000,
+    metrics: Optional[dict] = None,
 ) -> DataFrame:
     """(node, component) labeling, component id = min form in component.
 
@@ -156,6 +181,9 @@ def connected_components(
             ((r.src, r.dst) for r in sym.toLocalIterator()),
             ((r.node,) for r in node_df.toLocalIterator()),
         )
+        if metrics is not None:
+            metrics["cc_iterations"] = 0  # driver union-find is exact
+            metrics["cc_converged"] = True
         return (
             edges.sparkSession.createDataFrame(
                 labeled, f"{node_col} string, component string"
@@ -163,7 +191,9 @@ def connected_components(
         )
     labels = node_df.withColumn("label", F.col("node")).localCheckpoint(eager=True)
 
-    for _ in range(max_iter):
+    changed = 0
+    iters = 0
+    for iters in range(1, max_iter + 1):
         neighbor_min = (
             sym.join(labels, sym.src == labels.node)
             .groupBy(F.col("dst").alias("node2"))
@@ -184,6 +214,20 @@ def connected_components(
         labels = new_labels.select("node", "label")
         if changed == 0:
             break
+    converged = changed == 0
+    if metrics is not None:
+        metrics["cc_iterations"] = iters
+        metrics["cc_converged"] = converged
+    if not converged:
+        # components with diameter > max_iter would get inconsistent
+        # split labels — never fail silently
+        warnings.warn(
+            f"connected_components hit max_iter={max_iter} with {changed} "
+            "labels still changing; labeling is NOT converged. Raise "
+            "max_iter (hash-to-min needs O(component diameter) rounds).",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     return labels.select(F.col("node").alias(node_col), F.col("label").alias("component"))
 
 
@@ -192,11 +236,12 @@ def canonical_mapping(
     form_col: str = "form",
     threshold: float = 0.6,
     max_block_size: int = 200,
+    metrics: Optional[dict] = None,
 ) -> DataFrame:
     """surface form -> canonical_id (the lexicographically-min form of its
     similarity component)."""
-    edges = similarity_edges(forms, form_col, threshold, max_block_size)
-    cc = connected_components(edges, forms, node_col=form_col)
+    edges = similarity_edges(forms, form_col, threshold, max_block_size, metrics)
+    cc = connected_components(edges, forms, node_col=form_col, metrics=metrics)
     return cc.select(
         F.col(form_col), F.col("component").alias("canonical_id")
     )
@@ -206,11 +251,13 @@ def canonicalize_triples(
     triples: DataFrame,
     obj_col: str = "obj",
     threshold: float = 0.6,
+    metrics: Optional[dict] = None,
 ) -> DataFrame:
     """Attach obj_canonical to a triples DataFrame (broadcast the mapping —
     distinct surface forms are dictionary-sized, not corpus-sized)."""
     mapping = canonical_mapping(
-        triples.select(F.col(obj_col).alias("form")), "form", threshold
+        triples.select(F.col(obj_col).alias("form")), "form", threshold,
+        metrics=metrics,
     )
     return triples.join(
         F.broadcast(mapping.withColumnRenamed("form", obj_col)),

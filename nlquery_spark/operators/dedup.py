@@ -112,12 +112,15 @@ def ngram_jaccard_pairs(
     n: int = 3,
     threshold: float = 0.5,
     max_shingle_df: Optional[int] = 1000,
+    metrics: Optional[dict] = None,
 ) -> DataFrame:
     """Pairs (id_a < id_b, jaccard) with word-n-gram Jaccard >= threshold.
 
     Shuffles: one on shingle (join), one on the pair (agg). Hot shingles
     with document frequency > ``max_shingle_df`` are dropped before the
     join (bounded skew; identical to stop-shingle practice at CC scale).
+    No silent caps: pass ``metrics`` to record how many distinct shingles
+    (and occurrence rows) the stop-shingle filter removed.
     """
     sh = shingles_df(df, id_col, text_col, n)
     # the shingle subtree feeds three consumers (sizes + both join sides);
@@ -128,9 +131,14 @@ def ngram_jaccard_pairs(
             sh.groupBy("shingle")
             .agg(F.count(F.lit(1)).alias("df"))
             .filter(F.col("df") > max_shingle_df)
-            .select("shingle")
         )
-        sh = sh.join(F.broadcast(hot), "shingle", "left_anti")
+        if metrics is not None:
+            row = hot.agg(
+                F.count(F.lit(1)).alias("shingles"), F.sum("df").alias("rows")
+            ).first()
+            metrics["hot_shingles_dropped"] = int(row["shingles"] or 0)
+            metrics["hot_shingle_rows_dropped"] = int(row["rows"] or 0)
+        sh = sh.join(F.broadcast(hot.select("shingle")), "shingle", "left_anti")
         sh = sh.localCheckpoint(eager=False)
     # sizes are computed over the FILTERED shingle set: with stop-shingle
     # removal, Jaccard is defined on the surviving universe (otherwise the

@@ -31,7 +31,11 @@ from ..kernel.table import (
     ColumnConditionMatch,
     GroupMatch,
 )
-from ..kernel.tokenizer import apply_stemmer_tokens, tokenize
+from ..kernel.tokenizer import (
+    apply_stemmer_tokens,
+    parse_quoted_constants,
+    tokenize,
+)
 from ..kernel.tokens import TokenSequence
 
 
@@ -44,6 +48,13 @@ def _query_tokens(nl: str, options_spec: Optional[Dict]):
     Matcher-side stemmer fallback is separately controlled by
     ``use_stemmer`` (TableMatcherBuilder options)."""
     toks = tokenize(nl)
+    if options_spec and options_spec.get("parse_quoted"):
+        # Tokenizer.ParseQuotedConstants (Tokenizer.cs:202-251): quoted
+        # spans collapse to one WORD token, so multi-word values ride
+        # the hint path ('status:"on hold"') as a single constant.
+        # Applied before stemming, mirroring the reference's
+        # Parse -> ParseQuotedConstants order.
+        toks = list(parse_quoted_constants(toks))
     if options_spec and options_spec.get("stem_tokens"):
         from ..kernel.table import english_stem
 

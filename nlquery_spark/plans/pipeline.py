@@ -135,6 +135,9 @@ class Pipeline:
         Iceberg snapshot) are loaded, not recomputed — kill the job
         anywhere and rerun to resume."""
         ctx: Dict[str, DataFrame] = dict(inputs or {})
+        # stage fns may record operator metrics (e.g. skew-cap drop
+        # counts) under ctx["_metrics"][<stage>]; persisted with lineage
+        ctx.setdefault("_metrics", {})
         report: List[dict] = []
         for stage in self.stages:
             if not force and self._is_complete(stage.name):
@@ -151,11 +154,14 @@ class Pipeline:
             n_rows = df.count()
             meta = {
                 "stage": stage.name,
-                "inputs": sorted(set(ctx) - {stage.name}),
+                "inputs": sorted(set(ctx) - {stage.name, "_metrics"}),
                 "rows": n_rows,
                 "wall_sec": round(wall, 3),
                 "completed_at": time.strftime("%Y-%m-%dT%H:%M:%S"),
             }
+            stage_metrics = ctx["_metrics"].get(stage.name)
+            if stage_metrics:
+                meta["metrics"] = stage_metrics
             fs_write_text(
                 self.spark, f"{self.workdir}/_meta/{stage.name}.json", json.dumps(meta)
             )
@@ -197,7 +203,10 @@ def kg_pipeline(
         return dedup_triples(ctx["extract"])
 
     def s_canonical(spark, ctx):
-        return canonicalize_triples(ctx["dedup"], threshold=canonical_threshold)
+        m = ctx["_metrics"].setdefault("canonical", {})
+        return canonicalize_triples(
+            ctx["dedup"], threshold=canonical_threshold, metrics=m
+        )
 
     return [
         Stage("extract", s_extract),

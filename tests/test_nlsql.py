@@ -224,3 +224,59 @@ def test_nl_pivot_matches_manual(spark, sf_dir):
     g = {(r.o_orderpriority): (r.F, r.O) for r in got.collect()}
     m = {(r.o_orderpriority): (r.F, r.O) for r in manual.collect()}
     assert g == m and g
+
+
+def test_parse_quoted_constants_in_nl_path():
+    # Tokenizer.ParseQuotedConstants wired behind the parse_quoted
+    # option: a quoted multi-word value collapses to ONE token and rides
+    # the hint path as a single contains-constant.
+    spec = {"caption": "Orders", "name": "orders", "columns": [
+        {"caption": "Status", "name": "o_orderstatus", "datatype": "string"},
+        {"caption": "Total Price", "name": "o_totalprice", "datatype": "number"},
+    ]}
+    opts = {**em.NL_OPTIONS, "parse_quoted": True}
+    conds = parse_conditions(
+        'orders with status "on hold" and total price more than 100', [spec], opts
+    )
+    by_col = {c.column.name: c for c in conds}
+    assert by_col["o_orderstatus"].value.start.value == "on hold"
+    assert float(by_col["o_totalprice"].value.value) == 100.0
+    # without the option the quoted span stays split and the phrase
+    # never surfaces as one constant
+    plain = parse_conditions(
+        'orders with status "on hold" and total price more than 100',
+        [spec],
+        em.NL_OPTIONS,
+    )
+    assert all(
+        c.value.start.value != "on hold"
+        for c in plain
+        if c.column.name == "o_orderstatus"
+    )
+
+
+def test_date_month_tables_culture_injection():
+    # Options.DateTimeFormat analog: month-name tables are injectable
+    # per culture (TableMatcherBuilder.cs:498-504, DateMatcher.cs:72-83)
+    spec = {"caption": "Orders", "name": "orders", "columns": [
+        {"caption": "Order Date", "name": "o_orderdate", "datatype": "date"},
+    ]}
+    fr = {**em.NL_OPTIONS, "date_month_tables": [
+        ["janvier", "fevrier", "mars", "avril", "mai", "juin", "juillet",
+         "aout", "septembre", "octobre", "novembre", "decembre"],
+        ["janv", "fevr", "mars", "avr", "mai", "juin", "juil", "aout",
+         "sept", "oct", "nov", "dec"],
+    ]}
+    conds_fr = parse_conditions("orders in janvier 1995", [spec], fr)
+    from nlquery_spark.kernel.matches import DateMatch
+
+    d = next(c.value for c in conds_fr if isinstance(c.value, DateMatch))
+    assert d.year == 1995 and d.month == 1
+    # abbreviated-table fallback: first table wins on collisions
+    conds_abbr = parse_conditions("orders in juil 1995", [spec], fr)
+    d2 = next(c.value for c in conds_abbr if isinstance(c.value, DateMatch))
+    assert d2.month == 7
+    # default en-US tables do NOT know french month names
+    conds_en = parse_conditions("orders in janvier 1995", [spec], em.NL_OPTIONS)
+    d3 = next(c.value for c in conds_en if isinstance(c.value, DateMatch))
+    assert d3.month is None and d3.year == 1995

@@ -114,3 +114,67 @@ def test_canonicalized_triples_cluster_gazetteer_variants(spark):
         canon.select("obj_canonical").distinct().count()
         <= canon.select("obj").distinct().count()
     )
+
+
+def test_similarity_edges_cap_metrics(spark):
+    # no silent caps: with a tiny max_block_size the metrics dict must
+    # report how many blocks were capped and how many rows were dropped.
+    from nlquery_spark.operators.canonicalize import similarity_edges
+
+    forms = spark.createDataFrame(
+        [(f"acme unit {i}",) for i in range(10)] + [("zzz solo",)], "form string"
+    )
+    m = {}
+    edges = similarity_edges(forms, max_block_size=3, metrics=m)
+    edges.count()  # materialize
+    assert m["blocks_capped"] >= 1  # the 'acme' first-token block (10 > 3)
+    assert m["block_rows_dropped"] >= 7
+    m2 = {}
+    similarity_edges(forms, max_block_size=1000, metrics=m2).count()
+    assert m2 == {"blocks_capped": 0, "block_rows_dropped": 0}
+
+
+def test_connected_components_warns_when_not_converged(spark):
+    # a path graph of diameter 6 cannot converge in 2 hash-to-min
+    # rounds: the distributed path must warn and record converged=False
+    import warnings as w
+
+    from nlquery_spark.operators.canonicalize import connected_components
+
+    nodes = spark.createDataFrame([(f"n{i}",) for i in range(8)], "form string")
+    edges = spark.createDataFrame(
+        [(f"n{i}", f"n{i+1}") for i in range(7)], "form_a string, form_b string"
+    )
+    m = {}
+    with w.catch_warnings(record=True) as rec:
+        w.simplefilter("always")
+        connected_components(
+            edges, nodes, max_iter=2, driver_max_graph=0, metrics=m
+        ).count()
+    assert m["cc_converged"] is False and m["cc_iterations"] == 2
+    assert any("NOT converged" in str(x.message) for x in rec)
+    # with enough rounds it converges cleanly (and records it)
+    m_ok = {}
+    with w.catch_warnings(record=True) as rec2:
+        w.simplefilter("always")
+        labels = connected_components(
+            edges, nodes, max_iter=10, driver_max_graph=0, metrics=m_ok
+        )
+        comp = {r.form: r.component for r in labels.collect()}
+    assert m_ok["cc_converged"] is True
+    assert not any("NOT converged" in str(x.message) for x in rec2)
+    assert set(comp.values()) == {"n0"}
+
+
+def test_jaccard_hot_shingle_metrics(spark):
+    from nlquery_spark.operators import dedup
+
+    # 5 docs share the same text -> every shingle has df 5 > 2
+    df = spark.createDataFrame(
+        [(i, "alpha beta gamma delta") for i in range(5)] + [(9, "unique words here now")],
+        "doc_id long, text string",
+    )
+    m = {}
+    dedup.ngram_jaccard_pairs(df, n=2, threshold=0.1, max_shingle_df=2, metrics=m).count()
+    assert m["hot_shingles_dropped"] == 3  # the 3 shared bigrams
+    assert m["hot_shingle_rows_dropped"] == 15
