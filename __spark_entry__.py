@@ -886,12 +886,57 @@ def _kg_extract_triples(spark, sf_dir):
 
 
 def _dedup_minhash(spark, sf_dir):
+    """MinHash-LSH near-dup, fully oracled: md5 shingle hashes +
+    exact-integer universal hashing make the signatures reproducible in
+    DuckDB SQL (HUGEINT arithmetic); the oracle computes bruteforce
+    est_jaccard over identical signatures, so the banded candidate
+    stage is verified to lose nothing at this threshold."""
     from nlquery_spark.operators.dedup import minhash_lsh_pairs
 
     docs = _parallelize(
         _load(spark, sf_dir, "documents")["documents"].filter(F.col("doc_id") < 200)
     )
     return minhash_lsh_pairs(docs, n=2, threshold=0.3)
+
+
+def _minhash_sql() -> str:
+    """DuckDB mirror of _dedup_minhash: same shingles, same md5-derived
+    64-bit shingle hash, same (a*h+b) mod 2^61-1 permutations (embedded
+    as literals from the shared seeded generator), bruteforce pairwise
+    signature agreement >= threshold."""
+    from nlquery_spark.operators.dedup import _MERSENNE, _perm_params
+
+    a, b = _perm_params(64, seed=42)
+    perm_rows = ", ".join(
+        f"({i}, {int(a[i])}, {int(b[i])})" for i in range(len(a))
+    )
+    return rf"""
+WITH t AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS w
+  FROM documents WHERE doc_id < 200
+), sh AS (
+  SELECT DISTINCT doc_id, s FROM (
+    SELECT doc_id,
+      unnest(list_transform(generate_series(1, len(w) - 1), i -> w[i] || ' ' || w[i+1])) AS s
+    FROM t WHERE len(w) >= 2
+  )
+), hv AS (
+  SELECT doc_id, ('0x' || substr(md5(s), 1, 16))::UBIGINT AS h FROM sh
+), perms(p_idx, a, b) AS (
+  VALUES {perm_rows}
+), mh AS (
+  SELECT doc_id, p_idx,
+    MIN((CAST(a AS HUGEINT) * CAST(h AS HUGEINT) + b) % {_MERSENNE}) AS m
+  FROM hv CROSS JOIN perms GROUP BY doc_id, p_idx
+), agree AS (
+  SELECT x.doc_id AS id_a, y.doc_id AS id_b,
+    ROUND(CAST(SUM(CASE WHEN x.m = y.m THEN 1 ELSE 0 END) AS DOUBLE) / 64, 6)
+      AS est_jaccard
+  FROM mh x JOIN mh y ON x.p_idx = y.p_idx AND x.doc_id < y.doc_id
+  GROUP BY x.doc_id, y.doc_id
+)
+SELECT id_a, id_b, est_jaccard FROM agree WHERE est_jaccard >= 0.3
+"""
 
 
 def _dedup_simhash(spark, sf_dir):
@@ -1048,10 +1093,11 @@ def oracle_sql() -> dict[str, str]:
         "gazetteer_mentions": _gazetteer_sql(),
         "ann_cosine_topk": _ANN_SQL,
         "dedup_simhash": _SIMHASH_SQL,
+        "dedup_minhash": _minhash_sql(),
         "emb_neardup_exact": _EMB_EXACT_SQL,
-        # kg_extract_triples / dedup_minhash / dedup_embedding: kernel- or
-        # LSH-based (engine-specific hashes / probabilistic recall), not
-        # SQL-expressible -> rows-only check by the driver. dedup_embedding
-        # recall is pytest-gated vs emb_neardup_exact (its oracled exact
-        # counterpart above).
+        # kg_extract_triples / dedup_embedding: kernel-based extraction /
+        # probabilistic LSH recall -> rows-only check by the driver.
+        # kg precision/recall is pytest-gated (P/R = 1.0 on the fixture
+        # corpus); dedup_embedding recall is pytest-gated >= 0.95 vs
+        # emb_neardup_exact (its oracled exact counterpart above).
     }

@@ -190,8 +190,18 @@ def minhash_signatures(
     num_perm: int = 64,
     seed: int = 42,
 ) -> DataFrame:
-    """(id, sig array<long>) — vectorized universal-hash MinHash over
-    word n-gram shingles, computed numpy-side per Arrow batch."""
+    """(id, sig array<long>) — universal-hash MinHash over word n-gram
+    shingles, computed numpy-side per Arrow batch.
+
+    Shingle hash = first 64 bits of md5(shingle) and permutations are
+    ``(a*h + b) mod (2^61-1)`` over exact integers — both reproducible
+    in portable SQL (HUGEINT arithmetic), so the driver's DuckDB oracle
+    recomputes identical signatures and the LSH query upgrades from a
+    rows-only check to a full value-hash oracle. Tokenization is the
+    repo-standard ASCII ``\\s+`` split. Docs with fewer than ``n``
+    tokens yield no shingles and are EXCLUDED (same convention as
+    ngram_jaccard_pairs; exact dedup owns degenerate docs).
+    """
     a_params, b_params = _perm_params(num_perm, seed)
     schema = StructType(
         [
@@ -201,32 +211,45 @@ def minhash_signatures(
     )
 
     def compute(batches):
-        import pandas as pd
-        import zlib
+        import hashlib
+        import re
 
-        a = a_params.astype(object)  # python ints: avoid int64 overflow
+        import pandas as pd
+
+        a = a_params.astype(object)  # python ints: exact 125-bit products
         b = b_params.astype(object)
+        ws = re.compile(r"\s+", re.ASCII)
+        memo: dict = {}
+
+        def sh_hash(s: str) -> int:
+            h = memo.get(s)
+            if h is None:
+                h = int(hashlib.md5(s.encode()).hexdigest()[:16], 16)
+                memo[s] = h
+            return h
 
         for pdf in batches:
             ids, sigs = [], []
             for doc_id, text in zip(pdf[id_col], pdf[text_col]):
-                toks = str(text).lower().split()
+                toks = [
+                    t
+                    for t in ws.split(str(text).lower() if text is not None else "")
+                    if t
+                ]
                 if len(toks) < n:
-                    sh = {" ".join(toks)} if toks else set()
-                else:
-                    sh = {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
-                if not sh:
-                    ids.append(int(doc_id))
-                    sigs.append([int(_MERSENNE)] * len(a))
                     continue
-                hv = np.array(
-                    [zlib.crc32(s.encode()) for s in sh], dtype=np.int64
-                )
-                # (a*x + b) mod p, per permutation — outer product
-                m = (hv[None, :].astype(object) * a[:, None] + b[:, None]) % _MERSENNE
+                sh = {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+                hv = np.array([sh_hash(s) for s in sh], dtype=object)
+                # (a*h + b) mod p, per permutation — outer product
+                m = (hv[None, :] * a[:, None] + b[:, None]) % _MERSENNE
                 sigs.append([int(x) for x in m.min(axis=1)])
                 ids.append(int(doc_id))
-            yield pd.DataFrame({"id": ids, "sig": sigs})
+            yield pd.DataFrame(
+                {
+                    "id": pd.Series(ids, dtype="int64"),
+                    "sig": pd.Series(sigs, dtype="object"),
+                }
+            )
 
     return df.select(id_col, text_col).mapInPandas(compute, schema)
 

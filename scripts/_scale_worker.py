@@ -37,7 +37,16 @@ def main() -> None:
     dedup_triples(extract_triples(warm, [orders_schema_spec()])).count()
 
     best = None
+    extract_best = None
     for _ in range(3):
+        # per-stage breakdown: extraction alone (embarrassingly
+        # parallel, no shuffle), then the full job (adds the one
+        # dedup shuffle); the delta is the shuffle + agg cost
+        t0 = time.time()
+        extract_triples(pages, [orders_schema_spec()]).count()
+        ext = time.time() - t0
+        if extract_best is None or ext < extract_best:
+            extract_best = ext
         t0 = time.time()
         triples = dedup_triples(extract_triples(pages, [orders_schema_spec()]))
         n_triples = triples.count()
@@ -52,6 +61,8 @@ def main() -> None:
                 "n_pages": n,
                 "n_triples": n_triples,
                 "wall_sec": round(wall, 3),
+                "extract_only_sec": round(extract_best, 3),
+                "dedup_shuffle_sec": round(max(wall - extract_best, 0.0), 3),
                 "pages_per_sec": round(n / wall, 1),
                 "triples_per_sec": round(n_triples / wall, 1),
             }

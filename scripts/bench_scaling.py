@@ -86,6 +86,114 @@ def control_level(cpus: int, per_proc: int = 700) -> float:
     return per_proc * cpus / best
 
 
+def _load_loop(stop_path: str, seed: int) -> None:
+    """One background-load process: extraction kernel in a loop until the
+    stop file appears (file-based signal: survives fork/spawn modes)."""
+    if REPO not in sys.path:
+        sys.path.insert(0, REPO)
+    from nlquery_spark.kernel.extract import (
+        build_prescreen,
+        build_recognizer,
+        extract_text_triples,
+    )
+    from nlquery_spark.sources.pages import _page_text, orders_schema_spec
+
+    rec = build_recognizer([orders_schema_spec()])
+    screen = build_prescreen([orders_schema_spec()])
+    texts = [_page_text(seed * 1000000 + i, 0.0) for i in range(200)]
+    while not os.path.exists(stop_path):
+        for t in texts:
+            extract_text_triples(t, rec, prescreen=screen)
+
+
+class BackgroundLoad:
+    """Saturate ``n_procs`` cores with the same extraction kernel while a
+    measurement runs — the 'loaded box' fairness control: with the other
+    24 cores busy, the 8-wide job sees the same per-core frequency /
+    memory-bandwidth conditions as the 32-wide run does by construction
+    (what a real N-executor cluster sees relative to its 4N scale-up)."""
+
+    def __init__(self, n_procs: int):
+        self.n_procs = n_procs
+        self.stop_path = os.path.join(
+            REPO, "BENCH", f".loadstop-{os.getpid()}"
+        )
+        self.procs: list = []
+
+    def __enter__(self):
+        if os.path.exists(self.stop_path):
+            os.unlink(self.stop_path)
+        for i in range(self.n_procs):
+            p = mp.Process(target=_load_loop, args=(self.stop_path, i), daemon=True)
+            p.start()
+            self.procs.append(p)
+        time.sleep(10)  # let load processes warm up & saturate
+        return self
+
+    def __exit__(self, *exc):
+        with open(self.stop_path, "w") as fh:
+            fh.write("stop")
+        for p in self.procs:
+            p.join(timeout=60)
+            if p.is_alive():
+                p.terminate()
+        os.unlink(self.stop_path)
+        return False
+
+
+def main_fair() -> None:
+    """Fair-control mode (SPARK_GRAFT_SCALE_FAIR=1): measure local[8]
+    WHILE the other 24 cores run the identical kernel as background
+    load, so per-core hardware conditions match the local[32] run —
+    the condition a real N vs 4N cluster has by construction. The
+    efficiency (T_32 / T_8_loaded) / 4 is then a direct engine-level
+    scaling measurement with no normalization argument needed."""
+    n8, n32 = LEVELS
+    with BackgroundLoad(n32 - n8):
+        r8 = run_level(n8)
+        c8 = control_level(n8)
+    r32 = run_level(n32)
+    c32 = control_level(n32)
+    assert r8["n_triples"] == r32["n_triples"], "output must be identical at both levels"
+    factor = n32 / n8
+    fair_eff = (r32["pages_per_sec"] / r8["pages_per_sec"]) / factor
+    ctl_eff = (c32 / c8) / factor
+    summary = {
+        "mode": "fair-loaded-control",
+        "n_pages": N_PAGES,
+        "local8_loaded": r8,
+        "local32": r32,
+        "control_loaded8_pages_per_sec": round(c8, 1),
+        "control_32_pages_per_sec": round(c32, 1),
+        "fair_efficiency": round(fair_eff, 3),
+        "loaded_control_efficiency": round(ctl_eff, 3),
+    }
+    print(json.dumps(summary))
+    path = os.path.join(REPO, "BENCH", "BASELINE.md")
+    with open(path) as fh:
+        lines = fh.read().splitlines(keepends=False)
+    row = (
+        f"| {time.strftime('%m-%d %H:%M')} | {r8['pages_per_sec']:.0f} | "
+        f"{r32['pages_per_sec']:.0f} | {r8['extract_only_sec']}/{r8['dedup_shuffle_sec']} | "
+        f"{r32['extract_only_sec']}/{r32['dedup_shuffle_sec']} | {c8:.0f} | {c32:.0f} | "
+        f"{summary['fair_efficiency']} | {summary['loaded_control_efficiency']} |"
+    )
+    out_lines = list(lines)
+    try:
+        start = next(i for i, ln in enumerate(out_lines) if "<!-- FAIR-RUNS -->" in ln)
+        end = start + 1
+        while end < len(out_lines) and (
+            out_lines[end].startswith("|") or end <= start + 2
+        ):
+            end += 1
+        out_lines.insert(end, row)
+        with open(path, "w") as fh:
+            fh.write("\n".join(out_lines) + "\n")
+    except StopIteration:
+        print("WARN: <!-- FAIR-RUNS --> marker missing; row not recorded:")
+        print(row)
+
+
 def main() -> None:
     results = {c: run_level(c) for c in LEVELS}
     controls = {c: control_level(c) for c in LEVELS}
@@ -141,4 +249,7 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    if os.environ.get("SPARK_GRAFT_SCALE_FAIR"):
+        main_fair()
+    else:
+        main()
