@@ -472,6 +472,106 @@ WHERE o_orderstatus LIKE '%F%'
 """
 
 
+def _q17_small_quantity_revenue(spark, sf_dir):
+    """Correlated-subquery surface (TPC-H Q17 shape): revenue from
+    lineitems whose quantity is below half their part's average. The
+    correlation decorrelates to an aggregate + broadcast self-join —
+    at 100 TB the per-part avg side is dim-table-sized, so Catalyst
+    broadcasts it and the fact table is scanned once, no shuffle."""
+    li = _load(spark, sf_dir, "lineitem")["lineitem"]
+    avg_qty = li.groupBy(F.col("l_partkey").alias("p_key")).agg(
+        F.avg("l_quantity").alias("avg_qty")
+    )
+    return (
+        li.join(F.broadcast(avg_qty), F.col("l_partkey") == F.col("p_key"))
+        .filter(F.col("l_quantity") < 0.5 * F.col("avg_qty"))
+        .agg(
+            F.sum(_dec("l_extendedprice")).cast("double").alias("total_revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+_Q17_SQL = """
+SELECT
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(10,2))) AS DOUBLE) AS total_revenue,
+  COUNT(*) AS n_items
+FROM lineitem l
+WHERE l_quantity < 0.5 * (
+  SELECT AVG(l_quantity) FROM lineitem li WHERE li.l_partkey = l.l_partkey
+)
+"""
+
+
+def _event_props_json(spark, sf_dir):
+    """JSON-function surface: extract a field from the JSON props string
+    per event (stays in whole-stage codegen; no Python)."""
+    ev = _load(spark, sf_dir, "events")["events"]
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.round(F.avg(k), 4).alias("avg_k"),
+        F.max(k).alias("max_k"),
+    )
+
+
+_EVENT_JSON_SQL = """
+SELECT event_type, COUNT(*) AS n_events,
+  ROUND(AVG(CAST(json_extract_string(props, '$.k') AS BIGINT)), 4) AS avg_k,
+  MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+FROM events GROUP BY event_type
+"""
+
+
+def _order_value_percentiles(spark, sf_dir):
+    """Exact-percentile surface: linear-interpolated quartiles per order
+    status (Spark `percentile`, not approx_percentile, so the oracle
+    matches bit-for-bit after rounding)."""
+    orders = _load(spark, sf_dir, "orders")["orders"]
+    p = F.percentile(F.col("o_totalprice"), F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75)))
+    return orders.groupBy("o_orderstatus").agg(
+        F.round(p[0], 4).alias("p25"),
+        F.round(p[1], 4).alias("p50"),
+        F.round(p[2], 4).alias("p75"),
+    )
+
+
+_PERCENTILES_SQL = """
+SELECT o_orderstatus,
+  ROUND(quantile_cont(o_totalprice, 0.25), 4) AS p25,
+  ROUND(quantile_cont(o_totalprice, 0.50), 4) AS p50,
+  ROUND(quantile_cont(o_totalprice, 0.75), 4) AS p75
+FROM orders GROUP BY o_orderstatus
+"""
+
+
+def _ship_lag_by_month(spark, sf_dir):
+    """Date-arithmetic surface: order->ship lag (datediff) aggregated by
+    order month (date_trunc/format)."""
+    t = _load(spark, sf_dir, "orders", "lineitem")
+    j = t["orders"].join(
+        t["lineitem"], F.col("o_orderkey") == F.col("l_orderkey")
+    )
+    lag = F.datediff(F.col("l_shipdate"), F.col("o_orderdate"))
+    return j.groupBy(
+        F.date_format("o_orderdate", "yyyy-MM").alias("order_month")
+    ).agg(
+        F.round(F.avg(lag), 4).alias("avg_ship_lag_days"),
+        F.max(lag).cast("long").alias("max_ship_lag_days"),
+        F.count(F.lit(1)).alias("n_lineitems"),
+    )
+
+
+_SHIP_LAG_SQL = """
+SELECT strftime(o_orderdate, '%Y-%m') AS order_month,
+  ROUND(AVG(date_diff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE))), 4) AS avg_ship_lag_days,
+  CAST(MAX(date_diff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE))) AS BIGINT) AS max_ship_lag_days,
+  COUNT(*) AS n_lineitems
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+GROUP BY strftime(o_orderdate, '%Y-%m')
+"""
+
+
 def _customers_without_orders(spark, sf_dir):
     """Anti-join (NOT EXISTS) — set-operation surface."""
     t = _load(spark, sf_dir, "customer", "orders")
@@ -1040,6 +1140,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nl_filter_inferred": _nl_filter_inferred,
         "emb_cosine_jvm": _emb_cosine_jvm,
         "streaming_extract": _streaming_extract,
+        "q17_small_quantity_revenue": _q17_small_quantity_revenue,
+        "event_props_json": _event_props_json,
+        "order_value_percentiles": _order_value_percentiles,
+        "ship_lag_by_month": _ship_lag_by_month,
         "customers_without_orders": _customers_without_orders,
         "order_priority_rollup": _order_priority_rollup,
         "part_setops_98_not_99": _part_supplier_setops,
@@ -1077,6 +1181,10 @@ def oracle_sql() -> dict[str, str]:
         "dict_spec_part": _DICT_SPEC_SQL,
         "nl_filter_inferred": _NL_FILTER_INFERRED_SQL,
         "emb_cosine_jvm": _EMB_COSINE_SQL,
+        "q17_small_quantity_revenue": _Q17_SQL,
+        "event_props_json": _EVENT_JSON_SQL,
+        "order_value_percentiles": _PERCENTILES_SQL,
+        "ship_lag_by_month": _SHIP_LAG_SQL,
         "customers_without_orders": _ANTI_SQL,
         "order_priority_rollup": _ROLLUP_SQL,
         "part_setops_98_not_99": _SETOPS_SQL,

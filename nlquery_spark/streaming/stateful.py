@@ -80,3 +80,103 @@ def streaming_pred_stats(triples_stream: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# ------------------------------------------------ stateful sessionize --
+
+SESSION_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType(), False),
+        StructField("session_id", LongType(), False),
+        StructField("n_events", LongType(), False),
+        StructField("session_start", StringType(), False),
+        StructField("session_end", StringType(), False),
+        StructField("sum_value", DoubleType(), False),
+    ]
+)
+
+SESSION_STATE_SCHEMA = StructType(
+    [
+        StructField("session_id", LongType(), False),
+        StructField("last_us", LongType(), False),
+        StructField("start_us", LongType(), False),
+        StructField("n_events", LongType(), False),
+        StructField("sum_cents", LongType(), False),
+    ]
+)
+
+
+def _fmt_us(us: int) -> str:
+    import datetime
+
+    return datetime.datetime.utcfromtimestamp(us / 1_000_000).strftime(
+        "%Y-%m-%d %H:%M:%S"
+    ) + f".{us % 1_000_000:06d}"
+
+
+def _sessionize_update(key, pdfs, state: GroupState, gap_sec: int = 1800):
+    """Cross-batch sessionization state machine for one user: continue
+    the open session or split on inactivity gaps. Values are summed as
+    integer cents so incremental updates equal the batch decimal sum
+    exactly. Emits an update row for every session touched in the batch
+    (update-mode semantics: the final row per (user, session) is the
+    one with the largest n_events)."""
+    user_id = int(key[0])
+    if state.exists:
+        sid, last_us, start_us, n, cents = state.get
+    else:
+        sid, last_us, start_us, n, cents = 0, None, None, 0, 0
+    out = []
+
+    def emit():
+        out.append(
+            (user_id, sid, n, _fmt_us(start_us), _fmt_us(last_us), cents / 100.0)
+        )
+
+    for pdf in pdfs:
+        if not len(pdf):
+            continue
+        pdf = pdf.sort_values(["ts", "event_id"])
+        ts_us = (pdf["ts"].astype("datetime64[us]").astype("int64")).tolist()
+        vals = [int(round(float(v) * 100)) for v in pdf["value"]]
+        for t_us, cv in zip(ts_us, vals):
+            if last_us is None:
+                sid, start_us, n, cents = 1, t_us, 1, cv
+            elif t_us - last_us > gap_sec * 1_000_000:
+                emit()  # close previous session at its last event
+                sid, start_us, n, cents = sid + 1, t_us, 1, cv
+            else:
+                n += 1
+                cents += cv
+            last_us = t_us
+    if last_us is not None:
+        emit()  # current (still-open) session's latest snapshot
+        state.update((sid, last_us, start_us, n, cents))
+    yield pd.DataFrame(
+        out,
+        columns=[
+            "user_id",
+            "session_id",
+            "n_events",
+            "session_start",
+            "session_end",
+            "sum_value",
+        ],
+    )
+
+
+def streaming_sessionize(events_stream: DataFrame, gap_sec: int = 1800) -> DataFrame:
+    """Streaming analog of the batch 30-min-gap sessionization
+    (__spark_entry__._events_sessionize): custom per-key state via
+    applyInPandasWithState. Assumes event-time-ordered replay per key
+    across micro-batches (file source sorted by ts); a production
+    deployment would buffer out-of-order events behind a watermark
+    before this operator. The sink is update-mode: downstream keeps the
+    row with max n_events per (user_id, session_id)."""
+    return events_stream.groupBy("user_id").applyInPandasWithState(
+        lambda key, pdfs, state: _sessionize_update(key, pdfs, state, gap_sec),
+        outputStructType=SESSION_OUTPUT_SCHEMA,
+        stateStructType=SESSION_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

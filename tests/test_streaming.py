@@ -95,3 +95,77 @@ def test_stateful_pred_stats(spark, tmp_path):
         assert int(got.n_mentions) == r.n_mentions, r.pred
         assert int(got.n_subjects_bounded) == r.n_subjects, r.pred
         assert abs(float(got.max_score) - r.max_score) < 1e-9, r.pred
+
+
+def test_streaming_sessionize_matches_batch(spark, tmp_path, sf_dir):
+    """Custom stateful streaming sessionization (applyInPandasWithState)
+    produces exactly the batch lag+cumsum sessionization when events are
+    replayed in event-time order across micro-batches."""
+    from pyspark.sql import Window
+
+    from nlquery_spark.streaming.stateful import streaming_sessionize
+
+    events = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .filter(F.col("user_id") < 40)
+    )
+    # event-time-ordered replay: write 6 ts-ranged files one by one
+    # (ascending names AND mtimes) so the file source replays each
+    # micro-batch strictly later than the previous one
+    import glob
+    import os
+    import shutil
+
+    src = str(tmp_path / "events_in")
+    os.makedirs(src)
+    ranged = events.withColumn(
+        "bucket", F.ntile(6).over(Window.orderBy("ts", "event_id"))
+    ).cache()
+    for i in range(1, 7):
+        slice_dir = str(tmp_path / f"slice{i}")
+        ranged.filter(F.col("bucket") == i).drop("bucket").coalesce(
+            1
+        ).sortWithinPartitions("ts", "event_id").write.mode("overwrite").parquet(
+            slice_dir
+        )
+        part = glob.glob(f"{slice_dir}/part-*.parquet")[0]
+        shutil.move(part, f"{src}/{i:02d}.parquet")
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out, ckpt = str(tmp_path / "sess_out"), str(tmp_path / "sess_ckpt")
+
+    # parquet sinks don't accept update mode: land each micro-batch's
+    # update rows via foreachBatch append (downstream dedups snapshots)
+    def _sink(batch_df, _bid):
+        batch_df.write.mode("append").parquet(out)
+
+    q = (
+        streaming_sessionize(stream)
+        .writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", ckpt)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    # update-mode sink: final snapshot per (user, session) = max n_events
+    w = Window.partitionBy("user_id", "session_id").orderBy(F.desc("n_events"))
+    got = (
+        spark.read.parquet(out)
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    import __spark_entry__ as em
+
+    batch = em.queries()["events_sessionize"](spark, sf_dir).filter(
+        F.col("user_id") < 40
+    )
+    g = {(r.user_id, r.session_id): (r.n_events, r.session_start, r.session_end, round(r.sum_value, 2))
+         for r in got.collect()}
+    b = {(r.user_id, r.session_id): (r.n_events, r.session_start, r.session_end, round(r.sum_value, 2))
+         for r in batch.collect()}
+    assert g == b and g
