@@ -938,6 +938,67 @@ GROUP BY doc_id, t
 """
 
 
+def _gazetteer_topk_entities(spark, sf_dir):
+    """Entity-link shape on the SQL surface: per document, top-2
+    gazetteer entities by mention count (window over a join-free
+    aggregate; the batched link stage of the KG pipeline is the same
+    rank-per-anchor pattern over kernel mentions — see
+    operators/linker.py)."""
+    docs = _load(spark, sf_dir, "documents")["documents"]
+    toks = F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("token")
+    counts = (
+        docs.select("doc_id", toks)
+        .filter(F.col("token").isin(GAZETTEER))
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("n_mentions"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("n_mentions"), F.asc("token")
+    )
+    return (
+        counts.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 2)
+        .select("doc_id", "rank", F.col("token").alias("entity"), "n_mentions")
+    )
+
+
+def _gazetteer_topk_sql() -> str:
+    lst = ", ".join(f"'{w}'" for w in GAZETTEER)
+    return rf"""
+WITH counts AS (
+  SELECT doc_id, t AS token, COUNT(*) AS n_mentions FROM (
+    SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS t
+    FROM documents
+  ) WHERE t IN ({lst})
+  GROUP BY doc_id, t
+)
+SELECT doc_id, rank, token AS entity, n_mentions FROM (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY doc_id ORDER BY n_mentions DESC, token ASC) AS rank
+  FROM counts
+) WHERE rank <= 2
+"""
+
+
+def _entity_link_topk(spark, sf_dir):
+    """Kernel mention-detect + batched link scorer (pipeline stages
+    S2-S4 decomposed): every candidate interpretation becomes a row,
+    then a window keeps the best 2 readings per anchor span. Rows-only
+    (kernel-based); span/score internals are pytest-gated."""
+    from nlquery_spark.operators.linker import extract_mentions, link_topk
+
+    docs = _parallelize(
+        _load(spark, sf_dir, "documents")["documents"].filter(F.col("doc_id") < 100)
+    )
+    pages = docs.select(
+        F.concat(F.lit("doc:"), F.col("doc_id")).alias("url"),
+        F.col("text"),
+        F.col("lang"),
+    )
+    m = extract_mentions(pages, [DOCS_SCHEMA_SPEC], lang_filter=None)
+    return link_topk(m, k=2)
+
+
 def _ann_cosine_topk(spark, sf_dir):
     from nlquery_spark.operators.similarity import cosine_topk_bruteforce
 
@@ -1158,6 +1219,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": _dedup_exact,
         "dedup_ngram_jaccard": _dedup_ngram_jaccard,
         "gazetteer_mentions": _gazetteer_mentions,
+        "gazetteer_topk_entities": _gazetteer_topk_entities,
+        "entity_link_topk": _entity_link_topk,
         "ann_cosine_topk": _ann_cosine_topk,
         "kg_extract_triples": _kg_extract_triples,
         "dedup_minhash": _dedup_minhash,
@@ -1199,6 +1262,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": _DEDUP_EXACT_SQL,
         "dedup_ngram_jaccard": _JACCARD_SQL,
         "gazetteer_mentions": _gazetteer_sql(),
+        "gazetteer_topk_entities": _gazetteer_topk_sql(),
         "ann_cosine_topk": _ANN_SQL,
         "dedup_simhash": _SIMHASH_SQL,
         "dedup_minhash": _minhash_sql(),

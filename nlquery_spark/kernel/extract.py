@@ -394,3 +394,47 @@ def extract_text_triples(
     finally:
         recognizer.include_zero_matches = include_zero
     return out
+
+
+def extract_text_mentions(
+    text: str,
+    recognizer: Recognizer,
+    prescreen: Optional[str] = None,
+) -> List[Tuple[str, str, str, float, int, int]]:
+    """Mention-detect output for one page (pipeline stage S2-S3): EVERY
+    candidate interpretation in the match bag, before combination
+    selection — (kind, name, value, score, start, end) with absolute
+    char offsets. This feeds the batched entity-link scorer
+    (operators.linker.link_topk), which resolves overlapping candidate
+    mentions per span; extract_text_triples by contrast emits only the
+    winning combination."""
+    out: List[Tuple[str, str, str, float, int, int]] = []
+    for offset, chunk in _chunks(text):
+        chunk_tokens = tokenize(chunk)
+        if prescreen is not None and not _chunk_can_match(chunk_tokens, prescreen):
+            continue
+        seq = TokenSequence(chunk_tokens)
+        bag = recognizer.collect_matches(seq)
+        for m in bag.matches:
+            start = offset + m.start.start_index
+            end = offset + m.end.start_index + len(m.end.value)
+            if isinstance(m, ColumnConditionMatch):
+                out.append(
+                    (
+                        "condition",
+                        f"{m.column.name}:{COND_NAMES[m.condition].lower()}",
+                        _value_repr(m.value),
+                        m.score,
+                        start,
+                        end,
+                    )
+                )
+            elif isinstance(m, ColumnMatch):
+                out.append(
+                    ("column", m.column.name, _span_text(m), m.score, start, end)
+                )
+            elif isinstance(m, TableMatch):
+                out.append(
+                    ("table", m.table.name, _span_text(m), m.score, start, end)
+                )
+    return out

@@ -57,12 +57,12 @@ class Recognizer:
                 return
         raise RuntimeError("Too many merge passes, possibly infinite rule")
 
-    def recognize(
-        self,
-        statement: TokenSequence,
-        combination_handler: Callable[[List[Match]], bool],
-        match_filter: Optional[Callable[[Match], bool]] = None,
-    ) -> None:
+    def collect_matches(self, statement: TokenSequence) -> MatchBag:
+        """Mention-detect output (pipeline stages S2-S3, pre-combination):
+        the full match bag after the first-pass matchers + the recursive
+        merge fixpoint. This is the surface the batched entity-link
+        scorer consumes (every candidate interpretation, not just the
+        winning combination)."""
         match_bag = MatchBag(statement, [])
         first_pass = CompositeMatcher(
             [m for m in self.matchers if m.first_pass_only]
@@ -72,6 +72,15 @@ class Recognizer:
         self._process_recursive_matchers(
             [m for m in self.matchers if not m.first_pass_only], match_bag
         )
+        return match_bag
+
+    def recognize(
+        self,
+        statement: TokenSequence,
+        combination_handler: Callable[[List[Match]], bool],
+        match_filter: Optional[Callable[[Match], bool]] = None,
+    ) -> None:
+        match_bag = self.collect_matches(statement)
 
         matches: Iterable[Match] = match_bag.matches
         if match_filter is not None:
