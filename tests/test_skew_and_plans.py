@@ -98,3 +98,37 @@ def test_write_triples_partitioned_sink(spark, tmp_path):
     back = spark.read.parquet(out)
     assert back.count() == triples.count()
     assert "subj_bucket" in back.columns
+
+
+def test_q17_broadcasts_avg_side(spark, sf_dir):
+    """The decorrelated per-part average is dim-sized: it must broadcast
+    so the fact scan is shuffle-free."""
+    plan = (
+        em.queries()["q17_small_quantity_revenue"](spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_event_json_stays_in_codegen(spark, sf_dir):
+    """get_json_object must run JVM-side (no Python in the plan) and
+    the scan must prune to the two referenced columns."""
+    df = em.queries()["event_props_json"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    read_schema = plan.split("ReadSchema:")[-1].splitlines()[0]
+    assert "props" in read_schema and "value" not in read_schema, read_schema
+
+
+def test_linker_prunes_to_url_text(spark, tmp_path):
+    from nlquery_spark.operators.linker import extract_mentions
+
+    path = str(tmp_path / "pages_l")
+    synth_pages(spark, 20).write.parquet(path)
+    pages = spark.read.parquet(path)
+    df = extract_mentions(pages, [orders_schema_spec()])
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    read_schema = plan.split("ReadSchema:")[-1].splitlines()[0]
+    assert "html" not in read_schema and "text" in read_schema, read_schema
