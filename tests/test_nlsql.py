@@ -280,3 +280,26 @@ def test_date_month_tables_culture_injection():
     conds_en = parse_conditions("orders in janvier 1995", [spec], em.NL_OPTIONS)
     d3 = next(c.value for c in conds_en if isinstance(c.value, DateMatch))
     assert d3.month is None and d3.year == 1995
+
+
+def test_multi_table_dictionary():
+    # multiple schema specs compile into one recognizer; conditions bind
+    # to the right table's columns
+    part_spec = {"caption": "Parts", "name": "part", "columns": [
+        {"caption": "Retail Price", "name": "p_retailprice", "datatype": "number"},
+        {"caption": "Brand", "name": "p_brand", "datatype": "string"},
+    ]}
+    conds = parse_conditions(
+        "parts with retail price more than 900",
+        [em.ORDERS_TPCH_SPEC, part_spec],
+        em.NL_OPTIONS,
+    )
+    assert any(c.column.name == "p_retailprice" for c in conds)
+    assert not any(c.column.name == "o_totalprice" for c in conds)
+    conds2 = parse_conditions(
+        "orders with total price more than 900",
+        [em.ORDERS_TPCH_SPEC, part_spec],
+        em.NL_OPTIONS,
+    )
+    assert any(c.column.name == "o_totalprice" for c in conds2)
+    assert not any(c.column.name == "p_retailprice" for c in conds2)
