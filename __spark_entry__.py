@@ -475,15 +475,17 @@ WHERE o_orderstatus LIKE '%F%'
 def _q17_small_quantity_revenue(spark, sf_dir):
     """Correlated-subquery surface (TPC-H Q17 shape): revenue from
     lineitems whose quantity is below half their part's average. The
-    correlation decorrelates to an aggregate + broadcast self-join —
-    at 100 TB the per-part avg side is dim-table-sized, so Catalyst
-    broadcasts it and the fact table is scanned once, no shuffle."""
+    correlation decorrelates to an aggregate + self-join keyed on
+    partkey. No broadcast HINT on purpose: the per-part agg is
+    |parts|-sized, which AQE broadcasts while it fits (asserted in the
+    plan test at test scale) and shuffle-joins beyond — a hard-coded
+    broadcast would OOM the driver at 10^10 parts."""
     li = _load(spark, sf_dir, "lineitem")["lineitem"]
     avg_qty = li.groupBy(F.col("l_partkey").alias("p_key")).agg(
         F.avg("l_quantity").alias("avg_qty")
     )
     return (
-        li.join(F.broadcast(avg_qty), F.col("l_partkey") == F.col("p_key"))
+        li.join(avg_qty, F.col("l_partkey") == F.col("p_key"))
         .filter(F.col("l_quantity") < 0.5 * F.col("avg_qty"))
         .agg(
             F.sum(_dec("l_extendedprice")).cast("double").alias("total_revenue"),
@@ -916,6 +918,75 @@ WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.12
 """
 
 
+def _corpus_clean(spark, sf_dir):
+    """Composed training-corpus cleaning cascade, fully oracled:
+    quality gate (cheap map-side filter FIRST, prunes before any
+    shuffle) -> exact dedup (one digest shuffle, keep min doc_id) ->
+    n-gram near-dup removal (shingle join with the hot-shingle skew cap;
+    drop the higher id of each qualifying pair). The stage order is the
+    100-TB rule: narrowing map-side work precedes pairwise stages."""
+    from nlquery_spark.operators.dedup import exact_dedup, ngram_jaccard_pairs
+    from nlquery_spark.operators.textstats import with_quality
+
+    docs = _load(spark, sf_dir, "documents")["documents"].filter(
+        F.col("doc_id") < 120
+    )
+    survivors = exact_dedup(
+        with_quality(docs).filter(F.col("quality") >= 0.75)
+    )
+    pairs = ngram_jaccard_pairs(survivors, n=2, threshold=0.12, max_shingle_df=40)
+    drop = pairs.select(F.col("id_b").alias("doc_id")).distinct()
+    return survivors.join(drop, "doc_id", "left_anti").select(
+        "doc_id", F.col("n_tokens").cast("long").alias("n_tokens"), "quality"
+    )
+
+
+def _corpus_clean_sql() -> str:
+    from nlquery_spark.operators.textstats import EN_STOPWORDS
+
+    stoplist = ", ".join(f"'{w}'" for w in EN_STOPWORDS)
+    return rf"""
+WITH ql AS (
+  SELECT doc_id, text, len(w) AS n_tokens,
+    ROUND((CASE WHEN len(w) BETWEEN 10 AND 100000 THEN 0.4 ELSE 0.0 END)
+      + LEAST(CAST(len(list_filter(w, x -> list_contains([{stoplist}], lower(x)))) AS DOUBLE) / len(w) * 2.0, 0.3)
+      + CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) / length(text) * 0.3, 6) AS quality
+  FROM (SELECT doc_id, text, string_split_regex(trim(text), '\s+') AS w
+        FROM documents WHERE doc_id < 120)
+), base AS (
+  SELECT doc_id, text, n_tokens, quality FROM ql
+  WHERE quality >= 0.75
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1
+), t AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS w FROM base
+), sh0 AS (
+  SELECT DISTINCT doc_id, s FROM (
+    SELECT doc_id,
+      unnest(list_transform(generate_series(1, len(w) - 1), i -> w[i] || ' ' || w[i+1])) AS s
+    FROM t WHERE len(w) >= 2
+  )
+), hot AS (
+  SELECT s FROM sh0 GROUP BY s HAVING COUNT(*) > 40
+), sh AS (
+  SELECT sh0.doc_id, sh0.s FROM sh0 ANTI JOIN hot ON sh0.s = hot.s
+), sizes AS (
+  SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
+), nd AS (
+  SELECT DISTINCT b.doc_id AS doc_id FROM (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
+    FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+  ) p
+  JOIN sizes sa ON sa.doc_id = p.id_a
+  JOIN sizes sb ON sb.doc_id = p.id_b
+  JOIN base b ON b.doc_id = p.id_b
+  WHERE CAST(p.c AS DOUBLE) / (sa.n + sb.n - p.c) >= 0.12
+)
+SELECT base.doc_id, CAST(n_tokens AS BIGINT) AS n_tokens, quality
+FROM base ANTI JOIN nd ON base.doc_id = nd.doc_id
+"""
+
+
 def _gazetteer_mentions(spark, sf_dir):
     docs = _load(spark, sf_dir, "documents")["documents"]
     toks = F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("token")
@@ -1218,6 +1289,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": _doc_fingerprint,
         "dedup_exact": _dedup_exact,
         "dedup_ngram_jaccard": _dedup_ngram_jaccard,
+        "corpus_clean": _corpus_clean,
         "gazetteer_mentions": _gazetteer_mentions,
         "gazetteer_topk_entities": _gazetteer_topk_entities,
         "entity_link_topk": _entity_link_topk,
@@ -1261,6 +1333,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_fingerprint": _FINGERPRINT_SQL,
         "dedup_exact": _DEDUP_EXACT_SQL,
         "dedup_ngram_jaccard": _JACCARD_SQL,
+        "corpus_clean": _corpus_clean_sql(),
         "gazetteer_mentions": _gazetteer_sql(),
         "gazetteer_topk_entities": _gazetteer_topk_sql(),
         "ann_cosine_topk": _ANN_SQL,

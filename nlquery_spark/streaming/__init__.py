@@ -1,3 +1,4 @@
+from .dedup import streaming_exact_dedup  # noqa: F401
 from .extract import (  # noqa: F401
     extract_triples_stream,
     read_pages_stream,
