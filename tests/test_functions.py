@@ -63,3 +63,31 @@ def test_tokens_and_count(spark):
     ).collect()
     assert [r.t for r in got] == [["hello", "world"], [], [], ["one"]]
     assert [r.n for r in got] == [2, 0, 0, 1]
+
+
+def test_subword_tokens_bpe_ish(spark):
+    from nlquery_spark.functions.text import subword_count, subword_tokens
+
+    df = spark.createDataFrame(
+        [("It's a test-case with 42 tokens,  right?",), ("",), ("   ",)],
+        "text string",
+    )
+    rows = df.select(
+        subword_tokens(F.col("text")).alias("toks"),
+        subword_count(F.col("text")).alias("n"),
+    ).collect()
+    assert rows[0].toks == [
+        "It", "'s", " a", " test", "-", "case", " with", " 42",
+        " tokens", ",", "  ", "right", "?",
+    ]
+    assert rows[0].n == 13
+    assert rows[1].n == 0
+    assert rows[2].toks == ["   "] and rows[2].n == 1
+    # must stay in codegen: no Python eval in the plan
+    plan = (
+        df.select(subword_count(F.col("text")))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "EvalPython" not in plan

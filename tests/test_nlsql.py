@@ -303,3 +303,19 @@ def test_multi_table_dictionary():
     )
     assert any(c.column.name == "o_totalprice" for c in conds2)
     assert not any(c.column.name == "p_retailprice" for c in conds2)
+
+
+def test_pivot_without_bool_operators():
+    # NliPivotTable QueryParser.cs:47 sets MatchBoolOperators=false: the
+    # 'or' stays a stub, but both status conditions still reach the
+    # combination and both mark the dim filter-preferred.
+    opts = {**em.NL_OPTIONS, "match_bool_operators": False}
+    r = _pivot_report(
+        "total price by priority with order status F or O",
+        em.ORDERS_PIVOT_SPEC,
+        {"o_totalprice"},
+        opts,
+    )
+    assert r.columns == ["o_orderstatus"]
+    assert r.rows == ["o_orderpriority"]
+    assert '"Order Status":F' in r.filter and '"Order Status":O' in r.filter
