@@ -381,9 +381,10 @@ FROM orders GROUP BY o_orderstatus
 """
 
 
-# pivot lifecycle spec: adds clerk + status gazetteer values so the OR
-# group over status values recognizes (kept separate from
-# ORDERS_TPCH_SPEC so the other nl_* queries keep their dictionaries)
+# pivot lifecycle spec: adds the priority dim + status gazetteer values
+# so the OR group over status values recognizes (kept separate from
+# ORDERS_TPCH_SPEC so the other nl_* queries keep their dictionaries;
+# note this harness's orders table has no clerk column)
 ORDERS_PIVOT_SPEC = {
     "caption": "Orders",
     "name": "orders",
@@ -1172,8 +1173,11 @@ def _dedup_minhash(spark, sf_dir):
 def _minhash_sql() -> str:
     """DuckDB mirror of _dedup_minhash: same shingles, same md5-derived
     64-bit shingle hash, same (a*h+b) mod 2^61-1 permutations (embedded
-    as literals from the shared seeded generator), bruteforce pairwise
-    signature agreement >= threshold."""
+    as literals from the shared seeded generator), and — crucially —
+    the SAME md5 band keys, so the oracle reproduces the banded
+    candidate set STRUCTURALLY (identical recall by construction, not
+    an empirical coincidence of the fixture); est_jaccard then verifies
+    candidates exactly as the Spark side does."""
     from nlquery_spark.operators.dedup import _MERSENNE, _perm_params
 
     a, b = _perm_params(64, seed=42)
@@ -1198,12 +1202,22 @@ WITH t AS (
   SELECT doc_id, p_idx,
     MIN((CAST(a AS HUGEINT) * CAST(h AS HUGEINT) + b) % {_MERSENNE}) AS m
   FROM hv CROSS JOIN perms GROUP BY doc_id, p_idx
+), bands AS (
+  SELECT doc_id, p_idx // 4 AS band,
+    md5(string_agg(CAST(m AS VARCHAR), ',' ORDER BY p_idx)) AS bkey
+  FROM mh GROUP BY doc_id, p_idx // 4
+), cand AS (
+  SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+  FROM bands x JOIN bands y
+    ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id
 ), agree AS (
-  SELECT x.doc_id AS id_a, y.doc_id AS id_b,
+  SELECT c.id_a, c.id_b,
     ROUND(CAST(SUM(CASE WHEN x.m = y.m THEN 1 ELSE 0 END) AS DOUBLE) / 64, 6)
       AS est_jaccard
-  FROM mh x JOIN mh y ON x.p_idx = y.p_idx AND x.doc_id < y.doc_id
-  GROUP BY x.doc_id, y.doc_id
+  FROM cand c
+  JOIN mh x ON x.doc_id = c.id_a
+  JOIN mh y ON y.doc_id = c.id_b AND y.p_idx = x.p_idx
+  GROUP BY c.id_a, c.id_b
 )
 SELECT id_a, id_b, est_jaccard FROM agree WHERE est_jaccard >= 0.3
 """
@@ -1278,12 +1292,16 @@ WITH v AS (
   SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ev
   FROM embeddings
 ), n AS (
+  -- zero-norm guard mirrors the Spark side (norms==0 -> 1.0, cosine 0,
+  -- below threshold): without it 0/0 = NaN, which DuckDB sorts above
+  -- every double and would pass the >= filter
   SELECT vec_id, ev, sqrt(list_dot_product(ev, ev)) AS nrm FROM v
 )
 SELECT a.vec_id AS id_a, b.vec_id AS id_b,
   ROUND(list_dot_product(a.ev, b.ev) / (a.nrm * b.nrm), 6) AS cosine
 FROM n a JOIN n b ON a.vec_id < b.vec_id
-WHERE ROUND(list_dot_product(a.ev, b.ev) / (a.nrm * b.nrm), 6) >= 0.3
+WHERE a.nrm > 0 AND b.nrm > 0
+  AND ROUND(list_dot_product(a.ev, b.ev) / (a.nrm * b.nrm), 6) >= 0.3
 """
 
 

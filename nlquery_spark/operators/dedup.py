@@ -268,8 +268,12 @@ def minhash_lsh_pairs(
     estimated Jaccard (fraction of agreeing minhashes) >= threshold."""
     rows = num_perm // bands
     sigs = minhash_signatures(df, id_col, text_col, n, num_perm, seed).cache()
+    # band key = md5 of the comma-joined minhash values: PORTABLE, so the
+    # DuckDB oracle reproduces the exact same candidate set (string_agg
+    # over p_idx + md5) — banding recall is then structural for the
+    # oracle, not an empirical coincidence of the fixture
     band_cols = [
-        F.hash(F.concat_ws(",", *[F.col("sig")[b * rows + r].cast("string") for r in range(rows)])).alias("band_hash")
+        F.md5(F.concat_ws(",", *[F.col("sig")[b * rows + r].cast("string") for r in range(rows)])).alias("band_hash")
         for b in range(bands)
     ]
     buckets = sigs.select(
@@ -383,6 +387,14 @@ def simhash_blocking_plan(max_hamming: int, max_keys: int = 128):
         if _n_choose_k(cand_m, cand_m - k) <= max_keys:
             m = cand_m
             break
+    if _n_choose_k(m, m - k) > max_keys:
+        # even the minimal complete plan (k+1 single-chunk keys) exceeds
+        # the cap: refuse rather than silently violate either the
+        # fan-out contract or completeness
+        raise ValueError(
+            f"max_keys={max_keys} cannot cover max_hamming={k}: "
+            f"completeness needs at least {k + 1} keys per doc"
+        )
     return m, list(combinations(range(m), m - k))
 
 

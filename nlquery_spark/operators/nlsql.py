@@ -74,44 +74,20 @@ def parse_best(
     Returns (conditions, column_mentions): flattened
     ColumnConditionMatches (group trees expanded) and — when
     ``keep_column_mentions`` — bare ColumnMatches (the OLAP dims/measures
-    signal, NlqForOlap/QueryCandidate.cs:55-126)."""
+    signal, NlqForOlap/QueryCandidate.cs:55-126). Note
+    ``keep_column_mentions`` changes the COMBINATION SEARCH itself
+    (bare column mentions compete for spans), not just the return."""
     from ..kernel.table import ColumnMatch
 
-    rec = build_recognizer(schema_specs, options_spec)
-    rec.include_zero_matches = True
-    seq = TokenSequence(_query_tokens(nl, options_spec))
-    best: List = [None, -1.0]  # (matches, score)
-    state = {"n": 0}
-
-    def handler(matches):
-        score = candidate_score(matches, seq)
-        if score > best[1]:
-            best[0], best[1] = matches, score
-        state["n"] += 1
-        return state["n"] <= max_combinations
-
-    def match_filter(m):
-        if isinstance(m, ColumnConditionMatch):
-            return m.value is not m or m.matched_value is not None
-        if keep_column_mentions and isinstance(m, ColumnMatch):
-            return True
-        return isinstance(m, GroupMatch)
-
-    rec.recognize(seq, handler, match_filter)
-    conditions: List[ColumnConditionMatch] = []
-    mentions: List = []
-
-    def collect(m):
-        if isinstance(m, ColumnConditionMatch):
-            conditions.append(m)
-        elif isinstance(m, GroupMatch):
-            for child in m.group_matches:
-                collect(child)
-        elif isinstance(m, ColumnMatch):
-            mentions.append(m)
-
-    for m in best[0] or []:
-        collect(m)
+    matches, _seq = parse_best_matches(
+        nl,
+        schema_specs,
+        options_spec,
+        max_combinations,
+        include_column_mentions=keep_column_mentions,
+    )
+    conditions = [m for m in matches if isinstance(m, ColumnConditionMatch)]
+    mentions = [m for m in matches if isinstance(m, ColumnMatch)]
     return conditions, mentions
 
 
@@ -282,11 +258,16 @@ def parse_best_matches(
     schema_specs: Sequence[Dict],
     options_spec: Optional[Dict] = None,
     max_combinations: int = 1000,
+    include_column_mentions: bool = True,
 ):
     """Ordered best-combination matches with group trees expanded in
     place — the QueryCandidate.Matches analog the pivot lifecycle
     iterates (NliPivotTable QueryParser.cs:249-270) — plus the token
-    sequence (for filter-string rendering)."""
+    sequence (for filter-string rendering). This is the single
+    recognition path; parse_best is a thin view over it.
+    ``include_column_mentions`` controls whether bare ColumnMatches
+    compete in the combination search (the OLAP/pivot lifecycles want
+    them; the plain filter lifecycle does not)."""
     from ..kernel.table import ColumnMatch
 
     rec = build_recognizer(schema_specs, options_spec)
@@ -305,9 +286,9 @@ def parse_best_matches(
     def match_filter(m):
         if isinstance(m, ColumnConditionMatch):
             return m.value is not m or m.matched_value is not None
-        from ..kernel.table import ColumnMatch as _CM
-
-        return isinstance(m, (GroupMatch, _CM))
+        if include_column_mentions and isinstance(m, ColumnMatch):
+            return True
+        return isinstance(m, GroupMatch)
 
     rec.recognize(seq, handler, match_filter)
     out: List = []

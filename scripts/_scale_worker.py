@@ -36,8 +36,9 @@ def main() -> None:
     warm = synth_pages(spark, cpus * 100, num_partitions=cpus)
     dedup_triples(extract_triples(warm, [orders_schema_spec()])).count()
 
-    best = None
-    extract_best = None
+    best = None  # (full_wall, extract_wall) from the SAME iteration:
+    # mixing best-of-3 stage times across iterations would misstate the
+    # extract/shuffle split when noise lands on different passes
     for _ in range(3):
         # per-stage breakdown: extraction alone (embarrassingly
         # parallel, no shuffle), then the full job (adds the one
@@ -45,15 +46,13 @@ def main() -> None:
         t0 = time.time()
         extract_triples(pages, [orders_schema_spec()]).count()
         ext = time.time() - t0
-        if extract_best is None or ext < extract_best:
-            extract_best = ext
         t0 = time.time()
         triples = dedup_triples(extract_triples(pages, [orders_schema_spec()]))
         n_triples = triples.count()
         wall = time.time() - t0
-        if best is None or wall < best:
-            best = wall
-    wall = best
+        if best is None or wall < best[0]:
+            best = (wall, ext)
+    wall, extract_wall = best
     print(
         json.dumps(
             {
@@ -61,8 +60,8 @@ def main() -> None:
                 "n_pages": n,
                 "n_triples": n_triples,
                 "wall_sec": round(wall, 3),
-                "extract_only_sec": round(extract_best, 3),
-                "dedup_shuffle_sec": round(max(wall - extract_best, 0.0), 3),
+                "extract_only_sec": round(extract_wall, 3),
+                "dedup_shuffle_sec": round(max(wall - extract_wall, 0.0), 3),
                 "pages_per_sec": round(n / wall, 1),
                 "triples_per_sec": round(n_triples / wall, 1),
             }
