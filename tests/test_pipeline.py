@@ -178,3 +178,17 @@ def test_jaccard_hot_shingle_metrics(spark):
     dedup.ngram_jaccard_pairs(df, n=2, threshold=0.1, max_shingle_df=2, metrics=m).count()
     assert m["hot_shingles_dropped"] == 3  # the 3 shared bigrams
     assert m["hot_shingle_rows_dropped"] == 15
+
+
+def test_dist_zip_matches_source():
+    """The committed --py-files artifact must carry exactly the current
+    library source (a stale zip ships pre-round kernels to executors)."""
+    import pathlib
+    import zipfile
+
+    zp = zipfile.ZipFile("dist/nlquery_spark.zip")
+    znames = set(zp.namelist())
+    for p in pathlib.Path("nlquery_spark").rglob("*.py"):
+        name = str(p)
+        assert name in znames, f"missing from zip: {name}"
+        assert zp.read(name) == p.read_bytes(), f"stale in zip: {name}"
