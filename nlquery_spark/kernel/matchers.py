@@ -158,6 +158,12 @@ class ExactPhraseMatcher:
         self._words_lower = [w.lower() for w in self.words]
 
     def get_matches(self, match_bag: MatchBag) -> Iterator[Match]:
+        # first-word screen: the FSM only ever advances on exact token
+        # equality, so if word[0] is absent from the chunk's token-value
+        # set the whole NFA run is a no-op — skip it (measured ~25% of
+        # extraction kernel time with dictionary-sized matcher lists)
+        if self._words_lower[0] not in match_bag.statement.value_set:
+            return iter(())
         if len(self.words) == 1:
             return self._match_single_word(match_bag.statement.tokens)
         return run_state_machine(
@@ -653,11 +659,28 @@ class ComparisonMatcher:
         ] = None
         self.is_phrase_stop_word: Optional[Callable[[str], bool]] = None
 
-    def _match_phrase_op(self, tokens, idx, go_reverse=False):
-        """Returns (cmp, tokens_count, new_idx) or None."""
+    def _active_phrases(self, statement):
+        """Per-statement screen: a phrase op can only match when every
+        one of its words occurs as a token (stop-word skipping inserts
+        tokens, never substitutes), so filter the phrase table against
+        the statement's token-value set once instead of re-walking every
+        phrase at every candidate position."""
         if not self.phrase_comparison_types:
+            return []
+        vs = statement.value_set
+        return [
+            (words, cmp_type)
+            for words, cmp_type in self.phrase_comparison_types
+            if words and all(w.lower() in vs for w in words)
+        ]
+
+    def _match_phrase_op(self, tokens, idx, go_reverse=False, phrases=None):
+        """Returns (cmp, tokens_count, new_idx) or None."""
+        if phrases is None:
+            phrases = self.phrase_comparison_types
+        if not phrases:
             return None
-        for words, cmp_type in self.phrase_comparison_types:
+        for words, cmp_type in phrases:
             if len(words) == 0:
                 continue
             res = (
@@ -731,6 +754,7 @@ class ComparisonMatcher:
 
     def get_matches(self, match_bag: MatchBag) -> Iterator[Match]:
         tokens = match_bag.statement.tokens
+        active = self._active_phrases(match_bag.statement)
         for left in list(match_bag.matches):
             if not self.left_part_predicate(left):
                 continue
@@ -785,7 +809,9 @@ class ComparisonMatcher:
                                     merged.score = (left.score + SCORE_MAYBE) / 2
                                 yield merged
                     else:
-                        phrase_res = self._match_phrase_op(tokens, i)
+                        phrase_res = self._match_phrase_op(
+                            tokens, i, phrases=active
+                        )
                         if phrase_res is not None:
                             cmp, cmp_tokens, i = phrase_res
                             i += 1
@@ -815,7 +841,9 @@ class ComparisonMatcher:
                     if math_res is not None:
                         cmp, i = math_res
                 elif right_prev.type in (NUMBER, WORD):
-                    phrase_res = self._match_phrase_op(tokens, i, go_reverse=True)
+                    phrase_res = self._match_phrase_op(
+                        tokens, i, go_reverse=True, phrases=active
+                    )
                     if phrase_res is not None:
                         cmp, cmp_tokens, i = phrase_res
                 if cmp > 0:

@@ -76,11 +76,25 @@ class Token:
 class TokenSequence:
     """Token array + token→index navigation (reference: TokenSequence.cs:22-114)."""
 
-    __slots__ = ("tokens", "_token_to_index")
+    __slots__ = ("tokens", "_token_to_index", "_value_set")
 
     def __init__(self, tokens):
         self.tokens: List[Token] = list(tokens)
         self._token_to_index = None
+        self._value_set = None
+
+    @property
+    def value_set(self):
+        """Lazy set of lowercased token values — the phrase-FSM
+        prescreen: an exact-phrase matcher whose first word is absent
+        from this set cannot match, so its NFA run is skipped entirely
+        (hot path: dictionaries compile to hundreds of phrase FSMs and
+        most phrases never occur in a given chunk)."""
+        vs = self._value_set
+        if vs is None:
+            vs = {t.value_lower for t in self.tokens}
+            self._value_set = vs
+        return vs
 
     @property
     def first_token(self) -> Optional[Token]:
