@@ -91,6 +91,17 @@ def options_from_dict(spec: Optional[Dict]) -> Options:
         opts.match_math_operators = bool(spec["match_math_operators"])
     if spec.get("date_month_tables") is not None:
         opts.date_month_tables = [list(t) for t in spec["date_month_tables"]]
+    # phrase-table passthrough (TableMatcherBuilder.cs:459-504 Options
+    # surface): date-offset and boolean-group trigger phrases are
+    # culture-configurable, mirroring the reference's public options
+    for key in (
+        "yesterday_phrases", "tomorrow_phrases", "today_phrases",
+        "this_month_phrases", "prev_month_phrases", "next_month_phrases",
+        "this_year_phrases", "prev_year_phrases", "next_year_phrases",
+        "group_and_phrases", "group_or_phrases",
+    ):
+        if spec.get(key) is not None:
+            setattr(opts, key, list(spec[key]))
     return opts
 
 

@@ -319,3 +319,29 @@ def test_pivot_without_bool_operators():
     assert r.columns == ["o_orderstatus"]
     assert r.rows == ["o_orderpriority"]
     assert '"Order Status":F' in r.filter and '"Order Status":O' in r.filter
+
+
+def test_culture_offset_and_group_phrases():
+    # phrase tables are culture-injectable like the reference Options
+    # (TableMatcherBuilder.cs:459-504): German 'gestern' resolves to the
+    # pinned yesterday date, 'oder' forms an OR group
+    spec = {"caption": "Orders", "name": "orders", "columns": [
+        {"caption": "Order Date", "name": "o_orderdate", "datatype": "date"},
+        {"caption": "Status", "name": "o_orderstatus", "datatype": "string",
+         "values": ["F", "O"]},
+    ]}
+    de = {**em.NL_OPTIONS, "yesterday_phrases": ["gestern"],
+          "group_or_phrases": ["oder"]}
+    conds = parse_conditions("orders placed gestern", [spec], de)
+    from nlquery_spark.kernel.matches import DateMatch, DateOffsetMatch
+
+    vals = [c.value for c in conds if c.column.name == "o_orderdate"]
+    assert vals and isinstance(vals[0], (DateMatch, DateOffsetMatch))
+    d = vals[0].to_date(2024, 1, 15) if isinstance(vals[0], DateOffsetMatch) else vals[0]
+    # parity: the replicated reference Day-branch bug (DateOffsetMatch.cs:61
+    # AddDays(Month.Value)) makes 'yesterday' phrases resolve to the base
+    # date itself — asserted as-is, see kernel/matches.py to_date docstring
+    assert (d.year, d.month, d.day) == (2024, 1, 15)
+    conds2 = parse_conditions("orders with status F oder O", [spec], de)
+    got = sorted(c.value.start.value for c in conds2 if c.column.name == "o_orderstatus")
+    assert got == ["F", "O"]
