@@ -285,3 +285,36 @@ def test_embedding_neardup_recall_vs_exact(spark):
     recall = len(got.keys() & exact.keys()) / len(exact)
     assert recall >= 0.95
     assert not (got.keys() - exact.keys())  # exact verify: no false positives
+
+
+def test_multimodal_resize_and_frames(spark):
+    from nlquery_spark.operators.multimodal import (
+        resize_images,
+        sample_frames,
+        synth_media,
+    )
+
+    media = synth_media(spark, 30)
+    resized = resize_images(media, 32, 32).collect()
+    n_images = media.filter(F.col("kind") == "image").count()
+    assert len(resized) == n_images and n_images > 0
+    assert all(r.meta.width == 32 and r.meta.height == 32 for r in resized)
+    assert all(len(r.payload) > 0 for r in resized)
+    # deterministic fake kernel: same input -> same bytes
+    again = {r.media_id: bytes(r.payload) for r in resize_images(synth_media(spark, 30), 32, 32).collect()}
+    for r in resized:
+        assert bytes(r.payload) == again[r.media_id]
+
+    frames = sample_frames(media, every_ms=400).collect()
+    vids = {r.media_id: r.meta.duration_ms
+            for r in media.filter(F.col("kind") == "video").collect()}
+    by_vid = {}
+    for f in frames:
+        by_vid.setdefault(f.media_id, []).append(f)
+    assert set(by_vid) == {m for m, d in vids.items() if d and d > 0}
+    import math
+    for mid, fl in by_vid.items():
+        # REAL sampling plan from metadata: ceil(duration/every) frames
+        assert len(fl) == math.ceil(vids[mid] / 400)
+        assert sorted(f.ts_ms for f in fl) == [i * 400 for i in range(len(fl))]
+        assert sorted(f.frame_idx for f in fl) == list(range(len(fl)))
