@@ -298,12 +298,19 @@ def _emb_cosine_jvm(spark, sf_dir):
 
 _EMB_COSINE_SQL = """
 WITH q AS (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qe
-           FROM embeddings WHERE vec_id = 0)
-SELECT e.vec_id,
-       ROUND(list_cosine_similarity(
-         list_transform(e.embedding, x -> CAST(x AS DOUBLE)), q.qe), 6) AS cos_sim
-FROM embeddings e, q WHERE e.vec_id <> 0
-ORDER BY cos_sim DESC, e.vec_id LIMIT 10
+           FROM embeddings WHERE vec_id = 0),
+c AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ce
+      FROM embeddings WHERE vec_id <> 0)
+SELECT vec_id,
+  -- mirrors functions/vectors.cosine exactly: denom as a PRODUCT of the
+  -- two norms (not sqrt of the product), zero denom -> 0.0
+  ROUND(CASE WHEN sqrt(list_dot_product(ce, ce)) * sqrt(list_dot_product(qe, qe)) = 0
+             THEN 0.0
+             ELSE list_dot_product(ce, qe)
+                  / (sqrt(list_dot_product(ce, ce)) * sqrt(list_dot_product(qe, qe)))
+        END, 6) AS cos_sim
+FROM c, q
+ORDER BY cos_sim DESC, vec_id LIMIT 10
 """
 
 
@@ -325,7 +332,9 @@ def _streaming_extract(spark, sf_dir):
     synth_pages(spark, 200).write.mode("overwrite").parquet(src)
     stream = read_pages_stream(spark, src, max_files_per_trigger=4)
     q = triples_to_sink(extract_triples(stream, [orders_schema_spec()]), out, ckpt, trigger_once=True)
-    q.awaitTermination(300)
+    if not q.awaitTermination(300):
+        q.stop()
+        raise RuntimeError("streaming_extract did not finish within 300s")
     return spark.read.parquet(out).select("subj", "pred", "obj")
 
 
@@ -767,11 +776,19 @@ def _doc_token_stats(spark, sf_dir):
 
 
 _DOC_TOKEN_SQL = r"""
-SELECT doc_id,
-  len(string_split_regex(trim(text), '\s+')) AS n_tokens,
-  ROUND(CAST(len(replace(trim(text), ' ', '')) AS DOUBLE)
-        / len(string_split_regex(trim(text), '\s+')), 6) AS avg_token_len
-FROM documents
+WITH t AS (
+  SELECT doc_id,
+    -- empty-text guard mirrors tokens() (blank -> [] not ['']); the
+    -- numerator strips EVERY whitespace char = sum of token lengths
+    CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+         ELSE string_split_regex(trim(text), '[ \t\n\x0B\f\r]+') END AS w,
+    length(regexp_replace(text, '[ \t\n\x0B\f\r]', '', 'g')) AS n_chars
+  FROM documents
+)
+SELECT doc_id, len(w) AS n_tokens,
+  ROUND(CASE WHEN len(w) > 0 THEN CAST(n_chars AS DOUBLE) / len(w)
+             ELSE 0.0 END, 6) AS avg_token_len
+FROM t
 """
 
 
@@ -794,12 +811,19 @@ def _quality_sql() -> str:
     stoplist = ", ".join(f"'{w}'" for w in EN_STOPWORDS)
     return rf"""
 WITH t AS (
-  SELECT doc_id, text, string_split_regex(trim(text), '\s+') AS w FROM documents
+  SELECT doc_id, text,
+    CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+         ELSE string_split_regex(trim(text), '[ \t\n\x0B\f\r]+') END AS w
+  FROM documents
 ), m AS (
   SELECT doc_id,
     len(w) AS n_tokens,
-    CAST(len(list_filter(w, x -> list_contains([{stoplist}], lower(x)))) AS DOUBLE) / len(w) AS sr,
-    CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) / length(text) AS ar
+    CASE WHEN len(w) > 0
+         THEN CAST(len(list_filter(w, x -> list_contains([{stoplist}], lower(x)))) AS DOUBLE) / len(w)
+         ELSE 0.0 END AS sr,
+    CASE WHEN length(text) > 0
+         THEN CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) / length(text)
+         ELSE 0.0 END AS ar
   FROM t
 )
 SELECT doc_id, n_tokens, ROUND(sr, 6) AS stopword_ratio, ROUND(ar, 6) AS alpha_ratio,
@@ -825,7 +849,7 @@ def _lang_sql() -> str:
     return rf"""
 WITH t AS (
   SELECT doc_id,
-    list_transform(string_split_regex(trim(text), '\s+'), x -> lower(x)) AS w
+    list_transform(string_split_regex(trim(text), '[ \t\n\x0B\f\r]+'), x -> lower(x)) AS w
   FROM documents
 ), h AS (
   SELECT doc_id,
@@ -853,7 +877,7 @@ def _doc_fingerprint(spark, sf_dir):
 _FINGERPRINT_SQL = r"""
 SELECT doc_id,
   md5(array_to_string(list_sort(list_distinct(
-    list_transform(string_split_regex(trim(text), '\s+'), x -> lower(x)))), ' ')) AS fingerprint
+    list_transform(string_split_regex(trim(text), '[ \t\n\x0B\f\r]+'), x -> lower(x)))), ' ')) AS fingerprint
 FROM documents
 """
 
@@ -890,7 +914,7 @@ def _dedup_ngram_jaccard(spark, sf_dir):
 
 _JACCARD_SQL = r"""
 WITH t AS (
-  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS w
+  SELECT doc_id, string_split_regex(trim(lower(text)), '[ \t\n\x0B\f\r]+') AS w
   FROM documents WHERE doc_id < 120
 ), sh0 AS (
   SELECT DISTINCT doc_id, s FROM (
@@ -915,7 +939,7 @@ SELECT id_a, id_b,
 FROM common
 JOIN sizes sa ON sa.doc_id = id_a
 JOIN sizes sb ON sb.doc_id = id_b
-WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.12
+WHERE ROUND(CAST(c AS DOUBLE) / (sa.n + sb.n - c), 6) >= 0.12
 """
 
 
@@ -946,7 +970,7 @@ WITH t AS (
   SELECT doc_id,
     len(regexp_extract_all(text, '{pat}')) AS n_subwords,
     CASE WHEN length(trim(text)) = 0 THEN 0
-         ELSE len(string_split_regex(trim(text), '\s+')) END AS n_words
+         ELSE len(string_split_regex(trim(text), '[ \t\n\x0B\f\r]+')) END AS n_words
   FROM documents
 )
 SELECT doc_id, CAST(n_subwords AS BIGINT) AS n_subwords,
@@ -988,16 +1012,22 @@ def _corpus_clean_sql() -> str:
 WITH ql AS (
   SELECT doc_id, text, len(w) AS n_tokens,
     ROUND((CASE WHEN len(w) BETWEEN 10 AND 100000 THEN 0.4 ELSE 0.0 END)
-      + LEAST(CAST(len(list_filter(w, x -> list_contains([{stoplist}], lower(x)))) AS DOUBLE) / len(w) * 2.0, 0.3)
-      + CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) / length(text) * 0.3, 6) AS quality
-  FROM (SELECT doc_id, text, string_split_regex(trim(text), '\s+') AS w
+      + LEAST(CASE WHEN len(w) > 0
+              THEN CAST(len(list_filter(w, x -> list_contains([{stoplist}], lower(x)))) AS DOUBLE) / len(w)
+              ELSE 0.0 END * 2.0, 0.3)
+      + CASE WHEN length(text) > 0
+             THEN CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) / length(text)
+             ELSE 0.0 END * 0.3, 6) AS quality
+  FROM (SELECT doc_id, text,
+          CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+               ELSE string_split_regex(trim(text), '[ \t\n\x0B\f\r]+') END AS w
         FROM documents WHERE doc_id < 120)
 ), base AS (
   SELECT doc_id, text, n_tokens, quality FROM ql
   WHERE quality >= 0.75
   QUALIFY ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1
 ), t AS (
-  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS w FROM base
+  SELECT doc_id, string_split_regex(trim(lower(text)), '[ \t\n\x0B\f\r]+') AS w FROM base
 ), sh0 AS (
   SELECT DISTINCT doc_id, s FROM (
     SELECT doc_id,
@@ -1019,7 +1049,7 @@ WITH ql AS (
   JOIN sizes sa ON sa.doc_id = p.id_a
   JOIN sizes sb ON sb.doc_id = p.id_b
   JOIN base b ON b.doc_id = p.id_b
-  WHERE CAST(p.c AS DOUBLE) / (sa.n + sb.n - p.c) >= 0.12
+  WHERE ROUND(CAST(p.c AS DOUBLE) / (sa.n + sb.n - p.c), 6) >= 0.12
 )
 SELECT base.doc_id, CAST(n_tokens AS BIGINT) AS n_tokens, quality
 FROM base ANTI JOIN nd ON base.doc_id = nd.doc_id
@@ -1041,7 +1071,7 @@ def _gazetteer_sql() -> str:
     lst = ", ".join(f"'{w}'" for w in GAZETTEER)
     return rf"""
 SELECT doc_id, t AS token, COUNT(*) AS n_mentions FROM (
-  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS t
+  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '[ \t\n\x0B\f\r]+')) AS t
   FROM documents
 ) WHERE t IN ({lst})
 GROUP BY doc_id, t
@@ -1054,14 +1084,9 @@ def _gazetteer_topk_entities(spark, sf_dir):
     aggregate; the batched link stage of the KG pipeline is the same
     rank-per-anchor pattern over kernel mentions — see
     operators/linker.py)."""
-    docs = _load(spark, sf_dir, "documents")["documents"]
-    toks = F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("token")
-    counts = (
-        docs.select("doc_id", toks)
-        .filter(F.col("token").isin(GAZETTEER))
-        .groupBy("doc_id", "token")
-        .agg(F.count(F.lit(1)).alias("n_mentions"))
-    )
+    # single source for the mention-count block: the tokenization
+    # convention must not fork between the two gazetteer queries
+    counts = _gazetteer_mentions(spark, sf_dir)
     w = Window.partitionBy("doc_id").orderBy(
         F.desc("n_mentions"), F.asc("token")
     )
@@ -1077,7 +1102,7 @@ def _gazetteer_topk_sql() -> str:
     return rf"""
 WITH counts AS (
   SELECT doc_id, t AS token, COUNT(*) AS n_mentions FROM (
-    SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS t
+    SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '[ \t\n\x0B\f\r]+')) AS t
     FROM documents
   ) WHERE t IN ({lst})
   GROUP BY doc_id, t
@@ -1186,13 +1211,16 @@ def _minhash_sql() -> str:
     )
     return rf"""
 WITH t AS (
-  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS w
+  SELECT doc_id, string_split_regex(trim(lower(text)), '[ \t\n\x0B\f\r]+') AS w
   FROM documents WHERE doc_id < 200
+), tf AS (
+  -- python side filters empty tokens (ws.split + truthy filter)
+  SELECT doc_id, list_filter(w, x -> x <> '') AS w FROM t
 ), sh AS (
   SELECT DISTINCT doc_id, s FROM (
     SELECT doc_id,
       unnest(list_transform(generate_series(1, len(w) - 1), i -> w[i] || ' ' || w[i+1])) AS s
-    FROM t WHERE len(w) >= 2
+    FROM tf WHERE len(w) >= 2
   )
 ), hv AS (
   SELECT doc_id, ('0x' || substr(md5(s), 1, 16))::UBIGINT AS h FROM sh
@@ -1239,7 +1267,7 @@ def _dedup_simhash(spark, sf_dir):
 _SIMHASH_SQL = r"""
 WITH toks AS (
   SELECT doc_id,
-    unnest(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+    unnest(list_filter(string_split_regex(trim(lower(text)), '[ \t\n\x0B\f\r]+'),
                        x -> x <> '')) AS tok
   FROM documents WHERE doc_id < 200
 ), th AS (

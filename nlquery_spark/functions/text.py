@@ -27,8 +27,13 @@ def token_count(text: Column) -> Column:
 # pattern's trailing-space lookahead `\s+(?!\S)` is dropped because RE2
 # has no lookahead — whitespace runs still form single tokens, so counts
 # stay within ~1% of the upstream tokenizer on prose while remaining
-# engine-portable and exactly reproducible in the oracle.
-BPE_PRETOKEN_PATTERN = r"'(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"
+# engine-portable and exactly reproducible in the oracle. Whitespace is
+# an EXPLICIT class because Java \s includes \x0B while RE2 \s does not.
+_WS = r" \t\n\x0B\f\r"
+BPE_PRETOKEN_PATTERN = (
+    r"'(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+"
+    rf"| ?[^{_WS}\p{{L}}\p{{N}}]+|[{_WS}]+"
+)
 
 
 def subword_tokens(text: Column) -> Column:

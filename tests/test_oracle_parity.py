@@ -79,3 +79,68 @@ def test_rows_only_queries_run(spark, name):
 def test_entry_smoke(spark):
     df = entry_mod.entry(spark)
     assert df.count() > 0
+
+
+# ------------------------------------------------ adversarial fixture --
+
+_NASTY_TEXTS = [
+    (0, ""),                             # empty
+    (1, "   "),                          # spaces only (trim -> empty)
+    (2, "\t\t"),                         # tabs only (trim keeps them)
+    (3, "a\tb\nc\x0bd e"),               # tab/newline/vertical-tab gaps
+    (4, "  leading and trailing  "),
+    (5, "normal text with the usual stopword mix and more words here ok"),
+    (6, "dup dup dup dup body text"),
+    (7, "dup dup dup dup body text"),    # exact duplicate of 6
+    (8, "café naïve nbsp bound unicode words"),
+    (9, "It's a test-case, with 42 token's and punctuation!"),
+]
+
+_NASTY_QUERIES = [
+    "doc_token_stats",
+    "doc_quality",
+    "doc_lang_id",
+    "doc_fingerprint",
+    "doc_subword_stats",
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "dedup_minhash",
+    "corpus_clean",
+    "gazetteer_mentions",
+    "gazetteer_topk_entities",
+]
+
+
+@pytest.fixture(scope="module")
+def nasty_sf(spark, tmp_path_factory):
+    """A documents table full of whitespace/unicode edge cases the
+    synthetic fixtures never contain — oracle parity must hold on
+    arbitrary corpora, not just the clean generator output."""
+    d = tmp_path_factory.mktemp("nasty")
+    rows = [(i, t, "en", f"src{i % 3}", len(t)) for i, t in _NASTY_TEXTS]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.mode("overwrite").parquet(str(d / "documents.parquet"))
+    return str(d)
+
+
+@pytest.mark.parametrize("name", _NASTY_QUERIES)
+def test_oracle_parity_on_adversarial_texts(spark, nasty_sf, name):
+    q = entry_mod.queries()[name]
+    sdf = q(spark, nasty_sf)
+    spark_rows = [tuple(r) for r in sdf.collect()]
+    spark_cols = list(sdf.columns)
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{nasty_sf}/documents.parquet/*.parquet')"
+    )
+    res = con.execute(entry_mod.oracle_sql()[name])
+    duck_cols = [d[0] for d in res.description]
+    duck_rows = res.fetchall()
+    assert sorted(spark_cols) == sorted(duck_cols), f"{name}: column names differ"
+    assert len(spark_rows) == len(duck_rows), f"{name}: row count differs"
+    s_vals, _ = _rows_to_multiset(spark_cols, spark_rows)
+    d_vals, _ = _rows_to_multiset(duck_cols, duck_rows)
+    assert s_vals == d_vals, f"{name}: values differ\nspark={s_vals}\nduck={d_vals}"
