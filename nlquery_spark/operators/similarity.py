@@ -276,13 +276,22 @@ def ivf_topk(
     mat /= np.linalg.norm(mat, axis=1, keepdims=True)
     rng = np.random.RandomState(seed)
     centroids = mat[rng.choice(len(mat), size=min(n_cells, len(mat)), replace=False)]
-    # one Lloyd refinement pass for stability (still deterministic)
-    assign = np.argmax(mat @ centroids.T, axis=1)
-    for c in range(len(centroids)):
-        members = mat[assign == c]
-        if len(members):
-            v = members.mean(axis=0)
-            centroids[c] = v / np.linalg.norm(v)
+    # a few Lloyd refinement passes (still deterministic; converges on
+    # the sample in <10 rounds — better-shaped cells mean fewer probes
+    # for the same recall)
+    for _ in range(8):
+        assign = np.argmax(mat @ centroids.T, axis=1)
+        moved = False
+        for c in range(len(centroids)):
+            members = mat[assign == c]
+            if len(members):
+                v = members.mean(axis=0)
+                v = v / np.linalg.norm(v)
+                if not np.allclose(v, centroids[c]):
+                    centroids[c] = v
+                    moved = True
+        if not moved:
+            break
     bc = corpus.sparkSession.sparkContext.broadcast(centroids)
 
     cell_schema = StructType(

@@ -169,7 +169,9 @@ def test_ivf_topk_recall(embeddings):
         len(exact_sets[q] & approx_sets.get(q, set())) / len(exact_sets[q])
         for q in exact_sets
     ]
-    assert sum(recalls) / len(recalls) >= 0.5  # pruned search, partial recall ok
+    # pruned search trades recall for touching nprobe/n_cells of the
+    # data; refined (multi-pass Lloyd) centroids hold >= 0.7 here
+    assert sum(recalls) / len(recalls) >= 0.7
 
 
 def test_multimodal_plumbing(spark):
