@@ -132,3 +132,18 @@ def test_linker_prunes_to_url_text(spark, tmp_path):
     plan = df._jdf.queryExecution().executedPlan().toString()
     read_schema = plan.split("ReadSchema:")[-1].splitlines()[0]
     assert "html" not in read_schema and "text" in read_schema, read_schema
+
+
+def test_corpus_clean_pushdown_and_stage_order(spark, sf_dir):
+    """The doc_id predicate must reach the parquet scan, and the quality
+    gate must execute below (before) every shuffle — cheap narrowing
+    precedes the dedup window and the shingle join."""
+    df = em.queries()["corpus_clean"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [IsNotNull(doc_id), LessThan(doc_id,120)" in plan, plan
+    # the quality gate exists as a plan Filter and sits deeper in the
+    # printed tree than the topmost (final-stage) Exchange — i.e. it is
+    # not applied after the last shuffle
+    q_pos = plan.find(">= 0.75")
+    assert q_pos > 0, plan[:1500]
+    assert q_pos > plan.find("Exchange") > 0, plan[:1500]
