@@ -138,6 +138,10 @@ def test_corpus_clean_pushdown_and_stage_order(spark, sf_dir):
     """The doc_id predicate must reach the parquet scan, and the quality
     gate must execute below (before) every shuffle — cheap narrowing
     precedes the dedup window and the shingle join."""
+    # other tests may have cached the documents table session-wide, in
+    # which case the scan is an InMemoryTableScan and parquet pushdown
+    # can't appear — clear the cache so the assertion is deterministic
+    spark.catalog.clearCache()
     df = em.queries()["corpus_clean"](spark, sf_dir)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters: [IsNotNull(doc_id), LessThan(doc_id,120)" in plan, plan
