@@ -161,8 +161,10 @@ class ExactPhraseMatcher:
         # first-word screen: the FSM only ever advances on exact token
         # equality, so if word[0] is absent from the chunk's token-value
         # set the whole NFA run is a no-op — skip it (measured ~25% of
-        # extraction kernel time with dictionary-sized matcher lists)
-        if self._words_lower[0] not in match_bag.statement.value_set:
+        # extraction kernel time with dictionary-sized matcher lists).
+        # A wordless phrase (e.g. a numeric/punctuation-only config
+        # phrase) can never match: empty-guard before indexing word[0].
+        if not self._words_lower or self._words_lower[0] not in match_bag.statement.value_set:
             return iter(())
         if len(self.words) == 1:
             return self._match_single_word(match_bag.statement.tokens)

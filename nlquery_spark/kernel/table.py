@@ -726,7 +726,8 @@ class TableMatcherBuilder:
             proto = DateOffsetMatch(year=year, month=month, day=day)
             for phrase in phrases:
                 words = [t.value for t in tokenize(phrase) if t.type == WORD]
-                matchers.append(ExactPhraseMatcher(words, proto.clone))
+                if words:  # numeric/punct-only phrases compile to nothing
+                    matchers.append(ExactPhraseMatcher(words, proto.clone))
 
         o = self.opts
         add_offset(o.yesterday_phrases, 0, 0, -1)

@@ -207,6 +207,8 @@ def sample_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
     happens inside the Arrow batch, so executor memory sees one video
     payload plus its frames at a time, never the whole partition.
     """
+    if every_ms <= 0:
+        raise ValueError(f"every_ms must be positive, got {every_ms}")
 
     def run(batches) -> Iterator:
         import pandas as pd

@@ -35,8 +35,16 @@ def read_table(
     ``fmt`` is not given. CSV defaults to header=true + schema inference
     unless an explicit schema is passed (at scale always pass one — an
     inference pass reads the data twice)."""
+    lower = path.rstrip("/").lower()
+    # crawler outputs are routinely compressed text: strip known
+    # compression suffixes before the format match so e.g.
+    # logs.jsonl.gz dispatches to the json reader (which handles the
+    # codec transparently) instead of the parquet fallback
+    for comp in (".gz", ".bz2", ".zst", ".snappy", ".lz4", ".deflate"):
+        if lower.endswith(comp):
+            lower = lower[: -len(comp)]
+            break
     if fmt is None:
-        lower = path.rstrip("/").lower()
         for ext, f in _EXT_TO_FMT.items():
             if lower.endswith(ext):
                 fmt = f
@@ -48,7 +56,7 @@ def read_table(
         reader = reader.option("header", options.pop("header", "true"))
         if schema is None:
             reader = reader.option("inferSchema", "true")
-        if path.rstrip("/").lower().endswith(".tsv"):
+        if lower.endswith(".tsv"):
             reader = reader.option("sep", "\t")
     if schema is not None:
         reader = reader.schema(schema)
@@ -66,8 +74,17 @@ def compact_parquet(
     The 100-TB concern this serves: long-running partitioned sinks
     accumulate small files (one per task per trigger), and scan
     planning cost grows with file count. The rewrite stages into a
-    sibling directory and swaps via Hadoop FS rename, so a reader never
-    observes a half-compacted table; works on file://, hdfs://, s3a://.
+    sibling directory, then swaps it in with two Hadoop-FS renames.
+
+    Consistency contract — be honest about the limits: the swap is NOT
+    atomic. There is a window between the two renames where ``path``
+    does not exist (a concurrent reader gets FileNotFound and should
+    retry), and on object stores (s3a) rename itself is a copy. Run
+    compaction when the table has no concurrent readers, or use a table
+    format (Iceberg rewrite_data_files) for truly atomic compaction —
+    which is exactly what the Iceberg-cataloged pipeline path does.
+    On failure the original directory is rolled back and the staging
+    directory removed.
     """
     from ..plans.pipeline import _fs
 
@@ -82,9 +99,11 @@ def compact_parquet(
     old = path.rstrip("/") + "__compact_old"
     _, jp_old = _fs(spark, old)
     if not fs.rename(jp, jp_old):
+        fs_tmp.delete(jp_tmp, True)
         raise IOError(f"compact_parquet: could not stage {path}")
     if not fs_tmp.rename(jp_tmp, jp):
-        fs.rename(jp_old, jp)  # roll back
+        fs.rename(jp_old, jp)  # roll back the original
+        fs_tmp.delete(jp_tmp, True)
         raise IOError(f"compact_parquet: could not swap in {tmp}")
     fs.delete(jp_old, True)
     return n_files

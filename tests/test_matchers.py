@@ -321,3 +321,29 @@ def test_comparison_and_group():
                 bag.add(m)
                 grp_matches.append(m)
         assert ";".join(str(m) for m in grp_matches) == exp_grp, inp
+
+
+def test_exact_phrase_matcher_empty_words_is_noop():
+    """A phrase that tokenizes to zero WORD tokens (numeric/punct-only
+    config phrases) must yield nothing, not crash the first-word screen."""
+    from nlquery_spark.kernel.matchers import ExactPhraseMatcher
+    from nlquery_spark.kernel.matches import MatchBag, StubMatch
+    from nlquery_spark.kernel.tokenizer import tokenize
+    from nlquery_spark.kernel.tokens import TokenSequence
+
+    bag = MatchBag(TokenSequence(tokenize("any words at all")), [])
+    m = ExactPhraseMatcher([], lambda: StubMatch())
+    assert list(m.get_matches(bag)) == []
+
+
+def test_numeric_offset_phrase_does_not_crash_recognizer():
+    # options passthrough can inject phrases with no WORD tokens; the
+    # builder must skip them instead of compiling a crashing matcher
+    from nlquery_spark.operators.nlsql import parse_conditions
+
+    spec = {"caption": "Orders", "name": "orders", "columns": [
+        {"caption": "Order Date", "name": "o_orderdate", "datatype": "date"},
+    ]}
+    opts = {"yesterday_phrases": ["24", "!!"], "stop_words": []}
+    conds = parse_conditions("orders in 1995", [spec], opts)
+    assert isinstance(conds, list)

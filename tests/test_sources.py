@@ -39,3 +39,24 @@ def test_compact_parquet_reduces_files(spark, tmp_path):
     after = sorted(tuple(r) for r in spark.read.parquet(path).collect())
     assert before == after
     assert not glob.glob(f"{path}__compact_*")  # staging dirs cleaned
+
+
+def test_read_table_compressed_extension_dispatch(spark, tmp_path):
+    events = spark.read.parquet("/root/testdata/sf0.001/events.parquet").select(
+        "event_id", "event_type"
+    ).limit(50)
+    js = str(tmp_path / "e2.jsonl.gz")
+    events.write.option("compression", "gzip").json(js)
+    got = read_table(spark, js, schema=events.schema).select(*events.columns)
+    assert sorted(tuple(r) for r in got.collect()) == sorted(
+        tuple(r) for r in events.collect()
+    )
+
+
+def test_sample_frames_rejects_nonpositive_interval(spark):
+    import pytest as _pytest
+
+    from nlquery_spark.operators.multimodal import sample_frames, synth_media
+
+    with _pytest.raises(ValueError):
+        sample_frames(synth_media(spark, 3), every_ms=0)
