@@ -1181,6 +1181,22 @@ def _kg_extract_triples(spark, sf_dir):
     )
 
 
+def _kg_pagerank(spark, sf_dir):
+    """Graph-analytics pass over the materialized KG: PageRank on the
+    (subj -> obj) edge set — entity salience for downstream ranking.
+    Iterative DataFrame power iteration (not SQL-expressible -> rows
+    only); exactness is pytest-gated against dense numpy power
+    iteration (tests/test_pipeline.py)."""
+    from nlquery_spark.operators.canonicalize import pagerank
+
+    triples = _kg_extract_triples(spark, sf_dir)
+    edges = triples.select(F.col("subj").alias("src"), F.col("obj").alias("dst"))
+    # tol 1e-6 with rank rounded to 5: converged digits only, so the
+    # driver's rows check is stable while the loop stays ~10 rounds
+    ranks = pagerank(edges, tol=1e-6, max_iter=30)
+    return ranks.select("node", F.round("rank", 5).alias("rank"))
+
+
 def _dedup_minhash(spark, sf_dir):
     """MinHash-LSH near-dup, fully oracled: md5 shingle hashes +
     exact-integer universal hashing make the signatures reproducible in
@@ -1380,6 +1396,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "entity_link_topk": _entity_link_topk,
         "ann_cosine_topk": _ann_cosine_topk,
         "kg_extract_triples": _kg_extract_triples,
+        "kg_pagerank": _kg_pagerank,
         "dedup_minhash": _dedup_minhash,
         "dedup_simhash": _dedup_simhash,
         "dedup_embedding": _dedup_embedding,

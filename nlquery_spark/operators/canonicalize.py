@@ -266,3 +266,135 @@ def canonicalize_triples(
     ).withColumn("obj_canonical", F.coalesce("canonical_id", F.col(obj_col))).drop(
         "canonical_id"
     )
+
+
+def pagerank(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    damping: float = 0.85,
+    max_iter: int = 20,
+    tol: float = 1e-6,
+    driver_max_graph: int = 2_000_000,
+    metrics: Optional[dict] = None,
+) -> DataFrame:
+    """(node, rank) PageRank over a directed edge DataFrame — the
+    graph-analytics pass over the materialized (subj -> obj) KG edges
+    (e.g. entity salience for downstream ranking).
+
+    Adaptive like connected_components: under ``driver_max_graph``
+    nodes+edges the power iteration runs as a driver-side sparse numpy
+    loop (a distributed shuffle per round for a dictionary-sized graph
+    is pure overhead); above it, a pure DataFrame power iteration —
+    one shuffle per round (join on src + agg on dst), per-round
+    localCheckpoint bounding lineage. Both paths use the same
+    formulation (uniform dangling-mass redistribution; ranks sum to 1)
+    and are verified equal to dense numpy power iteration in tests.
+    Stops when the L1 delta drops under ``tol`` or at ``max_iter``
+    (recorded in ``metrics``; warns if not converged, same
+    no-silent-failure contract as connected_components).
+    """
+    e = (
+        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n = nodes.count()
+    if n == 0:
+        return nodes.withColumn("rank", F.lit(0.0))
+    n_edges = e.count()
+    if n + n_edges <= driver_max_graph:
+        import numpy as np
+
+        names = sorted(r.node for r in nodes.toLocalIterator())
+        idx = {nm: i for i, nm in enumerate(names)}
+        src_i = np.empty(n_edges, dtype=np.int64)
+        dst_i = np.empty(n_edges, dtype=np.int64)
+        for k, r in enumerate(e.toLocalIterator()):
+            src_i[k], dst_i[k] = idx[r.src], idx[r.dst]
+        out_deg_v = np.bincount(src_i, minlength=n).astype(np.float64)
+        r_vec = np.full(n, 1.0 / n)
+        delta = float("inf")
+        iters = 0
+        dangling_mask = out_deg_v == 0
+        for iters in range(1, max_iter + 1):
+            contrib = np.zeros(n)
+            w = r_vec[src_i] / out_deg_v[src_i]
+            np.add.at(contrib, dst_i, w)
+            dangling = r_vec[dangling_mask].sum()
+            new_r = (1.0 - damping) / n + damping * (contrib + dangling / n)
+            delta = float(np.abs(new_r - r_vec).sum())
+            r_vec = new_r
+            if delta < tol:
+                break
+        if metrics is not None:
+            metrics["pagerank_iterations"] = iters
+            metrics["pagerank_delta"] = delta
+            metrics["pagerank_converged"] = delta < tol
+        if delta >= tol:
+            warnings.warn(
+                f"pagerank hit max_iter={max_iter} with L1 delta {delta:.2e} "
+                f">= tol {tol:.0e}; ranks are NOT converged.",
+                RuntimeWarning,
+                stacklevel=2,
+            )
+        return edges.sparkSession.createDataFrame(
+            [(nm, float(r_vec[idx[nm]])) for nm in names], "node string, rank double"
+        )
+    out_deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg")).withColumnRenamed(
+        "src", "deg_node"
+    )
+    ranks = nodes.withColumn("rank", F.lit(1.0 / n)).localCheckpoint(eager=True)
+    delta = float("inf")
+    iters = 0
+    for iters in range(1, max_iter + 1):
+        with_deg = ranks.join(
+            out_deg, ranks.node == out_deg.deg_node, "left"
+        ).select("node", "rank", "deg")
+        contribs = (
+            with_deg.filter(F.col("deg").isNotNull())
+            .join(e, F.col("node") == F.col("src"))
+            .groupBy(F.col("dst").alias("node2"))
+            .agg(F.sum(F.col("rank") / F.col("deg")).alias("contrib"))
+        )
+        # dangling mass: ranks of nodes with no out-edges, spread evenly
+        dangling = (
+            with_deg.filter(F.col("deg").isNull()).agg(F.sum("rank")).first()[0]
+            or 0.0
+        )
+        base = (1.0 - damping) / n + damping * dangling / n
+        new_ranks = (
+            nodes.join(contribs, nodes.node == F.col("node2"), "left")
+            .select(
+                "node",
+                (F.lit(base) + F.lit(damping) * F.coalesce(F.col("contrib"), F.lit(0.0))).alias("rank"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        delta = (
+            new_ranks.alias("a")
+            .join(ranks.alias("b"), "node")
+            .agg(F.sum(F.abs(F.col("a.rank") - F.col("b.rank"))))
+            .first()[0]
+        )
+        ranks = new_ranks
+        if delta < tol:
+            break
+    if metrics is not None:
+        metrics["pagerank_iterations"] = iters
+        metrics["pagerank_delta"] = float(delta)
+        metrics["pagerank_converged"] = delta < tol
+    if delta >= tol:
+        warnings.warn(
+            f"pagerank hit max_iter={max_iter} with L1 delta {delta:.2e} >= "
+            f"tol {tol:.0e}; ranks are NOT converged.",
+            RuntimeWarning,
+            stacklevel=2,
+        )
+    return ranks

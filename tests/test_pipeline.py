@@ -192,3 +192,73 @@ def test_dist_zip_matches_source():
         name = str(p)
         assert name in znames, f"missing from zip: {name}"
         assert zp.read(name) == p.read_bytes(), f"stale in zip: {name}"
+
+
+def test_pagerank_matches_numpy_power_iteration(spark):
+    import numpy as np
+
+    from nlquery_spark.operators.canonicalize import pagerank
+
+    rng = np.random.RandomState(5)
+    n = 40
+    edges = set()
+    while len(edges) < 120:
+        a, b = rng.randint(0, n, size=2)
+        if a != b:
+            edges.add((f"n{a:02d}", f"n{b:02d}"))
+    edf = spark.createDataFrame(sorted(edges), "src string, dst string")
+    m = {}
+    got = {r.node: r.rank for r in pagerank(edf, max_iter=60, tol=1e-10, metrics=m).collect()}
+    assert m["pagerank_converged"]
+    # both adaptive paths (driver numpy loop / distributed DataFrame
+    # loop) must produce the same ranks
+    m_dist = {}
+    got_dist = {
+        r.node: r.rank
+        for r in pagerank(
+            edf, max_iter=60, tol=1e-10, driver_max_graph=0, metrics=m_dist
+        ).collect()
+    }
+    assert m_dist["pagerank_converged"]
+    for k in got:
+        assert abs(got[k] - got_dist[k]) < 1e-9, k
+
+    # dense reference: same damping + uniform dangling redistribution
+    names = sorted({x for e in edges for x in e})
+    idx = {nm: i for i, nm in enumerate(names)}
+    N = len(names)
+    out = np.zeros(N)
+    A = np.zeros((N, N))
+    for a, b in edges:
+        A[idx[b], idx[a]] += 1.0
+        out[idx[a]] += 1.0
+    col = A.copy()
+    for j in range(N):
+        if out[j] > 0:
+            col[:, j] /= out[j]
+    r = np.full(N, 1.0 / N)
+    d = 0.85
+    for _ in range(200):
+        dangling = r[out == 0].sum()
+        r = (1 - d) / N + d * (col @ r) + d * dangling / N
+    for nm in names:
+        assert abs(got[nm] - r[idx[nm]]) < 1e-8, nm
+    assert abs(sum(got.values()) - 1.0) < 1e-9
+
+
+def test_pagerank_warns_when_not_converged(spark):
+    import warnings as w
+
+    from nlquery_spark.operators.canonicalize import pagerank
+
+    # asymmetric chain (a ring is stationary at uniform and would
+    # converge in one step): rank mass flows toward the dangling tail
+    edf = spark.createDataFrame(
+        [(f"n{i}", f"n{i+1}") for i in range(11)], "src string, dst string"
+    )
+    m = {}
+    with w.catch_warnings(record=True) as rec:
+        w.simplefilter("always")
+        pagerank(edf, max_iter=1, tol=1e-12, metrics=m).count()
+    assert m["pagerank_converged"] is False
+    assert any("NOT converged" in str(x.message) for x in rec)
