@@ -687,6 +687,58 @@ FROM s GROUP BY user_id, session_id
 """
 
 
+def _purchase_attribution(spark, sf_dir):
+    """AS-OF JOIN surface (an operator Spark's SQL lacks, composed from
+    union + window — operators/asof.py): every purchase event attributed
+    to the user's latest view event at or before it. Oracled against
+    DuckDB's native ASOF JOIN. Timestamps carry micros -> serialized as
+    canonical strings on both sides (the sessionize lesson)."""
+    from nlquery_spark.operators.asof import asof_join
+
+    ev = _load(spark, sf_dir, "events")["events"]
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    views = (
+        ev.filter(F.col("event_type") == "view")
+        # deterministic right side: unique (user, ts), keep max event_id
+        .groupBy("user_id", F.col("ts").alias("vts"))
+        .agg(F.max("event_id").alias("view_event_id"))
+    )
+    j = asof_join(
+        purchases, views, on="user_id", left_time="ts", right_time="vts",
+        right_cols=["vts", "view_event_id"],
+    )
+    gap = (
+        F.col("ts").cast("timestamp_ltz").cast("long")
+        - F.col("vts").cast("timestamp_ltz").cast("long")
+    )
+    return j.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("purchase_ts"),
+        "view_event_id",
+        F.date_format("vts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("view_ts"),
+        gap.cast("long").alias("gap_sec"),
+    )
+
+
+_ASOF_SQL = """
+WITH p AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+), v AS (
+  SELECT user_id, ts AS vts, MAX(event_id) AS view_event_id
+  FROM events WHERE event_type = 'view' GROUP BY user_id, ts
+)
+SELECT p.event_id, p.user_id,
+  strftime(p.ts, '%Y-%m-%d %H:%M:%S.%f') AS purchase_ts,
+  v.view_event_id,
+  strftime(v.vts, '%Y-%m-%d %H:%M:%S.%f') AS view_ts,
+  CAST(date_diff('second', v.vts, p.ts) AS BIGINT) AS gap_sec
+FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.ts >= v.vts
+"""
+
+
 def _orders_with_returns(spark, sf_dir):
     """Semi-join (EXISTS): orders having at least one returned lineitem,
     counted by priority."""
@@ -1380,6 +1432,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "order_priority_rollup": _order_priority_rollup,
         "part_setops_98_not_99": _part_supplier_setops,
         "events_sessionize": _events_sessionize,
+        "purchase_attribution": _purchase_attribution,
         "orders_with_returns": _orders_with_returns,
         "promo_revenue_share": _promo_revenue_share,
         "daily_active_users": _daily_active_users,
@@ -1426,6 +1479,7 @@ def oracle_sql() -> dict[str, str]:
         "order_priority_rollup": _ROLLUP_SQL,
         "part_setops_98_not_99": _SETOPS_SQL,
         "events_sessionize": _SESSIONIZE_SQL,
+        "purchase_attribution": _ASOF_SQL,
         "orders_with_returns": _SEMI_SQL,
         "promo_revenue_share": _PROMO_SQL,
         "daily_active_users": _DAU_SQL,

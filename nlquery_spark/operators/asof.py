@@ -1,0 +1,69 @@
+"""As-of join: each left row matched to the latest right row at or
+before its timestamp, per key — the canonical example of an operator
+Spark's SQL surface lacks, composed from built-ins instead of dropping
+to Python.
+
+Composition (the "union trick"): tag both sides, union them, sort each
+key's partition once by (time, side), and carry the right-side payload
+forward with ``last(..., ignorenulls=True)`` over an unbounded-preceding
+window; left rows then read their as-of match from the filled columns.
+
+Scale posture: ONE shuffle on the key (the union sorts within the
+window's partitions) versus the naive range-join formulation, which
+Spark plans as a broadcast nested loop or a cartesian-with-filter. Skew
+on hot keys is the same exposure as any keyed window (salt upstream if
+one key dominates). Ties: a right row exactly at the left row's time IS
+matched (<=); multiple right rows with identical (key, time) are not
+ordered — pre-dedupe the right side per (key, time) for deterministic
+output (the driver query does).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_time: str,
+    right_time: str,
+    right_cols: Sequence[str],
+) -> DataFrame:
+    """Left as-of join: all left columns plus ``right_cols`` from the
+    latest right row with ``right_time <= left_time`` for the same
+    ``on`` key (null when no such row exists)."""
+    left_cols = left.columns
+    payload = [c for c in right_cols if c != on]
+    l_tag = left.select(
+        F.col(on).alias("_k"),
+        F.col(left_time).alias("_t"),
+        F.lit(1).alias("_side"),
+        *[F.col(c).alias(f"_l_{c}") for c in left_cols],
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"_r_{c}") for c in payload],
+    )
+    r_tag = right.select(
+        F.col(on).alias("_k"),
+        F.col(right_time).alias("_t"),
+        F.lit(0).alias("_side"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(f"_l_{c}") for c in left_cols],
+        *[F.col(c).alias(f"_r_{c}") for c in payload],
+    )
+    # right rows sort BEFORE left rows at equal time -> <= semantics
+    w = Window.partitionBy("_k").orderBy("_t", "_side").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    filled = l_tag.unionByName(r_tag).select(
+        "*",
+        *[
+            F.last(F.col(f"_r_{c}"), ignorenulls=True).over(w).alias(f"_f_{c}")
+            for c in payload
+        ],
+    )
+    return filled.filter(F.col("_side") == 1).select(
+        *[F.col(f"_l_{c}").alias(c) for c in left_cols],
+        *[F.col(f"_f_{c}").alias(c) for c in payload],
+    )

@@ -1,0 +1,53 @@
+"""As-of join: semantics vs pandas merge_asof (independent reference)."""
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from nlquery_spark.operators.asof import asof_join
+
+
+def test_asof_join_matches_pandas_merge_asof(spark):
+    import numpy as np
+
+    rng = np.random.RandomState(9)
+    left_rows = [
+        (int(rng.randint(0, 6)), int(t), f"L{i}")
+        for i, t in enumerate(sorted(rng.randint(0, 1000, size=80)))
+    ]
+    right_rows = [
+        (int(rng.randint(0, 6)), int(t), float(i))
+        for i, t in enumerate(sorted(rng.randint(0, 1000, size=60)))
+    ]
+    # deterministic: unique (key, time) on the right
+    seen = set()
+    right_rows = [r for r in right_rows if not (r[:2] in seen or seen.add(r[:2]))]
+    left = spark.createDataFrame(left_rows, "k long, lt long, lval string")
+    right = spark.createDataFrame(right_rows, "k long, rt long, rval double")
+    got = {
+        (r.k, r.lt, r.lval): r.rval
+        for r in asof_join(left, right, on="k", left_time="lt",
+                           right_time="rt", right_cols=["rt", "rval"]).collect()
+    }
+    lp = pd.DataFrame(left_rows, columns=["k", "lt", "lval"]).sort_values("lt")
+    rp = pd.DataFrame(right_rows, columns=["k", "rt", "rval"]).sort_values("rt")
+    ref = pd.merge_asof(lp, rp, left_on="lt", right_on="rt", by="k",
+                        direction="backward", allow_exact_matches=True)
+    assert len(got) == len(left_rows)
+    for _, row in ref.iterrows():
+        want = None if pd.isna(row["rval"]) else row["rval"]
+        assert got[(row["k"], row["lt"], row["lval"])] == want, (row["k"], row["lt"])
+
+
+def test_asof_exact_time_tie_matches(spark):
+    left = spark.createDataFrame([(1, 100, "a")], "k long, lt long, lval string")
+    right = spark.createDataFrame([(1, 100, 7.0), (1, 99, 5.0)], "k long, rt long, rval double")
+    r = asof_join(left, right, "k", "lt", "rt", ["rval"]).collect()[0]
+    assert r.rval == 7.0  # <= semantics: same-instant right row matches
+
+
+def test_asof_no_prior_row_is_null(spark):
+    left = spark.createDataFrame([(1, 10, "a"), (2, 10, "b")], "k long, lt long, lval string")
+    right = spark.createDataFrame([(1, 50, 1.0)], "k long, rt long, rval double")
+    rows = {r.lval: r.rval for r in asof_join(left, right, "k", "lt", "rt", ["rval"]).collect()}
+    assert rows == {"a": None, "b": None}
