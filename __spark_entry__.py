@@ -687,6 +687,58 @@ FROM s GROUP BY user_id, session_id
 """
 
 
+def _event_session_assignment(spark, sf_dir):
+    """RANGE JOIN surface (points-in-intervals, bucketed equi-join
+    composition — operators/asof.py::range_join): every event assigned
+    to the session interval containing it. Intervals come from the same
+    30-min-gap sessionization the oracle recomputes in SQL; no
+    timestamps are emitted, so no serialization hazard."""
+    from nlquery_spark.operators.asof import range_join
+
+    events = _load(spark, sf_dir, "events")["events"].filter(
+        F.col("user_id") < 40
+    )
+    w_user = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    epoch = F.col("ts").cast("timestamp_ltz").cast("long")
+    gap = epoch - F.lag(epoch).over(w_user)
+    new_session = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    sessions = (
+        events.withColumn("session_id", F.sum(new_session).over(w_user).cast("long"))
+        .groupBy("user_id", "session_id")
+        .agg(F.min("ts").alias("s_start"), F.max("ts").alias("s_end"))
+    )
+    pts = events.select("event_id", "user_id", "ts")
+    assigned = range_join(
+        pts, sessions, on="user_id", point_time="ts",
+        start_col="s_start", end_col="s_end", bucket="1 hour",
+    )
+    return assigned.select("event_id", "user_id", "session_id")
+
+
+_RANGE_JOIN_SQL = """
+WITH e AS (
+  SELECT event_id, user_id, ts FROM events WHERE user_id < 40
+), g AS (
+  SELECT user_id, event_id, ts,
+    CASE WHEN lag(ts) OVER w IS NULL
+           OR date_diff('second', lag(ts) OVER w, ts) > 1800
+         THEN 1 ELSE 0 END AS new_session
+  FROM e
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), s AS (
+  SELECT *, CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+  FROM g
+), iv AS (
+  SELECT user_id, session_id, MIN(ts) AS s_start, MAX(ts) AS s_end
+  FROM s GROUP BY user_id, session_id
+)
+SELECT e.event_id, e.user_id, iv.session_id
+FROM e JOIN iv ON e.user_id = iv.user_id
+              AND e.ts BETWEEN iv.s_start AND iv.s_end
+"""
+
+
 def _purchase_attribution(spark, sf_dir):
     """AS-OF JOIN surface (an operator Spark's SQL lacks, composed from
     union + window — operators/asof.py): every purchase event attributed
@@ -1433,6 +1485,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "part_setops_98_not_99": _part_supplier_setops,
         "events_sessionize": _events_sessionize,
         "purchase_attribution": _purchase_attribution,
+        "event_session_assignment": _event_session_assignment,
         "orders_with_returns": _orders_with_returns,
         "promo_revenue_share": _promo_revenue_share,
         "daily_active_users": _daily_active_users,
@@ -1480,6 +1533,7 @@ def oracle_sql() -> dict[str, str]:
         "part_setops_98_not_99": _SETOPS_SQL,
         "events_sessionize": _SESSIONIZE_SQL,
         "purchase_attribution": _ASOF_SQL,
+        "event_session_assignment": _RANGE_JOIN_SQL,
         "orders_with_returns": _SEMI_SQL,
         "promo_revenue_share": _PROMO_SQL,
         "daily_active_users": _DAU_SQL,

@@ -67,3 +67,54 @@ def asof_join(
         *[F.col(f"_l_{c}").alias(c) for c in left_cols],
         *[F.col(f"_f_{c}").alias(c) for c in payload],
     )
+
+
+def range_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    on: str,
+    point_time: str,
+    start_col: str,
+    end_col: str,
+    bucket: str = "1 day",
+) -> DataFrame:
+    """Points-in-intervals join: every (point, interval) pair with the
+    same key and ``start <= t <= end`` — the second classic operator
+    Spark's planner lacks a fast path for (a naive range predicate
+    becomes a broadcast nested loop or cartesian+filter).
+
+    Composition: intervals explode into every time bucket they span,
+    points map to their single bucket, and the pair condition becomes an
+    EQUI-join on (key, bucket) plus an exact residual filter. A point's
+    bucket intersects a qualifying interval's bucket set exactly once,
+    so no dedup is needed. Choose ``bucket`` close to the typical
+    interval length: the explode factor is ~interval_len/bucket and the
+    false-candidate rate ~bucket/interval_len.
+    """
+    dur = F.expr(f"INTERVAL {bucket}")
+    p_epoch = F.col(point_time).cast("timestamp_ltz").cast("long")
+    s_epoch = F.col(start_col).cast("timestamp_ltz").cast("long")
+    e_epoch = F.col(end_col).cast("timestamp_ltz").cast("long")
+    # bucket width in seconds: computed as a DIFFERENCE so the session
+    # timezone cancels (evaluated once, driver-side)
+    ts0 = F.lit("2000-01-01 00:00:00").cast("timestamp_ltz")
+    width = (
+        points.sparkSession.range(1)
+        .select((ts0 + dur).cast("long") - ts0.cast("long"))
+        .first()[0]
+    )
+    p = points.withColumn("_bucket", F.floor(p_epoch / width))
+    iv = intervals.withColumn(
+        "_bucket",
+        F.explode(F.sequence(F.floor(s_epoch / width), F.floor(e_epoch / width))),
+    )
+    cond = (
+        (p[on] == iv[on])
+        & (p["_bucket"] == iv["_bucket"])
+        & (F.col(point_time) >= F.col(start_col))
+        & (F.col(point_time) <= F.col(end_col))
+    )
+    out_cols = [p[c] for c in points.columns] + [
+        iv[c] for c in intervals.columns if c != on
+    ]
+    return p.join(iv, cond).select(*out_cols)

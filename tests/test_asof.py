@@ -51,3 +51,45 @@ def test_asof_no_prior_row_is_null(spark):
     right = spark.createDataFrame([(1, 50, 1.0)], "k long, rt long, rval double")
     rows = {r.lval: r.rval for r in asof_join(left, right, "k", "lt", "rt", ["rval"]).collect()}
     assert rows == {"a": None, "b": None}
+
+
+def test_range_join_matches_naive_cross_filter(spark):
+    import numpy as np
+
+    rng = np.random.RandomState(4)
+    base = 1_700_000_000
+    points = [
+        (int(rng.randint(0, 5)), base + int(t), f"P{i}")
+        for i, t in enumerate(rng.randint(0, 10 * 86400, size=120))
+    ]
+    intervals = [
+        (int(rng.randint(0, 5)), base + int(s), base + int(s) + int(d), f"I{i}")
+        for i, (s, d) in enumerate(
+            zip(rng.randint(0, 9 * 86400, size=40), rng.randint(0, 3 * 86400, size=40))
+        )
+    ]
+    from nlquery_spark.operators.asof import range_join
+
+    p = spark.createDataFrame(points, "k long, pt long, pid string").select(
+        "k", F.timestamp_seconds(F.col("pt")).alias("pt"), "pid"
+    )
+    iv = spark.createDataFrame(intervals, "k long, s long, e long, iid string").select(
+        "k", F.timestamp_seconds(F.col("s")).alias("s"),
+        F.timestamp_seconds(F.col("e")).alias("e"), "iid"
+    )
+    for bucket in ("1 day", "6 hours"):
+        got = {
+            (r.pid, r.iid)
+            for r in range_join(p, iv, on="k", point_time="pt",
+                                start_col="s", end_col="e", bucket=bucket).collect()
+        }
+        naive = {
+            (r.pid, r.iid)
+            for r in p.alias("p").join(
+                iv.alias("i"),
+                (F.col("p.k") == F.col("i.k"))
+                & (F.col("p.pt") >= F.col("i.s"))
+                & (F.col("p.pt") <= F.col("i.e")),
+            ).collect()
+        }
+        assert got == naive and naive, bucket
