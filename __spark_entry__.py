@@ -739,6 +739,34 @@ FROM e JOIN iv ON e.user_id = iv.user_id
 """
 
 
+def _events_time_rollup(spark, sf_dir):
+    """Hypertable-style continuous aggregate (multi-grain time rollup in
+    one GROUPING SETS scan, operators/asof.py::time_rollup) — one
+    shuffle produces minute+hour+day resolutions together."""
+    from nlquery_spark.operators.asof import time_rollup
+
+    ev = _load(spark, sf_dir, "events")["events"]
+    return time_rollup(ev, "ts", "value")
+
+
+_TIME_ROLLUP_SQL = """
+WITH b AS (
+  SELECT value,
+    strftime(date_trunc('minute', ts), '%Y-%m-%d %H:%M:%S') AS b_minute,
+    strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS b_hour,
+    strftime(date_trunc('day', ts), '%Y-%m-%d %H:%M:%S') AS b_day
+  FROM events
+)
+SELECT
+  CASE WHEN b_minute IS NOT NULL THEN 'minute'
+       WHEN b_hour IS NOT NULL THEN 'hour' ELSE 'day' END AS grain,
+  COALESCE(b_minute, b_hour, b_day) AS bucket_ts,
+  COUNT(*) AS n_events,
+  CAST(SUM(CAST(value AS DECIMAL(10,2))) AS DOUBLE) AS sum_value
+FROM b GROUP BY GROUPING SETS ((b_minute), (b_hour), (b_day))
+"""
+
+
 def _purchase_attribution(spark, sf_dir):
     """AS-OF JOIN surface (an operator Spark's SQL lacks, composed from
     union + window — operators/asof.py): every purchase event attributed
@@ -1486,6 +1514,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessionize": _events_sessionize,
         "purchase_attribution": _purchase_attribution,
         "event_session_assignment": _event_session_assignment,
+        "events_time_rollup": _events_time_rollup,
         "orders_with_returns": _orders_with_returns,
         "promo_revenue_share": _promo_revenue_share,
         "daily_active_users": _daily_active_users,
@@ -1534,6 +1563,7 @@ def oracle_sql() -> dict[str, str]:
         "events_sessionize": _SESSIONIZE_SQL,
         "purchase_attribution": _ASOF_SQL,
         "event_session_assignment": _RANGE_JOIN_SQL,
+        "events_time_rollup": _TIME_ROLLUP_SQL,
         "orders_with_returns": _SEMI_SQL,
         "promo_revenue_share": _PROMO_SQL,
         "daily_active_users": _DAU_SQL,

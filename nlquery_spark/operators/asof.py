@@ -118,3 +118,40 @@ def range_join(
         iv[c] for c in intervals.columns if c != on
     ]
     return p.join(iv, cond).select(*out_cols)
+
+
+def time_rollup(
+    df: DataFrame,
+    time_col: str,
+    value_col: str,
+    grains: Sequence[str] = ("minute", "hour", "day"),
+) -> DataFrame:
+    """Hypertable-style continuous aggregate: multi-resolution time
+    rollups (count + sum per minute/hour/day bucket) computed in ONE
+    scan via GROUPING SETS — the batch analog of TimescaleDB continuous
+    aggregates. Each output row carries its grain, the bucket timestamp
+    (canonical string — engine-portable), and the aggregates; a
+    downstream dashboard reads whichever resolution it needs without
+    re-scanning raw data. One shuffle total (grouping sets share it);
+    at scale, write the result partitioned by grain so readers prune.
+    """
+    spark = df.sparkSession
+    view = f"_rollup_{abs(hash((time_col, value_col, tuple(grains)))) % 10**8}"
+    df.createOrReplaceTempView(view)
+    cols = ", ".join(
+        f"date_format(date_trunc('{g}', {time_col}), 'yyyy-MM-dd HH:mm:ss') AS b_{g}"
+        for g in grains
+    )
+    sets = ", ".join(f"(b_{g})" for g in grains)
+    grain_expr = "CASE " + " ".join(
+        f"WHEN b_{g} IS NOT NULL THEN '{g}'" for g in grains
+    ) + " END"
+    bucket_expr = "COALESCE(" + ", ".join(f"b_{g}" for g in grains) + ")"
+    out = spark.sql(f"""
+        SELECT {grain_expr} AS grain, {bucket_expr} AS bucket_ts,
+               COUNT(*) AS n_events,
+               CAST(SUM(CAST({value_col} AS DECIMAL(10,2))) AS DOUBLE) AS sum_value
+        FROM (SELECT {time_col}, {value_col}, {cols} FROM {view})
+        GROUP BY GROUPING SETS ({sets})
+    """)
+    return out
