@@ -1188,6 +1188,31 @@ FROM base ANTI JOIN nd ON base.doc_id = nd.doc_id
 """
 
 
+def _doc_heavy_hitters(spark, sf_dir):
+    """Count-Min-Sketch heavy hitters (operators/sketch.py): the sketch
+    prescreen never undercounts, so candidates superset the true
+    hitters and exact verification makes the output EXACT — hence a
+    plain HAVING oracle. At token universes of billions this shuffles
+    only plausible hitters instead of every distinct token."""
+    from nlquery_spark.operators.sketch import heavy_hitters
+
+    docs = _load(spark, sf_dir, "documents")["documents"]
+    toks = docs.select(
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("token")
+    )
+    return heavy_hitters(toks, threshold=400).select(
+        "token", F.col("n").cast("long").alias("n")
+    )
+
+
+_HEAVY_HITTERS_SQL = r"""
+SELECT t AS token, COUNT(*) AS n FROM (
+  SELECT unnest(string_split_regex(trim(lower(text)), '[ \t\n\x0B\f\r]+')) AS t
+  FROM documents
+) GROUP BY t HAVING COUNT(*) >= 400
+"""
+
+
 def _gazetteer_mentions(spark, sf_dir):
     docs = _load(spark, sf_dir, "documents")["documents"]
     toks = F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("token")
@@ -1526,6 +1551,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": _dedup_exact,
         "dedup_ngram_jaccard": _dedup_ngram_jaccard,
         "corpus_clean": _corpus_clean,
+        "doc_heavy_hitters": _doc_heavy_hitters,
         "gazetteer_mentions": _gazetteer_mentions,
         "gazetteer_topk_entities": _gazetteer_topk_entities,
         "entity_link_topk": _entity_link_topk,
@@ -1575,6 +1601,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": _DEDUP_EXACT_SQL,
         "dedup_ngram_jaccard": _JACCARD_SQL,
         "corpus_clean": _corpus_clean_sql(),
+        "doc_heavy_hitters": _HEAVY_HITTERS_SQL,
         "gazetteer_mentions": _gazetteer_sql(),
         "gazetteer_topk_entities": _gazetteer_topk_sql(),
         "ann_cosine_topk": _ANN_SQL,
