@@ -49,6 +49,18 @@ def _dec(col, prec: int = 10) -> "F.Column":
 
 GAZETTEER = ["spark", "table", "join", "query", "window", "hash", "scan", "batch"]
 
+
+def _doc_tokens(docs: DataFrame) -> DataFrame:
+    """(doc_id, token) — THE tokenization convention shared by every
+    token-level oracled query (gazetteer, heavy hitters): Java \\s+ ==
+    the explicit [ \\t\\n\\x0B\\f\\r]+ class the DuckDB oracles use. Keep
+    this in ONE place; a fork silently breaks Spark-vs-oracle parity for
+    some queries but not others."""
+    return docs.select(
+        "doc_id",
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("token"),
+    )
+
 DOCS_SCHEMA_SPEC = {
     # dictionary over the documents table's vocabulary: the flagship
     # KG-extraction dictionary (generalizes RecognizerTests.cs:52-103)
@@ -755,7 +767,7 @@ WITH b AS (
     strftime(date_trunc('minute', ts), '%Y-%m-%d %H:%M:%S') AS b_minute,
     strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS b_hour,
     strftime(date_trunc('day', ts), '%Y-%m-%d %H:%M:%S') AS b_day
-  FROM events
+  FROM events WHERE ts IS NOT NULL
 )
 SELECT
   CASE WHEN b_minute IS NOT NULL THEN 'minute'
@@ -1197,9 +1209,7 @@ def _doc_heavy_hitters(spark, sf_dir):
     from nlquery_spark.operators.sketch import heavy_hitters
 
     docs = _load(spark, sf_dir, "documents")["documents"]
-    toks = docs.select(
-        F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("token")
-    )
+    toks = _doc_tokens(docs).select("token")
     return heavy_hitters(toks, threshold=400).select(
         "token", F.col("n").cast("long").alias("n")
     )
@@ -1215,9 +1225,8 @@ SELECT t AS token, COUNT(*) AS n FROM (
 
 def _gazetteer_mentions(spark, sf_dir):
     docs = _load(spark, sf_dir, "documents")["documents"]
-    toks = F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("token")
     return (
-        docs.select("doc_id", toks)
+        _doc_tokens(docs)
         .filter(F.col("token").isin(GAZETTEER))
         .groupBy("doc_id", "token")
         .agg(F.count(F.lit(1)).alias("n_mentions"))

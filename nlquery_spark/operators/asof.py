@@ -35,37 +35,46 @@ def asof_join(
 ) -> DataFrame:
     """Left as-of join: all left columns plus ``right_cols`` from the
     latest right row with ``right_time <= left_time`` for the same
-    ``on`` key (null when no such row exists)."""
+    ``on`` key (null when no such row exists).
+
+    The right payload is carried as ONE struct (not per-column fills):
+    per-column ``last(ignorenulls)`` would tear values from different
+    right rows when payload columns are themselves nullable. Right rows
+    with a null ``right_time`` are meaningless for as-of ordering and
+    are dropped."""
     left_cols = left.columns
     payload = [c for c in right_cols if c != on]
+    r_struct_t = F.struct(*[F.col(c).alias(c) for c in payload])
     l_tag = left.select(
         F.col(on).alias("_k"),
         F.col(left_time).alias("_t"),
         F.lit(1).alias("_side"),
         *[F.col(c).alias(f"_l_{c}") for c in left_cols],
-        *[F.lit(None).cast(right.schema[c].dataType).alias(f"_r_{c}") for c in payload],
+        F.lit(None)
+        .cast(
+            "struct<"
+            + ",".join(f"{c}:{right.schema[c].dataType.simpleString()}" for c in payload)
+            + ">"
+        )
+        .alias("_r"),
     )
-    r_tag = right.select(
+    r_tag = right.filter(F.col(right_time).isNotNull()).select(
         F.col(on).alias("_k"),
         F.col(right_time).alias("_t"),
         F.lit(0).alias("_side"),
         *[F.lit(None).cast(left.schema[c].dataType).alias(f"_l_{c}") for c in left_cols],
-        *[F.col(c).alias(f"_r_{c}") for c in payload],
+        r_struct_t.alias("_r"),
     )
     # right rows sort BEFORE left rows at equal time -> <= semantics
     w = Window.partitionBy("_k").orderBy("_t", "_side").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
     filled = l_tag.unionByName(r_tag).select(
-        "*",
-        *[
-            F.last(F.col(f"_r_{c}"), ignorenulls=True).over(w).alias(f"_f_{c}")
-            for c in payload
-        ],
+        "*", F.last(F.col("_r"), ignorenulls=True).over(w).alias("_f")
     )
     return filled.filter(F.col("_side") == 1).select(
         *[F.col(f"_l_{c}").alias(c) for c in left_cols],
-        *[F.col(f"_f_{c}").alias(c) for c in payload],
+        *[F.col("_f").getField(c).alias(c) for c in payload],
     )
 
 
@@ -108,14 +117,16 @@ def range_join(
         "_bucket",
         F.explode(F.sequence(F.floor(s_epoch / width), F.floor(e_epoch / width))),
     )
+    # fully-qualified residual so shared column names between the two
+    # sides never bind ambiguously
     cond = (
         (p[on] == iv[on])
         & (p["_bucket"] == iv["_bucket"])
-        & (F.col(point_time) >= F.col(start_col))
-        & (F.col(point_time) <= F.col(end_col))
+        & (p[point_time] >= iv[start_col])
+        & (p[point_time] <= iv[end_col])
     )
     out_cols = [p[c] for c in points.columns] + [
-        iv[c] for c in intervals.columns if c != on
+        iv[c] for c in intervals.columns if c != on and c not in points.columns
     ]
     return p.join(iv, cond).select(*out_cols)
 
@@ -135,23 +146,34 @@ def time_rollup(
     re-scanning raw data. One shuffle total (grouping sets share it);
     at scale, write the result partitioned by grain so readers prune.
     """
-    spark = df.sparkSession
-    view = f"_rollup_{abs(hash((time_col, value_col, tuple(grains)))) % 10**8}"
-    df.createOrReplaceTempView(view)
-    cols = ", ".join(
-        f"date_format(date_trunc('{g}', {time_col}), 'yyyy-MM-dd HH:mm:ss') AS b_{g}"
-        for g in grains
+    # null timestamps cannot be bucketed: excluded on both engine sides
+    # (a NULL bucket is otherwise ambiguous with the grouping-set NULL
+    # marker and would emit one duplicate row per grain)
+    base = df.filter(F.col(time_col).isNotNull()).select(
+        F.col(value_col).alias("_v"),
+        *[
+            F.date_format(
+                F.date_trunc(g, F.col(time_col)), "yyyy-MM-dd HH:mm:ss"
+            ).alias(f"b_{g}")
+            for g in grains
+        ],
     )
-    sets = ", ".join(f"(b_{g})" for g in grains)
-    grain_expr = "CASE " + " ".join(
-        f"WHEN b_{g} IS NOT NULL THEN '{g}'" for g in grains
-    ) + " END"
-    bucket_expr = "COALESCE(" + ", ".join(f"b_{g}" for g in grains) + ")"
-    out = spark.sql(f"""
-        SELECT {grain_expr} AS grain, {bucket_expr} AS bucket_ts,
-               COUNT(*) AS n_events,
-               CAST(SUM(CAST({value_col} AS DECIMAL(10,2))) AS DOUBLE) AS sum_value
-        FROM (SELECT {time_col}, {value_col}, {cols} FROM {view})
-        GROUP BY GROUPING SETS ({sets})
-    """)
-    return out
+    # DataFrame-native grouping sets (no temp-view round trip): with
+    # null inputs excluded, a NULL bucket column identifies "not this
+    # grouping set" unambiguously
+    grouped = base.groupingSets(
+        [[F.col(f"b_{g}")] for g in grains],
+        *[F.col(f"b_{g}") for g in grains],
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("_v").cast("decimal(10,2)")).cast("double").alias("sum_value"),
+    )
+    grain = F.lit(None).cast("string")
+    for g in reversed(grains):
+        grain = F.when(F.col(f"b_{g}").isNotNull(), F.lit(g)).otherwise(grain)
+    return grouped.select(
+        grain.alias("grain"),
+        F.coalesce(*[F.col(f"b_{g}") for g in grains]).alias("bucket_ts"),
+        "n_events",
+        "sum_value",
+    )

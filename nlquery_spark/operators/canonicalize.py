@@ -296,6 +296,7 @@ def pagerank(
     """
     e = (
         edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+        .filter(F.col("src").isNotNull() & F.col("dst").isNotNull())
         .distinct()
         .localCheckpoint(eager=True)
     )
@@ -344,8 +345,18 @@ def pagerank(
                 RuntimeWarning,
                 stacklevel=2,
             )
+        # preserve the node id type so both adaptive paths return the
+        # same schema (e.g. bigint ids must not coerce to string)
+        from pyspark.sql.types import DoubleType, StructField, StructType
+
+        out_schema = StructType(
+            [
+                StructField("node", nodes.schema["node"].dataType, True),
+                StructField("rank", DoubleType(), False),
+            ]
+        )
         return edges.sparkSession.createDataFrame(
-            [(nm, float(r_vec[idx[nm]])) for nm in names], "node string, rank double"
+            [(nm, float(r_vec[idx[nm]])) for nm in names], out_schema
         )
     out_deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg")).withColumnRenamed(
         "src", "deg_node"

@@ -39,12 +39,13 @@ def _cms_params(eps: float, delta: float) -> Tuple[int, int]:
 
 
 def _row_hashes(token: str, d: int, w: int) -> np.ndarray:
-    # d independent 32-bit slices of one md5 (portable + deterministic)
-    h = hashlib.md5(token.encode()).digest()
+    # d INDEPENDENT hash functions: each row gets its own salted md5
+    # (slicing one digest would repeat functions once d*4 exceeds the
+    # digest length, silently inflating the per-row error probability)
     out = np.empty(d, dtype=np.int64)
     for i in range(d):
-        off = (i * 4) % 12
-        out[i] = int.from_bytes(h[off : off + 4], "little") % w
+        h = hashlib.md5(f"{i}:{token}".encode()).digest()
+        out[i] = int.from_bytes(h[:8], "little") % w
     return out
 
 
@@ -56,7 +57,14 @@ def heavy_hitters(
     delta: float = 1e-3,
 ) -> DataFrame:
     """(token, n) for every token occurring >= threshold times — EXACT
-    output via CMS prescreen + exact verification of candidates."""
+    output via CMS prescreen + exact verification of candidates.
+
+    The token lineage is consumed three times (sketch build, probe,
+    exact verify), so it is persisted here; callers re-deriving tokens
+    from raw documents would otherwise pay the scan three times."""
+    from pyspark import StorageLevel
+
+    tokens = tokens.select(token_col).persist(StorageLevel.MEMORY_AND_DISK)
     d, w = _cms_params(eps, delta)
 
     sketch_schema = StructType([StructField("table", BinaryType(), False)])
@@ -66,15 +74,16 @@ def heavy_hitters(
 
         table = np.zeros((d, w), dtype=np.int64)
         for pdf in batches:
-            for t in pdf[token_col]:
-                if t is None:
-                    continue
+            # heavy-hitter streams are Zipfian: hash each DISTINCT token
+            # once per batch and add its count, not once per occurrence
+            counts = pdf[token_col].dropna().value_counts()
+            for t, cnt in counts.items():
                 rows = _row_hashes(str(t), d, w)
                 for i in range(d):
-                    table[i, rows[i]] += 1
+                    table[i, rows[i]] += int(cnt)
         yield pd.DataFrame({"table": [table.tobytes()]})
 
-    parts = tokens.select(token_col).mapInPandas(build_sketch, sketch_schema)
+    parts = tokens.mapInPandas(build_sketch, sketch_schema)
     merged = np.zeros((d, w), dtype=np.int64)
     for r in parts.toLocalIterator():  # one ~d*w*8B blob per partition
         merged += np.frombuffer(bytes(r.table), dtype=np.int64).reshape(d, w)
@@ -86,22 +95,18 @@ def heavy_hitters(
         import pandas as pd
 
         table = bc.value
-        seen: set = set()
-        out = []
         for pdf in batches:
-            for t in pdf[token_col]:
-                if t is None or t in seen:
-                    continue
-                seen.add(t)
+            out = []
+            # memory bounded at batch size: per-batch dedup only, the
+            # downstream .distinct() collapses cross-batch repeats
+            for t in pdf[token_col].dropna().unique():
                 rows = _row_hashes(str(t), d, w)
                 est = min(int(table[i, rows[i]]) for i in range(d))
                 if est >= threshold:  # estimate >= true: no false negatives
                     out.append(t)
-        yield pd.DataFrame({"token": pd.Series(out, dtype="object")})
+            yield pd.DataFrame({"token": pd.Series(out, dtype="object")})
 
-    candidates = (
-        tokens.select(token_col).mapInPandas(probe, cand_schema).distinct()
-    )
+    candidates = tokens.mapInPandas(probe, cand_schema).distinct()
     # exact verify: count only the candidate tokens
     return (
         tokens.join(

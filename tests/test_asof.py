@@ -93,3 +93,41 @@ def test_range_join_matches_naive_cross_filter(spark):
             ).collect()
         }
         assert got == naive and naive, bucket
+
+
+def test_asof_nullable_payload_does_not_tear(spark):
+    """Per-column fills would stitch values from DIFFERENT right rows
+    when payload columns are nullable; the struct carry must return the
+    single as-of row verbatim (nulls included)."""
+    left = spark.createDataFrame([(1, 25, "x")], "k long, lt long, lval string")
+    right = spark.createDataFrame(
+        [(1, 10, 5.0, None), (1, 20, None, 7.0)],
+        "k long, rt long, a double, b double",
+    )
+    r = asof_join(left, right, "k", "lt", "rt", ["rt", "a", "b"]).collect()[0]
+    assert r.rt == 20 and r.a is None and r.b == 7.0
+
+
+def test_asof_null_right_time_ignored(spark):
+    left = spark.createDataFrame([(1, 25, "x")], "k long, lt long, lval string")
+    right = spark.createDataFrame(
+        [(1, None, 9.0), (1, 20, 7.0)], "k long, rt long, a double"
+    )
+    r = asof_join(left, right, "k", "lt", "rt", ["rt", "a"]).collect()[0]
+    assert r.rt == 20 and r.a == 7.0
+
+
+def test_range_join_shared_column_names(spark):
+    # intervals sharing a non-key column name with points must not
+    # crash the residual predicate (fully-qualified refs)
+    from nlquery_spark.operators.asof import range_join
+
+    p = spark.createDataFrame([(1, 100, "p1")], "k long, pt long, tag string").select(
+        "k", F.timestamp_seconds("pt").alias("pt"), "tag"
+    )
+    iv = spark.createDataFrame(
+        [(1, 50, 150, "i1")], "k long, s long, e long, tag string"
+    ).select("k", F.timestamp_seconds("s").alias("s"),
+             F.timestamp_seconds("e").alias("e"), "tag")
+    rows = range_join(p, iv, on="k", point_time="pt", start_col="s", end_col="e").collect()
+    assert len(rows) == 1 and rows[0].tag == "p1"  # points' column wins

@@ -6,10 +6,10 @@ from nlquery_spark.operators.sketch import heavy_hitters
 
 
 def _tokens(spark, sf_dir):
+    import __spark_entry__ as em
+
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    return docs.select(
-        F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("token")
-    )
+    return em._doc_tokens(docs).select("token")
 
 
 def test_heavy_hitters_exact_vs_groupby(spark, sf_dir):
