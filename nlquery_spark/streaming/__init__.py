@@ -8,4 +8,5 @@ from .extract import (  # noqa: F401
 from .stateful import (  # noqa: F401
     streaming_pred_stats,
     streaming_sessionize,
+    streaming_sessionize_buffered,
 )

@@ -180,3 +180,134 @@ def streaming_sessionize(events_stream: DataFrame, gap_sec: int = 1800) -> DataF
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# -------------------------------- watermark-buffered sessionize --------
+
+BUFFERED_STATE_SCHEMA = StructType(
+    [
+        StructField("ts_csv", StringType(), False),     # buffered event times (us)
+        StructField("cents_csv", StringType(), False),  # matching values (cents)
+        StructField("next_sid", LongType(), False),     # id of the next session
+    ]
+)
+
+
+def _split_sessions(ts_us, cents, gap_us):
+    """Sorted events -> list of sessions [(start,end,n,cents)]."""
+    sessions = []
+    cur = None
+    for t, c in zip(ts_us, cents):
+        if cur is None or t - cur[1] > gap_us:
+            if cur is not None:
+                sessions.append(cur)
+            cur = [t, t, 1, c]
+        else:
+            cur[1] = t
+            cur[2] += 1
+            cur[3] += c
+        # events arrive sorted here
+    if cur is not None:
+        sessions.append(cur)
+    return sessions
+
+
+def _buffered_update(key, pdfs, state: GroupState, gap_sec: int = 1800):
+    """Out-of-order-tolerant sessionization: buffer events in state and
+    emit a session only once the WATERMARK has passed its end + gap —
+    after that point no late event (within the watermark contract) can
+    extend or split it, so emission is append-mode final."""
+    user_id = int(key[0])
+    gap_us = gap_sec * 1_000_000
+    if state.exists:
+        ts_csv, cents_csv, next_sid = state.get
+        buf_ts = [int(x) for x in ts_csv.split(",") if x]
+        buf_c = [int(x) for x in cents_csv.split(",") if x]
+    else:
+        buf_ts, buf_c, next_sid = [], [], 1
+    for pdf in pdfs:
+        if not len(pdf):
+            continue
+        col = pdf["ts"]
+        if getattr(col.dtype, "tz", None) is not None:
+            col = col.dt.tz_convert("UTC").dt.tz_localize(None)
+        ts_us = col.astype("datetime64[us]").astype("int64").tolist()
+        vals = [int(round(float(v) * 100)) for v in pdf["value"]]
+        buf_ts.extend(ts_us)
+        buf_c.extend(vals)
+    order = sorted(range(len(buf_ts)), key=lambda i: buf_ts[i])
+    buf_ts = [buf_ts[i] for i in order]
+    buf_c = [buf_c[i] for i in order]
+
+    wm_us = state.getCurrentWatermarkMs() * 1000
+    sessions = _split_sessions(buf_ts, buf_c, gap_us)
+    out = []
+    closed_until = None
+    for s_start, s_end, n, cents in sessions:
+        if s_end + gap_us < wm_us:  # FINAL: nothing in-watermark can touch it
+            out.append(
+                (user_id, next_sid, n, _fmt_us(s_start), _fmt_us(s_end), cents / 100.0)
+            )
+            next_sid += 1
+            closed_until = s_end
+        else:
+            break
+    if closed_until is not None:
+        keep = [i for i, t in enumerate(buf_ts) if t > closed_until]
+        buf_ts = [buf_ts[i] for i in keep]
+        buf_c = [buf_c[i] for i in keep]
+    if buf_ts:
+        state.update(
+            (
+                ",".join(str(t) for t in buf_ts),
+                ",".join(str(c) for c in buf_c),
+                next_sid,
+            )
+        )
+        # wake up when the watermark can close the oldest open session
+        # (must be strictly beyond the current watermark)
+        first_end = _split_sessions(buf_ts, buf_c, gap_us)[0][1]
+        wake_ms = max(first_end // 1000 + gap_sec * 1000 + 1, wm_us // 1000 + 1)
+        state.setTimeoutTimestamp(wake_ms)
+    else:
+        state.remove()
+    yield pd.DataFrame(
+        out,
+        columns=[
+            "user_id", "session_id", "n_events",
+            "session_start", "session_end", "sum_value",
+        ],
+    )
+
+
+def streaming_sessionize_buffered(
+    events_stream: DataFrame, gap_sec: int = 1800, watermark_delay: str = "2 hours"
+) -> DataFrame:
+    """Out-of-order-tolerant streaming sessionization: events buffer in
+    per-user state behind a watermark and sessions emit APPEND-mode,
+    exactly once, when the watermark guarantees no late event can still
+    extend them (event-time timeouts re-invoke idle keys so sessions
+    close without new data). The ordered-replay variant
+    (streaming_sessionize) trades this robustness for update-mode
+    latency; this one is the production shape for crawler streams where
+    micro-batches interleave users arbitrarily."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import TimestampNTZType
+
+    if isinstance(events_stream.schema["ts"].dataType, TimestampNTZType):
+        # watermarks require TIMESTAMP (LTZ); NTZ event time is
+        # interpreted in the (UTC-pinned) session zone
+        events_stream = events_stream.withColumn(
+            "ts", F.col("ts").cast("timestamp_ltz")
+        )
+    return (
+        events_stream.withWatermark("ts", watermark_delay)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            lambda key, pdfs, state: _buffered_update(key, pdfs, state, gap_sec),
+            outputStructType=SESSION_OUTPUT_SCHEMA,
+            stateStructType=BUFFERED_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )

@@ -213,3 +213,87 @@ def test_streaming_exact_dedup_matches_batch(spark, tmp_path):
     got = {(r.doc_id, r.text) for r in spark.read.parquet(out).collect()}
     expected = {(r.doc_id, r.text) for r in exact_dedup(docs).collect()}
     assert got == expected and len(got) == 10
+
+
+def test_buffered_sessionize_out_of_order_matches_batch(spark, tmp_path, sf_dir):
+    """Watermark-buffered sessionization: events arrive out of order
+    across micro-batches (bounded by the watermark delay) and sessions
+    still emit append-mode equal to the batch sessionization."""
+    import glob
+    import shutil
+
+    import numpy as np
+    from pyspark.sql import Window
+
+    from nlquery_spark.streaming.stateful import streaming_sessionize_buffered
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet").filter(
+        F.col("user_id") < 30
+    )
+    # bounded disorder: order by ts + seeded jitter (±45 min), split into
+    # sequential files on the JITTERED order -> a "2 hours" watermark
+    # covers the lateness
+    jitter = (F.hash("event_id") % 5400) - 2700  # seconds
+    jittered = events.withColumn(
+        "_jts", F.col("ts").cast("timestamp_ltz").cast("long") + jitter
+    )
+    max_ts = events.agg(F.max("ts")).first()[0]
+    # per-user sentinel one day later closes every real session at
+    # end-of-stream; its own (still-open) session is never emitted
+    import datetime
+
+    sentinel_ts = max_ts + datetime.timedelta(days=1)
+    sentinels = (
+        events.select("user_id").distinct()
+        .withColumn("event_id", F.lit(10_000_000) + F.col("user_id"))
+        .withColumn("ts", F.lit(sentinel_ts))
+        .withColumn("event_type", F.lit("flush"))
+        .withColumn("value", F.lit(0.0))
+        .withColumn("props", F.lit("{}"))
+        .select(*events.columns)
+        .withColumn("_jts", F.lit(2**62))
+    )
+    allrows = jittered.unionByName(sentinels)
+    src = str(tmp_path / "ooo_events")
+    os.makedirs(src)
+    ranged = allrows.withColumn(
+        "bucket", F.ntile(6).over(Window.orderBy("_jts", "event_id"))
+    ).cache()
+    for i in range(1, 7):
+        sl = str(tmp_path / f"ooo{i}")
+        ranged.filter(F.col("bucket") == i).drop("bucket", "_jts").coalesce(
+            1
+        ).write.mode("overwrite").parquet(sl)
+        shutil.move(glob.glob(f"{sl}/part-*.parquet")[0], f"{src}/{i:02d}.parquet")
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out, ckpt = str(tmp_path / "ooo_out"), str(tmp_path / "ooo_ckpt")
+    q = (
+        streaming_sessionize_buffered(stream, watermark_delay="2 hours")
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(240)
+    got = {
+        (r.user_id, r.session_id): (r.n_events, r.session_start, r.session_end,
+                                    round(r.sum_value, 2))
+        for r in spark.read.parquet(out).collect()
+    }
+    import __spark_entry__ as em
+
+    batch = em.queries()["events_sessionize"](spark, sf_dir).filter(
+        F.col("user_id") < 30
+    )
+    b = {
+        (r.user_id, r.session_id): (r.n_events, r.session_start, r.session_end,
+                                    round(r.sum_value, 2))
+        for r in batch.collect()
+    }
+    assert got == b and got  # sentinel sessions never emitted; rest exact
