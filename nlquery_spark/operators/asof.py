@@ -41,9 +41,19 @@ def asof_join(
     per-column ``last(ignorenulls)`` would tear values from different
     right rows when payload columns are themselves nullable. Right rows
     with a null ``right_time`` are meaningless for as-of ordering and
-    are dropped."""
+    are dropped.
+
+    Payload names must not collide with left columns — a silent duplicate
+    output column would only surface as an AnalysisException on the first
+    downstream reference, so collisions are rejected here."""
     left_cols = left.columns
     payload = [c for c in right_cols if c != on]
+    clash = sorted(set(payload) & set(left_cols))
+    if clash:
+        raise ValueError(
+            f"asof_join right payload column(s) {clash} collide with left "
+            "columns; alias the right side before joining"
+        )
     r_struct_t = F.struct(*[F.col(c).alias(c) for c in payload])
     l_tag = left.select(
         F.col(on).alias("_k"),

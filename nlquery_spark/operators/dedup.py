@@ -412,9 +412,11 @@ def simhash_pairs(
     recall only for hamming <= 3 by pigeonhole, silently dropping
     wider pairs. Candidates are exploded as xxhash64(combination-id,
     chunk values) keys — one shuffle on key, hamming-verified JVM-side
-    with bit_count(xor). At max_hamming=3 this is Manku's 20-table
-    design (6 chunks, keys of 3 chunks ~ 32 bits); at 12 it is 91 keys
-    of 2 chunks (~9 bits) — still never all-pairs.
+    with bit_count(xor). At max_hamming=3 the plan picks m=7 chunks and
+    C(7,4)=35 keys of 4 chunks (~36 bits) — denser than Manku's classic
+    20-table m=6 design but with wider (more selective) keys; at 12 it
+    is 91 keys of 2 chunks (~9 bits) — still never all-pairs, but see
+    ``max_keys`` below for the bucket-population tradeoff at wide h.
     """
     m, combos = simhash_blocking_plan(max_hamming, max_keys)
     widths = [(64 // m) + (1 if i < 64 % m else 0) for i in range(m)]

@@ -55,13 +55,21 @@ def heavy_hitters(
     threshold: int = 100,
     eps: float = 2e-4,
     delta: float = 1e-3,
+    eager: bool = True,
 ) -> DataFrame:
     """(token, n) for every token occurring >= threshold times — EXACT
     output via CMS prescreen + exact verification of candidates.
 
     The token lineage is consumed three times (sketch build, probe,
     exact verify), so it is persisted here; callers re-deriving tokens
-    from raw documents would otherwise pay the scan three times."""
+    from raw documents would otherwise pay the scan three times.
+
+    With ``eager`` (the default) the small result is materialized via
+    localCheckpoint and the persisted token cache + sketch broadcast are
+    released before returning, so repeated calls in a long-lived session
+    do not accumulate cached partitions or broadcast blocks. Pass
+    ``eager=False`` to keep the plan lazy — then the caller owns cleanup
+    (``spark.catalog.clearCache()`` or session teardown)."""
     from pyspark import StorageLevel
 
     tokens = tokens.select(token_col).persist(StorageLevel.MEMORY_AND_DISK)
@@ -108,7 +116,7 @@ def heavy_hitters(
 
     candidates = tokens.mapInPandas(probe, cand_schema).distinct()
     # exact verify: count only the candidate tokens
-    return (
+    result = (
         tokens.join(
             F.broadcast(candidates),
             tokens[token_col] == candidates["token"],
@@ -117,3 +125,10 @@ def heavy_hitters(
         .agg(F.count(F.lit(1)).alias("n"))
         .filter(F.col("n") >= threshold)
     )
+    if eager:
+        # heavy hitters are few by definition: checkpointing the result is
+        # cheap, and lets us release the token cache + sketch broadcast now
+        result = result.localCheckpoint(eager=True)
+        tokens.unpersist()
+        bc.unpersist()
+    return result

@@ -137,7 +137,13 @@ def _sessionize_update(key, pdfs, state: GroupState, gap_sec: int = 1800):
         if not len(pdf):
             continue
         pdf = pdf.sort_values(["ts", "event_id"])
-        ts_us = (pdf["ts"].astype("datetime64[us]").astype("int64")).tolist()
+        col = pdf["ts"]
+        # tz-aware event time (timestamp_ltz) arrives as datetime64[ns, tz];
+        # normalize exactly like the buffered variant so both sessionizers
+        # accept the same input types
+        if getattr(col.dtype, "tz", None) is not None:
+            col = col.dt.tz_convert("UTC").dt.tz_localize(None)
+        ts_us = (col.astype("datetime64[us]").astype("int64")).tolist()
         vals = [int(round(float(v) * 100)) for v in pdf["value"]]
         for t_us, cv in zip(ts_us, vals):
             if last_us is None:

@@ -46,6 +46,15 @@ def test_asof_exact_time_tie_matches(spark):
     assert r.rval == 7.0  # <= semantics: same-instant right row matches
 
 
+def test_asof_payload_name_collision_rejected(spark):
+    # a payload column shadowing a left column would emit a duplicate
+    # output name; asof_join must fail fast instead
+    left = spark.createDataFrame([(1, 100, "a")], "k long, lt long, rval string")
+    right = spark.createDataFrame([(1, 99, 5.0)], "k long, rt long, rval double")
+    with pytest.raises(ValueError, match="rval"):
+        asof_join(left, right, "k", "lt", "rt", ["rval"])
+
+
 def test_asof_no_prior_row_is_null(spark):
     left = spark.createDataFrame([(1, 10, "a"), (2, 10, "b")], "k long, lt long, lval string")
     right = spark.createDataFrame([(1, 50, 1.0)], "k long, rt long, rval double")

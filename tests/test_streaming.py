@@ -297,3 +297,38 @@ def test_buffered_sessionize_out_of_order_matches_batch(spark, tmp_path, sf_dir)
         for r in batch.collect()
     }
     assert got == b and got  # sentinel sessions never emitted; rest exact
+
+
+def test_sessionize_update_accepts_tz_aware_ts():
+    """_sessionize_update must normalize tz-aware event time (what a
+    timestamp_ltz column becomes in pandas) exactly like the buffered
+    variant — same sessions as the tz-naive equivalent input."""
+    import pandas as pd
+
+    from nlquery_spark.streaming.stateful import _sessionize_update
+
+    class FakeState:
+        exists = False
+
+        def update(self, v):
+            self.exists, self._v = True, v
+
+        @property
+        def get(self):
+            return self._v
+
+    naive = pd.DataFrame(
+        {
+            "ts": pd.to_datetime(
+                ["2024-01-01 00:00:00", "2024-01-01 00:10:00", "2024-01-01 02:00:00"]
+            ),
+            "event_id": [1, 2, 3],
+            "value": [1.0, 2.0, 3.0],
+        }
+    )
+    aware = naive.copy()
+    aware["ts"] = aware["ts"].dt.tz_localize("UTC")
+    out_naive = list(_sessionize_update((7,), iter([naive]), FakeState(), 1800))[0]
+    out_aware = list(_sessionize_update((7,), iter([aware]), FakeState(), 1800))[0]
+    pd.testing.assert_frame_equal(out_naive, out_aware)
+    assert list(out_naive["session_id"]) == [1, 2]  # 2h gap splits sessions
