@@ -494,6 +494,84 @@ WHERE o_orderstatus LIKE '%F%'
 """
 
 
+_AC_PREFIXES = [
+    "order", "total", "stat", "pri", "o", "urgent", "high", "low",
+    "medium", "not", "spec", "date", "urg", "1", "price", "med",
+]
+
+
+def _nl_autocomplete(spark, sf_dir):
+    """Autocomplete lifecycle (SuggestKeywords, ListQueryParser.cs:81-107)
+    as a distributed batch: a prefix stream scored against the schema
+    dictionary (captions + o_orderpriority gazetteer values pulled from
+    the data), top-5 per prefix. Oracled: the DuckDB side recomputes the
+    kernel's scoring — captions score max-per-word prefix/contains ratio
+    over caption word count; gazetteer values score prefix-of-word or
+    0.5x contains ratio over the full value length."""
+    from nlquery_spark.operators.nlsql import suggest_keywords_df
+
+    orders = _load(spark, sf_dir, "orders")["orders"]
+    vals = sorted(
+        r[0] for r in orders.select("o_orderpriority").distinct().collect()
+    )
+    spec = {
+        "caption": "Orders",
+        "name": "orders",
+        "columns": [
+            {"caption": "Total Price", "name": "o_totalprice", "datatype": "number"},
+            {"caption": "Order Status", "name": "o_orderstatus", "datatype": "string"},
+            {"caption": "Order Date", "name": "o_orderdate", "datatype": "date"},
+            {
+                "caption": "Order Priority",
+                "name": "o_orderpriority",
+                "datatype": "string",
+                "values": vals,
+            },
+        ],
+    }
+    prefixes = spark.createDataFrame([(p,) for p in _AC_PREFIXES], "prefix string")
+    res = suggest_keywords_df(prefixes, [spec], top_n=5)
+    return res.withColumn("score", F.round("score", 6))
+
+
+_AC_SQL = f"""
+WITH prefixes(prefix) AS (
+  VALUES {", ".join(f"('{p}')" for p in _AC_PREFIXES)}
+), caps(caption, n_words) AS (
+  VALUES ('Orders', 1), ('Total Price', 2), ('Order Status', 2),
+         ('Order Date', 2), ('Order Priority', 2)
+), cap_scores AS (
+  SELECT p.prefix, c.caption AS suggestion,
+    (SELECT MAX(CASE
+        WHEN starts_with(t.w, p.prefix)
+          THEN CAST(length(p.prefix) AS DOUBLE) / length(t.w)
+        WHEN position(p.prefix IN t.w) > 0
+          THEN 0.5 * length(p.prefix) / length(t.w)
+        ELSE 0 END)
+     FROM UNNEST(string_split(lower(c.caption), ' ')) AS t(w)) / c.n_words AS score
+  FROM prefixes p CROSS JOIN caps c
+), vals AS (
+  SELECT DISTINCT o_orderpriority AS v FROM orders
+), val_scores AS (
+  SELECT p.prefix, v.v AS suggestion,
+    CASE
+      WHEN regexp_matches(lower(v.v), '(^|[^a-z0-9])' || p.prefix)
+        THEN CAST(length(p.prefix) AS DOUBLE) / length(v.v)
+      WHEN position(p.prefix IN lower(v.v)) > 0
+        THEN 0.5 * length(p.prefix) / length(v.v)
+      ELSE 0 END AS score
+  FROM prefixes p CROSS JOIN vals v
+), all_s AS (
+  SELECT * FROM cap_scores UNION ALL SELECT * FROM val_scores
+)
+SELECT prefix, suggestion, ROUND(score, 6) AS score, rank FROM (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY prefix ORDER BY score DESC, suggestion ASC) AS rank
+  FROM all_s WHERE score > 0
+) WHERE rank <= 5
+"""
+
+
 def _q17_small_quantity_revenue(spark, sf_dir):
     """Correlated-subquery surface (TPC-H Q17 shape): revenue from
     lineitems whose quantity is below half their part's average. The
@@ -1281,11 +1359,20 @@ SELECT doc_id, rank, token AS entity, n_mentions FROM (
 """
 
 
+# the mention stage is kernel-based (not SQL-expressible), but the link
+# stage IS: the query persists the mentions DataFrame here, and the
+# oracle reproduces the top-k window over the very same parquet — the
+# link scorer itself is fully hash-checked (the mention internals stay
+# pytest-gated: superset-of-triples + span/score tests).
+_LINK_MENTIONS_PATH = "/tmp/nlquery_oracle/entity_link_mentions"
+
+
 def _entity_link_topk(spark, sf_dir):
     """Kernel mention-detect + batched link scorer (pipeline stages
     S2-S4 decomposed): every candidate interpretation becomes a row,
-    then a window keeps the best 2 readings per anchor span. Rows-only
-    (kernel-based); span/score internals are pytest-gated."""
+    then a window keeps the best 2 readings per anchor span. The
+    mentions are materialized to parquet so the DuckDB oracle can
+    verify the link window end-to-end on identical input."""
     from nlquery_spark.operators.linker import extract_mentions, link_topk
 
     docs = _parallelize(
@@ -1297,7 +1384,18 @@ def _entity_link_topk(spark, sf_dir):
         F.col("lang"),
     )
     m = extract_mentions(pages, [DOCS_SCHEMA_SPEC], lang_filter=None)
-    return link_topk(m, k=2)
+    m.write.mode("overwrite").parquet(_LINK_MENTIONS_PATH)
+    return link_topk(spark.read.parquet(_LINK_MENTIONS_PATH), k=2)
+
+
+_ENTITY_LINK_SQL = f"""
+SELECT url, kind, name, value, score, "start", "end", link_rank FROM (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY url, "start"
+    ORDER BY score DESC, name ASC, value ASC, "end" ASC) AS link_rank
+  FROM '{_LINK_MENTIONS_PATH}/*.parquet'
+) WHERE link_rank <= 2
+"""
 
 
 def _ann_cosine_topk(spark, sf_dir):
@@ -1361,6 +1459,115 @@ def _kg_pagerank(spark, sf_dir):
     # driver's rows check is stable while the loop stays ~10 rounds
     ranks = pagerank(edges, tol=1e-6, max_iter=30)
     return ranks.select("node", F.round("rank", 5).alias("rank"))
+
+
+def _kg_form_universe(spark, sf_dir):
+    """Deterministic surface-form universe for the canonicalization
+    queries: part names as entity surface forms, plus case variants
+    (every 7th part upper-cased) and punctuation variants (every 11th
+    part dash-joined) that the norm block must merge, plus supplier
+    names — a 100-form first-token block that exercises the
+    max_block_size skew cap."""
+    part = _load(spark, sf_dir, "part")["part"]
+    supplier = _load(spark, sf_dir, "supplier")["supplier"]
+    return (
+        part.select(F.col("p_name").alias("form"))
+        .union(
+            part.filter(F.col("p_partkey") % 7 == 0).select(
+                F.upper("p_name").alias("form")
+            )
+        )
+        .union(
+            part.filter(F.col("p_partkey") % 11 == 0).select(
+                F.regexp_replace("p_name", " ", "-").alias("form")
+            )
+        )
+        .union(supplier.select(F.col("s_name").alias("form")))
+        .distinct()
+    )
+
+
+def _kg_similarity_edges(spark, sf_dir):
+    """S5 stage 1 — blocked char-trigram Jaccard edges between surface
+    forms (operators/canonicalize.py:similarity_edges), fully oracled:
+    the DuckDB side reproduces normalization, trigram sets, both blocks
+    (norm + first token), the max_block_size=80 row_number cap, and the
+    rounded-Jaccard threshold."""
+    from nlquery_spark.operators.canonicalize import similarity_edges
+
+    forms = _kg_form_universe(spark, sf_dir)
+    return similarity_edges(forms, threshold=0.6, max_block_size=80)
+
+
+def _kg_canonicalize(spark, sf_dir):
+    """S5 stage 2 — connected components over the similarity edges
+    (min-form labeling). Oracled via a DuckDB recursive-CTE transitive
+    closure + MIN(reach) per node: exactly the hash-to-min fixpoint's
+    output (and the driver union-find path is pytest-gated equal to the
+    distributed labeling)."""
+    from nlquery_spark.operators.canonicalize import canonical_mapping
+
+    forms = _kg_form_universe(spark, sf_dir)
+    return canonical_mapping(forms, threshold=0.6, max_block_size=80)
+
+
+_KG_FORMS_CTE = r"""
+WITH RECURSIVE forms AS (
+  SELECT p_name AS form FROM part
+  UNION
+  SELECT upper(p_name) FROM part WHERE p_partkey % 7 = 0
+  UNION
+  SELECT replace(p_name, ' ', '-') FROM part WHERE p_partkey % 11 = 0
+  UNION
+  SELECT s_name FROM supplier
+), normed AS (
+  SELECT form,
+         trim(regexp_replace(lower(form), '[^a-z0-9]+', ' ', 'g')) AS norm
+  FROM forms
+), nz AS (
+  SELECT form, norm,
+         '  ' || norm || '  ' AS p,
+         split_part(norm, ' ', 1) AS first_tok
+  FROM normed WHERE length(norm) > 0
+), tri AS (
+  SELECT form, norm, first_tok,
+         list_distinct(list_transform(range(1, length(p) - 1),
+                                      i -> substr(p, CAST(i AS INTEGER), 3))) AS tg
+  FROM nz
+), blocked AS (
+  SELECT DISTINCT form, u.block
+  FROM tri, UNNEST([norm, first_tok]) AS u(block)
+), capped AS (
+  SELECT form, block FROM (
+    SELECT form, block,
+           ROW_NUMBER() OVER (PARTITION BY block ORDER BY form) AS rn
+    FROM blocked
+  ) WHERE rn <= 80
+), edges AS (
+  SELECT DISTINCT a.form AS form_a, b.form AS form_b,
+    ROUND(CAST(length(list_intersect(ta.tg, tb.tg)) AS DOUBLE)
+          / length(list_distinct(list_concat(ta.tg, tb.tg))), 6) AS sim
+  FROM capped a
+  JOIN capped b ON a.block = b.block AND a.form < b.form
+  JOIN tri ta ON ta.form = a.form
+  JOIN tri tb ON tb.form = b.form
+  WHERE ROUND(CAST(length(list_intersect(ta.tg, tb.tg)) AS DOUBLE)
+          / length(list_distinct(list_concat(ta.tg, tb.tg))), 6) >= 0.6
+)
+"""
+
+_KG_EDGES_SQL = _KG_FORMS_CTE + "SELECT form_a, form_b, sim FROM edges"
+
+_KG_CANONICALIZE_SQL = _KG_FORMS_CTE + r""", sym AS (
+  SELECT form_a AS src, form_b AS dst FROM edges
+  UNION
+  SELECT form_b, form_a FROM edges
+), reach AS (
+  SELECT form AS node, form AS r FROM forms
+  UNION
+  SELECT reach.node, sym.dst FROM reach JOIN sym ON reach.r = sym.src
+)
+SELECT node AS form, MIN(r) AS canonical_id FROM reach GROUP BY node"""
 
 
 def _dedup_minhash(spark, sf_dir):
@@ -1534,6 +1741,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nl_agg_orders": _nl_agg_orders,
         "nl_pivot_orders": _nl_pivot_orders,
         "nl_filter_stemmed": _nl_filter_stemmed,
+        "nl_autocomplete": _nl_autocomplete,
         "dict_spec_part": _dict_spec_part,
         "nl_filter_inferred": _nl_filter_inferred,
         "emb_cosine_jvm": _emb_cosine_jvm,
@@ -1567,6 +1775,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk": _ann_cosine_topk,
         "kg_extract_triples": _kg_extract_triples,
         "kg_pagerank": _kg_pagerank,
+        "kg_similarity_edges": _kg_similarity_edges,
+        "kg_canonicalize": _kg_canonicalize,
         "dedup_minhash": _dedup_minhash,
         "dedup_simhash": _dedup_simhash,
         "dedup_embedding": _dedup_embedding,
@@ -1585,6 +1795,7 @@ def oracle_sql() -> dict[str, str]:
         "nl_agg_orders": _NL_AGG_SQL,
         "nl_pivot_orders": _NL_PIVOT_SQL,
         "nl_filter_stemmed": _NL_STEMMED_SQL,
+        "nl_autocomplete": _AC_SQL,
         "dict_spec_part": _DICT_SPEC_SQL,
         "nl_filter_inferred": _NL_FILTER_INFERRED_SQL,
         "emb_cosine_jvm": _EMB_COSINE_SQL,
@@ -1614,6 +1825,9 @@ def oracle_sql() -> dict[str, str]:
         "gazetteer_mentions": _gazetteer_sql(),
         "gazetteer_topk_entities": _gazetteer_topk_sql(),
         "ann_cosine_topk": _ANN_SQL,
+        "kg_similarity_edges": _KG_EDGES_SQL,
+        "kg_canonicalize": _KG_CANONICALIZE_SQL,
+        "entity_link_topk": _ENTITY_LINK_SQL,
         "dedup_simhash": _SIMHASH_SQL,
         "dedup_minhash": _minhash_sql(),
         "emb_neardup_exact": _EMB_EXACT_SQL,

@@ -506,24 +506,15 @@ def nl_pivot(
     return grouped.agg(*aggs)
 
 
-def suggest_keywords(
-    prefix: str,
-    schema_specs: Sequence[Dict],
-    options_spec: Optional[Dict] = None,
-    top_n: int = 10,
-) -> List[Tuple[str, float]]:
-    """Autocomplete: top caption/value completions for a 1-token prefix
-    (ListQueryParser.SuggestKeywords, ListQueryParser.cs:81-107) —
-    recognize the single token and rank matched captions/gazetteer values
-    by score."""
+def _suggest_with_recognizer(rec, prefix: str, top_n: int) -> List[Tuple[str, float]]:
+    """Core of suggest_keywords given a prebuilt recognizer (shared by
+    the driver-side helper and the distributed batch operator)."""
+    from ..kernel.matchers import CompositeMatcher
     from ..kernel.matches import MatchBag
     from ..kernel.table import ColumnMatch, TableMatch
 
-    rec = build_recognizer(schema_specs, options_spec)
     seq = TokenSequence(tokenize(prefix))
     bag = MatchBag(seq, [])
-    from ..kernel.matchers import CompositeMatcher
-
     first_pass = CompositeMatcher([m for m in rec.matchers if m.first_pass_only])
     for m in first_pass.get_matches(bag):
         bag.add(m)
@@ -540,3 +531,88 @@ def suggest_keywords(
         if m.score > scored.get(key, 0.0):
             scored[key] = m.score
     return sorted(scored.items(), key=lambda kv: (-kv[1], kv[0]))[:top_n]
+
+
+def suggest_keywords(
+    prefix: str,
+    schema_specs: Sequence[Dict],
+    options_spec: Optional[Dict] = None,
+    top_n: int = 10,
+) -> List[Tuple[str, float]]:
+    """Autocomplete: top caption/value completions for a 1-token prefix
+    (ListQueryParser.SuggestKeywords, ListQueryParser.cs:81-107) —
+    recognize the single token and rank matched captions/gazetteer values
+    by score."""
+    rec = build_recognizer(schema_specs, options_spec)
+    return _suggest_with_recognizer(rec, prefix, top_n)
+
+
+def suggest_keywords_df(
+    prefixes: DataFrame,
+    schema_specs: Sequence[Dict],
+    options_spec: Optional[Dict] = None,
+    top_n: int = 10,
+    prefix_col: str = "prefix",
+) -> DataFrame:
+    """Batch autocomplete-as-a-service: (prefix) rows -> (prefix,
+    suggestion, score, rank) rows, top_n per prefix.
+
+    Same distribution pattern as extract_mentions: broadcast spec,
+    per-executor compiled recognizer (cached_recognizer), Arrow batches,
+    no shuffle — embarrassingly parallel over the prefix stream (e.g.
+    scoring a day of partial search queries against the dictionary)."""
+    import json
+    import zlib
+
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    spark = prefixes.sparkSession
+    schema_specs = list(schema_specs)
+    cache_key = zlib.crc32(
+        json.dumps([schema_specs, options_spec], sort_keys=True).encode()
+    )
+    payload_bc = spark.sparkContext.broadcast((schema_specs, options_spec, cache_key))
+    out_schema = StructType(
+        [
+            StructField("prefix", StringType(), False),
+            StructField("suggestion", StringType(), False),
+            StructField("score", DoubleType(), False),
+            StructField("rank", LongType(), False),
+        ]
+    )
+
+    def run(batches):
+        import pandas as pd
+
+        from ..kernel.extract import cached_recognizer
+
+        specs, opts, key = payload_bc.value
+        rec = cached_recognizer(specs, opts, key)
+        for pdf in batches:
+            rows = {"prefix": [], "suggestion": [], "score": [], "rank": []}
+            for p in pdf[prefix_col]:
+                if not p:
+                    continue
+                for rank, (sug, score) in enumerate(
+                    _suggest_with_recognizer(rec, str(p), top_n), 1
+                ):
+                    rows["prefix"].append(p)
+                    rows["suggestion"].append(sug)
+                    rows["score"].append(score)
+                    rows["rank"].append(rank)
+            yield pd.DataFrame(
+                {
+                    "prefix": pd.Series(rows["prefix"], dtype="object"),
+                    "suggestion": pd.Series(rows["suggestion"], dtype="object"),
+                    "score": pd.Series(rows["score"], dtype="float64"),
+                    "rank": pd.Series(rows["rank"], dtype="int64"),
+                }
+            )
+
+    return prefixes.select(prefix_col).mapInPandas(run, out_schema)

@@ -345,3 +345,35 @@ def test_culture_offset_and_group_phrases():
     conds2 = parse_conditions("orders with status F oder O", [spec], de)
     got = sorted(c.value.start.value for c in conds2 if c.column.name == "o_orderstatus")
     assert got == ["F", "O"]
+
+
+def test_suggest_keywords_df_matches_driver(spark):
+    """Distributed batch autocomplete == driver-side suggest_keywords for
+    every prefix (same recognizer, same ranking)."""
+    from nlquery_spark.operators.nlsql import suggest_keywords, suggest_keywords_df
+
+    spec = {
+        "caption": "Orders",
+        "name": "orders",
+        "columns": [
+            {"caption": "Total Price", "name": "o_totalprice", "datatype": "number"},
+            {"caption": "Order Status", "name": "o_orderstatus", "datatype": "string"},
+            {
+                "caption": "Order Priority",
+                "name": "o_orderpriority",
+                "datatype": "string",
+                "values": ["1-URGENT", "2-HIGH", "5-LOW"],
+            },
+        ],
+    }
+    prefixes = ["order", "total", "urg", "o", "zzz", "1"]
+    pdf = spark.createDataFrame([(p,) for p in prefixes], "prefix string")
+    got = {}
+    for r in suggest_keywords_df(pdf, [spec], top_n=4).collect():
+        got.setdefault(r.prefix, []).append((r.rank, r.suggestion, r.score))
+    for p in prefixes:
+        want = [
+            (i, s, sc)
+            for i, (s, sc) in enumerate(suggest_keywords(p, [spec], top_n=4), 1)
+        ]
+        assert sorted(got.get(p, [])) == want, p
