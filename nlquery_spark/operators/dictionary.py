@@ -37,6 +37,50 @@ def _infer_datatype(df: DataFrame, col: str) -> str:
     return "string"
 
 
+def capped_value_pairs(
+    df: DataFrame, gazetteer_cols: Sequence[str], max_values: int
+) -> DataFrame:
+    """(col_name, value): the ``max_values`` lexicographically-smallest
+    distinct values of each gazetteer column, as a two-level bounded
+    top-k — NOT one global window per column: a row_number over
+    (col_name) alone lands EVERY distinct value of a column on one task,
+    a straggler/OOM on a 100-TB table with a high-cardinality string
+    column. Level 1 caps within (col_name, salt) — n_salts-way parallel,
+    output <= n_salts*max_values rows per column; level 2 re-caps over
+    that bounded set. Exact and deterministic: a value's rank within its
+    salt group is <= its global rank, so the global smallest max_values
+    always survive level 1."""
+    from pyspark.sql import Window
+
+    pairs = None
+    for c in gazetteer_cols:
+        p = (
+            df.select(
+                F.lit(c).alias("col_name"),
+                F.col(c).cast("string").alias("value"),
+            )
+            .filter(F.col(c).isNotNull())
+        )
+        pairs = p if pairs is None else pairs.unionAll(p)
+    n_salts = max(df.sparkSession.sparkContext.defaultParallelism, 2)
+    salted = pairs.distinct().withColumn(
+        "_salt", F.pmod(F.xxhash64("value"), F.lit(n_salts))
+    )
+    rn1 = F.row_number().over(
+        Window.partitionBy("col_name", "_salt").orderBy("value")
+    )
+    rn2 = F.row_number().over(
+        Window.partitionBy("col_name").orderBy("value")  # bounded input
+    )
+    return (
+        salted.withColumn("_rn1", rn1)
+        .filter(F.col("_rn1") <= max_values)
+        .withColumn("_rn2", rn2)
+        .filter(F.col("_rn2") <= max_values)
+        .select("col_name", "value")
+    )
+
+
 def spec_from_dataframe(
     df: DataFrame,
     name: str,
@@ -58,33 +102,12 @@ def spec_from_dataframe(
     gazetteer_cols = [c for c in value_columns if datatypes[c] == "string"]
 
     # all gazetteers in ONE job: union the (col_name, value) pairs,
-    # distinct, cap per column with a window BEFORE collect (so the
-    # driver transfer stays bounded by n_cols * max_values even on
-    # high-cardinality columns), instead of one scan+shuffle per column
+    # distinct, cap per column BEFORE collect (so the driver transfer
+    # stays bounded by n_cols * max_values even on high-cardinality
+    # columns), instead of one scan+shuffle per column
     values_by_col: Dict[str, List[str]] = {}
     if gazetteer_cols and max_values > 0:
-        pairs = None
-        for c in gazetteer_cols:
-            p = (
-                df.select(
-                    F.lit(c).alias("col_name"),
-                    F.col(c).cast("string").alias("value"),
-                )
-                .filter(F.col(c).isNotNull())
-            )
-            pairs = p if pairs is None else pairs.unionAll(p)
-        from pyspark.sql import Window
-
-        rn = F.row_number().over(
-            Window.partitionBy("col_name").orderBy("value")  # deterministic
-        )
-        rows = (
-            pairs.distinct()
-            .withColumn("_rn", rn)
-            .filter(F.col("_rn") <= max_values)
-            .select("col_name", "value")
-            .collect()
-        )
+        rows = capped_value_pairs(df, gazetteer_cols, max_values).collect()
         for r in rows:
             values_by_col.setdefault(r.col_name, []).append(r.value)
         for vs in values_by_col.values():

@@ -85,3 +85,28 @@ def test_inferred_spec_number_comparison(spark, sf_dir, orders_spec):
         em.NL_OPTIONS,
     )
     assert got.count() == orders.filter(F.col("o_totalprice") > 150000).count()
+
+
+def test_capped_value_pairs_two_level_exact_and_parallel(spark):
+    """The bounded top-k keeps exactly the max_values smallest distinct
+    values per column (same result as a global sort cap), and the plan's
+    FIRST window is salt-partitioned — no single-reducer stage sees the
+    unbounded distinct-value set."""
+    from nlquery_spark.operators.dictionary import capped_value_pairs
+
+    rows = [(f"v{i:03d}", f"w{(i * 7) % 150:03d}") for i in range(300)]
+    df = spark.createDataFrame(rows, "a string, b string")
+    got = capped_value_pairs(df, ["a", "b"], max_values=40)
+    out = {}
+    for r in got.collect():
+        out.setdefault(r.col_name, []).append(r.value)
+    assert sorted(out["a"]) == sorted({v for v, _ in rows})[:40]
+    assert sorted(out["b"]) == sorted({w for _, w in rows})[:40]
+    # plan shape: two windows; the one that runs first (deeper in the
+    # tree, i.e. LAST in explain output) partitions by (col_name, _salt)
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    windows = [ln for ln in plan.splitlines() if "Window [" in ln or "RunningWindowFunction" in ln]
+    assert len(windows) >= 2, plan
+    first_window = windows[-1]
+    assert "_salt" in first_window, first_window
+    assert "_salt" not in windows[0], windows[0]
