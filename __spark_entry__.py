@@ -1644,13 +1644,21 @@ def _dedup_simhash(spark, sf_dir):
     """Fully-oracled simhash near-dup: md5-derived token hashes make the
     signature reproducible in portable SQL, and combination blocking is
     COMPLETE for max_hamming=12 (the round-1 4x16-chunk scheme guaranteed
-    recall only to hamming 3 — false negatives by construction)."""
+    recall only to hamming 3 — false negatives by construction).
+
+    max_keys=2048 (round-3 scale fix): the default 128-key budget at
+    h=12 picks 91 keys of ~9 bits — bucket population N/512, quadratic
+    candidate growth on a large corpus. 2048 buys C(16,4)=1820 keys of
+    ~16 bits: 128x smaller buckets for 20x the key fan-out. The oracle
+    is blocking-independent (completeness is the contract, pytest-gated
+    by a property test + bruteforce parity), so the answer is unchanged;
+    candidate growth is pytest-gated sub-quadratic via the plan metrics."""
     from nlquery_spark.operators.dedup import simhash_pairs
 
     docs = _parallelize(
         _load(spark, sf_dir, "documents")["documents"].filter(F.col("doc_id") < 200)
     )
-    return simhash_pairs(docs, max_hamming=12)
+    return simhash_pairs(docs, max_hamming=12, max_keys=2048)
 
 
 _SIMHASH_SQL = r"""
@@ -1686,11 +1694,15 @@ def _dedup_embedding(spark, sf_dir):
     # 0.3: the synthetic embeddings top out near cosine 0.37, so this
     # returns a non-trivial pair set for the rows-only driver check
     # (0.6 would be the production near-dup bar but yields 0 rows here).
-    # 2 planes x 16 OR'd tables: per-pair collide prob at the 0.3
-    # threshold boundary is 1-(1-0.356)^16 ~ 0.9993 (round 1 used a
-    # single 4-plane signature: ~13% recall by construction).
+    # block_planes is now DERIVED from the corpus count (round-3 scale
+    # fix: a pinned plane count that fits the fixture is 2^k too coarse
+    # at 10^9 rows) — expected bucket ~ max_bucket_block rows, and hot
+    # buckets are block-pair tiled so no task holds a full bucket.
+    # 16 OR'd tables keep per-pair collide prob at the 0.3 threshold
+    # boundary >= 1-(1-0.356)^16 ~ 0.9993 (fewer auto-planes at fixture
+    # scale only raise it).
     return embedding_neardup_pairs(
-        emb, threshold=0.3, block_planes=2, n_tables=16
+        emb, threshold=0.3, block_planes=None, n_tables=16
     )
 
 

@@ -404,6 +404,7 @@ def simhash_pairs(
     text_col: str = "text",
     max_hamming: int = 3,
     max_keys: int = 128,
+    metrics: Optional[dict] = None,
 ) -> DataFrame:
     """Near-dup pairs with hamming(simhash) <= max_hamming.
 
@@ -417,8 +418,20 @@ def simhash_pairs(
     20-table m=6 design but with wider (more selective) keys; at 12 it
     is 91 keys of 2 chunks (~9 bits) — still never all-pairs, but see
     ``max_keys`` below for the bucket-population tradeoff at wide h.
+
+    ``max_keys`` IS the scale knob for wide hamming: effective key width
+    is ~64*(m-k)/m bits and the candidate self-join per bucket is
+    ~(N/2^width)^2, so at k=12 the default 128-key budget (9-bit keys,
+    N/512 docs per bucket) goes quadratic on a billion-doc corpus —
+    raise it (2048 buys 1820 keys of ~16 bits) and pay fan-out instead
+    of bucket population. Pass ``metrics`` (dict) to record the chosen
+    plan plus measured bucket populations and candidate-pair count.
     """
     m, combos = simhash_blocking_plan(max_hamming, max_keys)
+    if metrics is not None:
+        metrics["n_chunks"] = m
+        metrics["n_keys"] = len(combos)
+        metrics["key_bits"] = round(64 * (m - max_hamming) / m, 1)
     widths = [(64 // m) + (1 if i < 64 % m else 0) for i in range(m)]
     starts = [sum(widths[:i]) for i in range(m)]
     chunk_expr = [
@@ -440,6 +453,19 @@ def simhash_pairs(
             )
         ).alias("key"),
     )
+    if metrics is not None:
+        # bucket-population / candidate-growth metrics (extra aggregate
+        # over the key rows; only when asked for — no silent caps, no
+        # silent quadratics either)
+        pop = keys.groupBy("key").agg(F.count(F.lit(1)).alias("n"))
+        stats = pop.agg(
+            F.count(F.lit(1)).alias("n_buckets"),
+            F.max("n").alias("max_bucket"),
+            F.sum(F.col("n") * (F.col("n") - 1) / 2).alias("cand_pairs"),
+        ).first()
+        metrics["n_buckets"] = int(stats["n_buckets"] or 0)
+        metrics["max_bucket"] = int(stats["max_bucket"] or 0)
+        metrics["candidate_pairs"] = int(stats["cand_pairs"] or 0)
     cand = (
         keys.alias("x")
         .join(
@@ -470,10 +496,11 @@ def embedding_neardup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.95,
-    block_planes: int = 8,
+    block_planes: Optional[int] = None,
     n_tables: int = 12,
     seed: int = 42,
     max_bucket_block: int = 4096,
+    metrics: Optional[dict] = None,
 ) -> DataFrame:
     """Pairs with cosine >= threshold (OR-amplified hyperplane LSH).
 
@@ -484,23 +511,47 @@ def embedding_neardup_pairs(
     1 - (1 - p)^R (>= 99.8% for the same setting at R=12). Pairs found
     in several tables are deduplicated after verification.
 
-    Two numpy stages, one shuffle:
+    ``block_planes=None`` (default) derives the bucket-count from the
+    corpus: planes = ceil(log2(n / max_bucket_block)), so the EXPECTED
+    bucket holds ~max_bucket_block vectors regardless of corpus size —
+    a fixed plane count that is right at 10^6 rows is 2^10 x too coarse
+    at 10^9. Pass an explicit value to pin the recall/cost tradeoff.
+
+    Two numpy stages:
     1. mapInPandas: one GEMM of the batch against the broadcast
        (R*planes, dim) plane matrix -> R bucket ids per vector (emitted
        as R rows); each vector normalized once (cosine later = plain
        dot). (A previous formulation built the signature as literal
        zip_with/aggregate expressions; the optimizer cloned that tree
        into both self-join sides — the dedup-wide Janino pathology.)
-    2. shuffle on (table, bucket); applyInPandas per bucket: tiled GEMM
-       over the normalized vectors, emit upper-triangle pairs >=
-       threshold. ``max_bucket_block`` bounds per-GEMM memory on hot
-       buckets (the skew guard); verification is exact, so extra
-       candidates from OR-ing never cause false positives.
+    2. hot-bucket tiling, then shuffle on (table, bucket, tile): bucket
+       sizes are counted (bucket-universe-sized aggregate, broadcast
+       back), each bucket splits into ceil(n/max_bucket_block) blocks,
+       and every block PAIR (bi <= bj) becomes its own task — so no
+       single task ever materializes a hot bucket in one pandas frame
+       (the pre-round-3 design held the whole bucket per task and only
+       tiled the GEMM, an OOM on any skewed bucket). applyInPandas per
+       tile: blocked GEMM, emit pairs >= threshold. Verification is
+       exact, so extra candidates from OR-ing never cause false
+       positives.
     3. distinct() on the verified pairs (cosines are rounded
-       identically in every table, so cross-table duplicates collapse).
+       identically in every table, so cross-table and cross-tile
+       duplicates collapse).
+
+    ``metrics`` (optional dict) records bucket populations — n_buckets,
+    max_bucket_rows, n_tiles, tiled_buckets — the no-silent-caps
+    contract the jaccard/canonicalize operators follow.
     """
     first = df.select(F.size(vec_col).alias("d")).first()
     dim = first["d"] if first else 0
+    if block_planes is None:
+        n_rows = df.count()
+        block_planes = max(
+            1, int(np.ceil(np.log2(max(n_rows, 2) / max(max_bucket_block, 1))))
+        ) if n_rows > max_bucket_block else 1
+        block_planes = min(block_planes, 30)
+    if metrics is not None:
+        metrics["block_planes"] = block_planes
     rng = np.random.RandomState(seed)
     planes = rng.randn(n_tables * block_planes, dim)
     weights = (2 ** np.arange(block_planes)).astype(np.int64)
@@ -544,36 +595,132 @@ def embedding_neardup_pairs(
         ]
     )
 
-    def verify_bucket(pdf: "pd.DataFrame") -> "pd.DataFrame":
-        n = len(pdf)
+    sig = df.select(id_col, vec_col).mapInPandas(signatures, sig_schema)
+    tiles = _bucket_tiles(sig, max_bucket_block, metrics=metrics)
+    return (
+        tiles.groupBy("table", "bucket", "ti", "tj")
+        .applyInPandas(
+            lambda pdf: _verify_tile(pdf, threshold, max_bucket_block), out_schema
+        )
+        .distinct()
+    )
+
+
+def _bucket_tiles(
+    sig: DataFrame, max_bucket_block: int, metrics: Optional[dict] = None
+) -> DataFrame:
+    """Split each (table, bucket) into hash blocks of ~max_bucket_block
+    rows and fan every row out to its block-pair tiles: a row in block b
+    of a bucket with nb blocks lands in tiles (b, j>=b) as the A side
+    and (i<b, b) as the B side, so tile (i, j) holds exactly blocks i
+    and j and every within-bucket pair appears in exactly one tile. The
+    per-tile row count is bounded by ~2*max_bucket_block — a hot bucket
+    costs more TASKS, never more task MEMORY. Fan-out per row is nb
+    tiles (= the unavoidable O(n^2/block^2) tile count of the verify)."""
+    counts = sig.groupBy("table", "bucket").agg(F.count(F.lit(1)).alias("_n"))
+    if metrics is not None:
+        stats = counts.agg(
+            F.count(F.lit(1)).alias("n_buckets"),
+            F.max("_n").alias("max_bucket_rows"),
+            F.sum(F.ceil(F.col("_n") / max_bucket_block)).alias("n_blocks"),
+            F.sum(
+                (F.col("_n") > max_bucket_block).cast("long")
+            ).alias("tiled_buckets"),
+        ).first()
+        metrics["n_buckets"] = int(stats["n_buckets"] or 0)
+        metrics["max_bucket_rows"] = int(stats["max_bucket_rows"] or 0)
+        metrics["tiled_buckets"] = int(stats["tiled_buckets"] or 0)
+    tagged = (
+        sig.join(F.broadcast(counts), ["table", "bucket"])
+        .withColumn(
+            "nb", F.ceil(F.col("_n") / F.lit(max_bucket_block)).cast("int")
+        )
+        .withColumn("bi", F.pmod(F.xxhash64("id"), F.col("nb")).cast("int"))
+    )
+    tile_t = "array<struct<ti:int,tj:int,side:int>>"
+    a_side = F.transform(
+        F.sequence(F.col("bi"), F.col("nb") - 1),
+        lambda j: F.struct(
+            F.col("bi").alias("ti"), j.alias("tj"), F.lit(0).alias("side")
+        ),
+    )
+    b_side = F.when(
+        F.col("bi") > 0,
+        F.transform(
+            F.sequence(F.lit(0), F.col("bi") - 1),
+            lambda i: F.struct(
+                i.alias("ti"), F.col("bi").alias("tj"), F.lit(1).alias("side")
+            ),
+        ),
+    ).otherwise(F.expr(f"CAST(array() AS {tile_t})"))
+    return tagged.select(
+        "id",
+        "unit",
+        "table",
+        "bucket",
+        F.explode(F.concat(a_side, b_side)).alias("_t"),
+    ).select(
+        "id",
+        "unit",
+        "table",
+        "bucket",
+        F.col("_t.ti").alias("ti"),
+        F.col("_t.tj").alias("tj"),
+        F.col("_t.side").alias("side"),
+    )
+
+
+def _verify_tile(
+    pdf: "pd.DataFrame", threshold: float, max_bucket_block: int
+) -> "pd.DataFrame":
+    """Exact cosine verification of one tile: diagonal tiles (side-0 rows
+    only) emit the upper triangle of their block; off-diagonal tiles
+    emit every (A-side, B-side) pair >= threshold. Blocked GEMM keeps
+    the working set bounded even if hash blocks run oversized."""
+    empty = pd.DataFrame({"id_a": [], "id_b": [], "cosine": []}).astype(
+        {"id_a": "int64", "id_b": "int64", "cosine": "float64"}
+    )
+    a = pdf[pdf["side"] == 0]
+    b = pdf[pdf["side"] == 1]
+    ia, ib, cs = [], [], []
+    step = max_bucket_block
+
+    def emit(ids_r, ids_c, sims, upper_from=None):
+        rr, cc = np.nonzero(np.round(sims, 6) >= threshold)
+        for r, c in zip(rr, cc):
+            if upper_from is not None and upper_from[0] + r >= upper_from[1] + c:
+                continue
+            a_id, b_id = ids_r[r], ids_c[c]
+            if a_id == b_id:
+                continue
+            if a_id > b_id:
+                a_id, b_id = b_id, a_id
+            ia.append(a_id)
+            ib.append(b_id)
+            cs.append(round(float(sims[r, c]), 6))
+
+    if len(b) == 0:  # diagonal tile: upper triangle within A
+        n = len(a)
         if n < 2:
-            return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []}).astype(
-                {"id_a": "int64", "id_b": "int64", "cosine": "float64"}
-            )
-        ids = pdf["id"].to_numpy()
-        u = np.array(pdf["unit"].tolist(), dtype=np.float64)
-        ia, ib, cs = [], [], []
-        step = max_bucket_block
+            return empty
+        ids = a["id"].to_numpy()
+        u = np.array(a["unit"].tolist(), dtype=np.float64)
         for r0 in range(0, n, step):
             r1 = min(r0 + step, n)
             for c0 in range(r0, n, step):
                 c1 = min(c0 + step, n)
-                sims = u[r0:r1] @ u[c0:c1].T
-                rr, cc = np.nonzero(np.round(sims, 6) >= threshold)
-                for r, c in zip(rr, cc):
-                    gi, gj = r0 + r, c0 + c
-                    if gi < gj:
-                        a_id, b_id = ids[gi], ids[gj]
-                        if a_id > b_id:
-                            a_id, b_id = b_id, a_id
-                        ia.append(a_id)
-                        ib.append(b_id)
-                        cs.append(round(float(sims[r, c]), 6))
+                emit(ids[r0:r1], ids[c0:c1], u[r0:r1] @ u[c0:c1].T,
+                     upper_from=(r0, c0))
         return pd.DataFrame({"id_a": ia, "id_b": ib, "cosine": cs})
-
-    sig = df.select(id_col, vec_col).mapInPandas(signatures, sig_schema)
-    return (
-        sig.groupBy("table", "bucket")
-        .applyInPandas(lambda pdf: verify_bucket(pdf), out_schema)
-        .distinct()
-    )
+    if len(a) == 0:
+        return empty
+    ids_a = a["id"].to_numpy()
+    ids_b = b["id"].to_numpy()
+    ua = np.array(a["unit"].tolist(), dtype=np.float64)
+    ub = np.array(b["unit"].tolist(), dtype=np.float64)
+    for r0 in range(0, len(a), step):
+        r1 = min(r0 + step, len(a))
+        for c0 in range(0, len(b), step):
+            c1 = min(c0 + step, len(b))
+            emit(ids_a[r0:r1], ids_b[c0:c1], ua[r0:r1] @ ub[c0:c1].T)
+    return pd.DataFrame({"id_a": ia, "id_b": ib, "cosine": cs})

@@ -320,3 +320,112 @@ def test_multimodal_resize_and_frames(spark):
         assert len(fl) == math.ceil(vids[mid] / 400)
         assert sorted(f.ts_ms for f in fl) == [i * 400 for i in range(len(fl))]
         assert sorted(f.frame_idx for f in fl) == list(range(len(fl)))
+
+
+def test_embedding_lsh_hot_bucket_tiling_exact_and_bounded(spark):
+    """Round-3 scale hardening: with a deliberately hot bucket (1 plane,
+    max_bucket_block=16 << bucket size) the tiled verify must (a) emit
+    exactly the bruteforce pair set and (b) never materialize a full hot
+    bucket in one task — every tile group stays O(max_bucket_block)."""
+    import numpy as np
+
+    from nlquery_spark.operators import dedup
+
+    rng = np.random.RandomState(7)
+    base = rng.randn(40, 16)
+    rows, vid = [], 0
+    for i in range(40):
+        for _ in range(int(rng.randint(1, 9))):
+            v = base[i] + 0.01 * rng.randn(16)
+            rows.append((vid, [float(x) for x in v]))
+            vid += 1
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    X = np.array([r[1] for r in rows])
+    X = X / np.linalg.norm(X, axis=1, keepdims=True)
+    S = np.round(X @ X.T, 6)
+    exact = {
+        (i, j)
+        for i in range(len(rows))
+        for j in range(i + 1, len(rows))
+        if S[i, j] >= 0.98
+    }
+    m = {}
+    got = {
+        (r.id_a, r.id_b)
+        for r in dedup.embedding_neardup_pairs(
+            df, threshold=0.98, block_planes=1, n_tables=8,
+            max_bucket_block=16, metrics=m,
+        ).collect()
+    }
+    assert exact and got == exact
+    assert m["tiled_buckets"] > 0 and m["max_bucket_rows"] > 16
+    # tile-residency bound, asserted on the tile assignment itself
+    sig = spark.createDataFrame(
+        [(int(i), [1.0, 0.0], 0, 0) for i in range(500)],
+        "id long, unit array<double>, table long, bucket long",
+    )
+    tiles = dedup._bucket_tiles(sig, max_bucket_block=50)
+    per_tile = [
+        r.n
+        for r in tiles.groupBy("table", "bucket", "ti", "tj")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    ]
+    # hash blocks are ~uniform(50): a tile holds <= 2 blocks; 4x slack
+    assert max(per_tile) <= 4 * 50, max(per_tile)
+    assert len(per_tile) == 55  # nb=10 blocks -> C(10,2)+10 tiles
+
+
+def test_embedding_lsh_auto_block_planes(spark):
+    """block_planes=None derives bucket granularity from the corpus size:
+    expected bucket ~ max_bucket_block rows."""
+    import numpy as np
+
+    from nlquery_spark.operators import dedup
+
+    rng = np.random.RandomState(3)
+    rows = [(i, [float(x) for x in rng.randn(8)]) for i in range(256)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    m = {}
+    dedup.embedding_neardup_pairs(
+        df, threshold=0.99, n_tables=2, max_bucket_block=32, metrics=m
+    ).count()
+    # ceil(log2(256/32)) = 3 planes -> 8 buckets/table
+    assert m["block_planes"] == 3
+
+
+def test_simhash_wide_hamming_plan_subquadratic(spark):
+    """At max_hamming=12 the 2048-key budget must pick ~16-bit keys and
+    keep the measured candidate-pair count sub-quadratic, while the
+    answer stays identical to the 128-key plan (blocking completeness is
+    plan-independent)."""
+    rng = np.random.RandomState(5)
+    vocab = [f"w{i}" for i in range(500)]
+    texts = []
+    for i in range(120):
+        toks = [vocab[rng.randint(0, 500)] for _ in range(60)]
+        texts.append((i, " ".join(toks)))
+        if i % 10 == 0:  # planted near-dup: flip one token
+            toks2 = list(toks)
+            toks2[0] = "flip"
+            texts.append((1000 + i, " ".join(toks2)))
+    df = spark.createDataFrame(texts, "doc_id long, text string")
+    m_wide, m_narrow = {}, {}
+    wide = {(r.id_a, r.id_b, r.hamming) for r in dedup.simhash_pairs(
+        df, max_hamming=12, max_keys=2048, metrics=m_wide).collect()}
+    narrow = {(r.id_a, r.id_b, r.hamming) for r in dedup.simhash_pairs(
+        df, max_hamming=12, max_keys=128, metrics=m_narrow).collect()}
+    assert wide == narrow and wide  # same complete answer, any plan
+    assert m_wide["n_keys"] == 1820 and m_wide["key_bits"] >= 15.9
+    assert m_narrow["n_keys"] == 91
+    # what scales is BUCKET POPULATION (verify work per key is
+    # quadratic in it): 16-bit keys must isolate near-identical docs,
+    # where 9-bit keys co-bucket unrelated ones. (Total candidate-sum
+    # comparisons across plans are meaningless at fixture scale: a true
+    # pair is re-counted once per colliding key, and the wide plan has
+    # 20x the keys.)
+    assert m_wide["max_bucket"] <= m_narrow["max_bucket"]
+    assert m_wide["max_bucket"] <= 8, m_wide  # only near-dup clusters co-bucket
+    n = df.count()
+    # and per-bucket verify work stays far below one all-pairs pass
+    assert m_wide["max_bucket"] ** 2 < n * (n - 1) / 8
