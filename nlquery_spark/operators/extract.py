@@ -139,3 +139,27 @@ def write_triples(triples: DataFrame, path: str, buckets: int = 64) -> None:
         .partitionBy("pred")
         .parquet(path)
     )
+
+
+def write_triples_iceberg(
+    triples: DataFrame, table: str, buckets: int = 64
+) -> None:
+    """The Iceberg form of write_triples (SURVEY §1.3 target layout):
+    ``writeTo(catalog.table).partitionedBy(col('pred'), bucket(N,
+    'subj'))`` via the DataFrameWriterV2 API — predicate partition
+    pruning plus Iceberg's hidden bucket transform on subject, so
+    readers joining on subj get storage-partitioned-join eligibility
+    without a materialized bucket column.
+
+    Requires an Iceberg catalog on the session (see
+    plans.session.get_spark(iceberg_warehouse=...)) and the
+    iceberg-spark-runtime jar on the classpath; this sandbox has
+    neither, so the path is exercised by a skip-if-missing test
+    (tests/test_sources.py) and the parquet fallback above everywhere
+    else."""
+    (
+        triples.sortWithinPartitions("subj")
+        .writeTo(table)
+        .partitionedBy(F.col("pred"), F.bucket(buckets, F.col("subj")))
+        .createOrReplace()
+    )

@@ -144,3 +144,22 @@ def test_oracle_parity_on_adversarial_texts(spark, nasty_sf, name):
     s_vals, _ = _rows_to_multiset(spark_cols, spark_rows)
     d_vals, _ = _rows_to_multiset(duck_cols, duck_rows)
     assert s_vals == d_vals, f"{name}: values differ\nspark={s_vals}\nduck={d_vals}"
+
+
+def test_dedup_embedding_recall_vs_exact_query(spark):
+    """dedup_embedding is rows-only for the driver (probabilistic LSH),
+    so pin its exactness here: at fixture scale the OR-amplified plan
+    must recover the oracled exact all-pairs result with no false
+    positives and recall >= 0.95 (auto-derived planes only raise
+    collide probability, so this also guards the auto path)."""
+    g = {
+        (r.id_a, r.id_b)
+        for r in entry_mod.queries()["dedup_embedding"](spark, SF_DIR).collect()
+    }
+    e = {
+        (r.id_a, r.id_b)
+        for r in entry_mod.queries()["emb_neardup_exact"](spark, SF_DIR).collect()
+    }
+    assert e, "fixture must contain exact near-dup pairs"
+    assert not (g - e)  # exact verify: no false positives
+    assert len(g & e) / len(e) >= 0.95
