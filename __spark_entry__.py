@@ -36,9 +36,12 @@ def _parallelize(df: DataFrame) -> DataFrame:
     Local test parquet is a single file (1 scan partition); on a real
     corpus the scan has thousands of splits and this is a no-op. The
     round-robin shuffle of the tiny input is much cheaper than running a
-    CPU-heavy Arrow stage on one core."""
+    CPU-heavy Arrow stage on one core. Split estimate comes from
+    inputFiles() — no df.rdd conversion (which builds the whole RDD
+    lineage driver-side just to read a partition count)."""
     target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < max(target // 2, 2):
+    n_files = len(df.inputFiles())
+    if n_files < max(target // 2, 2):
         return df.repartition(target)
     return df
 
@@ -341,7 +344,11 @@ def _streaming_extract(spark, sf_dir):
 
     work = tempfile.mkdtemp(prefix="nlq_stream_")
     src, out, ckpt = f"{work}/in", f"{work}/out", f"{work}/ckpt"
-    synth_pages(spark, 200).write.mode("overwrite").parquet(src)
+    # 8 source files / 4 per trigger = 2+ micro-batches: still exercises
+    # multi-batch exactly-once, without paying per-batch setup for 32
+    # near-empty files (the r2 suite spent ~14s of this query's 19s on
+    # micro-batch overhead — BENCH/ISOLATION_r03.md)
+    synth_pages(spark, 200).coalesce(8).write.mode("overwrite").parquet(src)
     stream = read_pages_stream(spark, src, max_files_per_trigger=4)
     q = triples_to_sink(extract_triples(stream, [orders_schema_spec()]), out, ckpt, trigger_once=True)
     if not q.awaitTermination(300):
