@@ -398,6 +398,66 @@ def simhash_blocking_plan(max_hamming: int, max_keys: int = 128):
     return m, list(combinations(range(m), m - k))
 
 
+def _simhash_keys(sigs: DataFrame, m: int, combos) -> DataFrame:
+    """(id, simhash, key) rows — one key per blocking combination, mixed
+    in vectorized numpy (splitmix-style fold over the combo's chunk
+    values).
+
+    This deliberately does NOT build the keys as JVM expressions: an
+    exploded array of C(m, c) xxhash64 trees (1820 at the wide plan,
+    each over c shift/mask subtrees) is a megabyte-scale codegen unit
+    that the optimizer additionally clones into BOTH sides of the
+    candidate self-join — the repo-wide Janino pathology (the r3 bench
+    measured 80 s of compile time for the 200-doc fixture). Key mixing
+    is job-internal (the oracle checks final hamming semantics, not
+    keys), so a numpy fold is both safe and ~free; a rare 64-bit mix
+    collision only adds a candidate that exact verification discards."""
+    widths = [(64 // m) + (1 if i < 64 % m else 0) for i in range(m)]
+    starts = [sum(widths[:i]) for i in range(m)]
+    key_schema = StructType(
+        [
+            StructField("id", LongType(), False),
+            StructField("simhash", LongType(), False),
+            StructField("key", LongType(), False),
+        ]
+    )
+    n_combos = len(combos)
+    PRIME = np.uint64(0x9E3779B97F4A7C15)
+
+    def gen(batches):
+        for pdf in batches:
+            n = len(pdf)
+            if not n:
+                continue
+            sh_i64 = np.ascontiguousarray(pdf["simhash"].to_numpy(np.int64))
+            ids = pdf["id"].to_numpy(np.int64)
+            sh = sh_i64.view(np.uint64)
+            chunks = [
+                (sh >> np.uint64(starts[i])) & np.uint64((1 << widths[i]) - 1)
+                for i in range(m)
+            ]
+            # bound each emitted frame to ~2M rows regardless of fan-out
+            group = max(1, 2_000_000 // n)
+            for g0 in range(0, n_combos, group):
+                cs = combos[g0 : g0 + group]
+                keys = np.empty((len(cs), n), dtype=np.uint64)
+                for row, combo in enumerate(cs):
+                    h = np.full(n, np.uint64(g0 + row + 1) * PRIME, dtype=np.uint64)
+                    for i in combo:
+                        h = (h ^ chunks[i]) * PRIME
+                        h ^= h >> np.uint64(31)
+                    keys[row] = h
+                yield pd.DataFrame(
+                    {
+                        "id": np.tile(ids, len(cs)),
+                        "simhash": np.tile(sh_i64, len(cs)),
+                        "key": keys.reshape(-1).view(np.int64),
+                    }
+                )
+
+    return sigs.mapInPandas(gen, key_schema)
+
+
 def simhash_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -411,8 +471,9 @@ def simhash_pairs(
     Blocking is COMPLETE for the requested ``max_hamming`` (see
     simhash_blocking_plan): the old fixed 4x16-bit chunking guaranteed
     recall only for hamming <= 3 by pigeonhole, silently dropping
-    wider pairs. Candidates are exploded as xxhash64(combination-id,
-    chunk values) keys — one shuffle on key, hamming-verified JVM-side
+    wider pairs. Candidate keys are mixed vectorized in the signature's
+    numpy stage (see _simhash_keys for why not JVM expressions) — one
+    shuffle on key, hamming-verified JVM-side
     with bit_count(xor). At max_hamming=3 the plan picks m=7 chunks and
     C(7,4)=35 keys of 4 chunks (~36 bits) — denser than Manku's classic
     20-table m=6 design but with wider (more selective) keys; at 12 it
@@ -432,27 +493,8 @@ def simhash_pairs(
         metrics["n_chunks"] = m
         metrics["n_keys"] = len(combos)
         metrics["key_bits"] = round(64 * (m - max_hamming) / m, 1)
-    widths = [(64 // m) + (1 if i < 64 % m else 0) for i in range(m)]
-    starts = [sum(widths[:i]) for i in range(m)]
-    chunk_expr = [
-        F.shiftrightunsigned(F.col("simhash"), starts[i]).bitwiseAND(
-            F.lit((1 << widths[i]) - 1)
-        )
-        for i in range(m)
-    ]
     sigs = simhash_signatures(df, id_col, text_col).localCheckpoint(eager=False)
-    keys = sigs.select(
-        "id",
-        "simhash",
-        F.explode(
-            F.array(
-                *[
-                    F.xxhash64(F.lit(j), *[chunk_expr[i] for i in combo])
-                    for j, combo in enumerate(combos)
-                ]
-            )
-        ).alias("key"),
-    )
+    keys = _simhash_keys(sigs, m, combos)
     if metrics is not None:
         # bucket-population / candidate-growth metrics (extra aggregate
         # over the key rows; only when asked for — no silent caps, no
