@@ -1285,6 +1285,145 @@ FROM base ANTI JOIN nd ON base.doc_id = nd.doc_id
 """
 
 
+def _doc_repetition(spark, sf_dir):
+    """Gopher-style repetition signals (dup-token fraction + share of
+    the most-repeated adjacent bigram) — the standard boilerplate/spam
+    filter inputs for corpus curation. One explode+groupBy shuffle
+    keyed by doc_id; everything else stays in codegen."""
+    from nlquery_spark.operators.corpus import repetition_stats
+
+    docs = _load(spark, sf_dir, "documents")["documents"]
+    return repetition_stats(docs)
+
+
+_REPETITION_SQL = r"""
+WITH t AS (
+  SELECT doc_id,
+    CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+         ELSE string_split_regex(trim(lower(text)), '[ \t\n\x0B\f\r]+') END AS w
+  FROM documents
+), bg AS (
+  SELECT doc_id, bigram, COUNT(*) AS n FROM (
+    SELECT doc_id,
+      unnest(list_transform(range(1, len(w)),
+                            i -> w[i] || ' ' || w[i + 1])) AS bigram
+    FROM t WHERE len(w) > 1
+  ) GROUP BY doc_id, bigram
+), top AS (
+  SELECT doc_id, MAX(n) AS top_bigram_n FROM bg GROUP BY doc_id
+)
+SELECT t.doc_id,
+  len(w) AS n_tokens,
+  ROUND(CASE WHEN len(w) > 0
+             THEN 1.0 - CAST(len(list_distinct(w)) AS DOUBLE) / len(w)
+             ELSE 0.0 END, 6) AS dup_token_frac,
+  COALESCE(top_bigram_n, 0) AS top_bigram_n,
+  ROUND(CASE WHEN len(w) > 1
+             THEN CAST(COALESCE(top_bigram_n, 0) AS DOUBLE) / (len(w) - 1)
+             ELSE 0.0 END, 6) AS top_bigram_frac
+FROM t LEFT JOIN top ON t.doc_id = top.doc_id
+"""
+
+
+def _doc_pii_scrub(spark, sf_dir):
+    """PII scrub pass: emails/URLs redacted with typed placeholders,
+    counts preserved. The fixture corpus contains no PII, so both sides
+    deterministically AUGMENT every third document with a synthetic
+    email+URL suffix — the operator is then provably exercised and the
+    oracle mirrors the augmentation."""
+    from nlquery_spark.operators.corpus import pii_scrub
+
+    docs = _load(spark, sf_dir, "documents")["documents"]
+    aug = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat_ws(
+                "",
+                F.col("text"),
+                F.lit(" contact user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com via https://site"),
+                (F.col("doc_id") % 5).cast("string"),
+                F.lit(".example/path"),
+            ),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return pii_scrub(aug)
+
+
+def _pii_sql() -> str:
+    from nlquery_spark.operators.corpus import EMAIL_RE, URL_RE
+
+    return f"""
+WITH aug AS (
+  SELECT doc_id,
+    CASE WHEN doc_id % 3 = 0
+         THEN text || ' contact user' || doc_id ||
+              '@example.com via https://site' || (doc_id % 5) ||
+              '.example/path'
+         ELSE text END AS text
+  FROM documents
+)
+SELECT doc_id,
+  len(regexp_extract_all(text, '{EMAIL_RE}')) AS n_emails,
+  len(regexp_extract_all(text, '{URL_RE}')) AS n_urls,
+  regexp_replace(regexp_replace(text, '{EMAIL_RE}', '<EMAIL>', 'g'),
+                 '{URL_RE}', '<URL>', 'g') AS clean_text
+FROM aug
+"""
+
+
+_SAMPLE_RATES = {"src0": 0.9, "src1": 0.5, "src2": 0.25}
+_SAMPLE_DEFAULT = 0.1
+
+
+def _corpus_sample(spark, sf_dir):
+    """Deterministic stratified sampling by source: keep probability per
+    stratum, decided by a PORTABLE md5-derived uniform on doc_id — not
+    rand()/sample(), whose output changes with partitioning. The DuckDB
+    oracle reproduces the sample bit-for-bit, which is exactly the
+    property a 100-TB pipeline needs for resumable/auditable sampling."""
+    from nlquery_spark.operators.corpus import stratified_sample
+
+    docs = _load(spark, sf_dir, "documents")["documents"]
+    return stratified_sample(
+        docs, "doc_id", "source", _SAMPLE_RATES, _SAMPLE_DEFAULT
+    ).select("doc_id", "source")
+
+
+def _sample_sql() -> str:
+    from nlquery_spark.operators.corpus import sample_threshold
+
+    cases = " ".join(
+        f"WHEN '{s}' THEN {sample_threshold(r)}::HUGEINT"
+        for s, r in sorted(_SAMPLE_RATES.items())
+    )
+    return f"""
+SELECT doc_id, source FROM documents
+WHERE ('0x' || substr(md5('sample:' || doc_id), 1, 16))::UBIGINT::HUGEINT <
+  CASE source {cases} ELSE {sample_threshold(_SAMPLE_DEFAULT)}::HUGEINT END
+"""
+
+
+def _corpus_pack(spark, sf_dir):
+    """Sequence packing for training batches: greedy FFD into 512-token
+    bins, deterministic across cluster sizes (groups keyed by doc_id,
+    not physical partitions). Iterative per-bin state -> rows-only for
+    the driver; exact invariants (coverage, capacity, determinism,
+    waste bound) are pytest-pinned."""
+    from nlquery_spark.functions.text import token_count
+    from nlquery_spark.operators.corpus import pack_documents
+
+    docs = _load(spark, sf_dir, "documents")["documents"]
+    counted = docs.select(
+        "doc_id", token_count(F.col("text")).alias("n_tokens")
+    )
+    return pack_documents(counted, max_tokens=512, n_groups=16)
+
+
 def _doc_heavy_hitters(spark, sf_dir):
     """Count-Min-Sketch heavy hitters (operators/sketch.py): the sketch
     prescreen never undercounts, so candidates superset the true
@@ -1787,6 +1926,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": _dedup_exact,
         "dedup_ngram_jaccard": _dedup_ngram_jaccard,
         "corpus_clean": _corpus_clean,
+        "doc_repetition": _doc_repetition,
+        "doc_pii_scrub": _doc_pii_scrub,
+        "corpus_sample": _corpus_sample,
+        "corpus_pack": _corpus_pack,
         "doc_heavy_hitters": _doc_heavy_hitters,
         "gazetteer_mentions": _gazetteer_mentions,
         "gazetteer_topk_entities": _gazetteer_topk_entities,
@@ -1840,6 +1983,11 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": _DEDUP_EXACT_SQL,
         "dedup_ngram_jaccard": _JACCARD_SQL,
         "corpus_clean": _corpus_clean_sql(),
+        "doc_repetition": _REPETITION_SQL,
+        "doc_pii_scrub": _pii_sql(),
+        "corpus_sample": _sample_sql(),
+        # corpus_pack: iterative greedy bin state -> rows-only; exact
+        # invariants pytest-pinned (tests/test_corpus.py)
         "doc_heavy_hitters": _HEAVY_HITTERS_SQL,
         "gazetteer_mentions": _gazetteer_sql(),
         "gazetteer_topk_entities": _gazetteer_topk_sql(),

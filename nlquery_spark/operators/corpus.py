@@ -1,0 +1,248 @@
+"""Corpus-preparation operators for LLM training-data pipelines:
+repetition analysis, PII scrubbing, deterministic stratified sampling,
+and sequence packing.
+
+Everything except packing is pure built-in ``pyspark.sql.functions``
+(JVM, whole-stage codegen) with an exact DuckDB oracle; packing is
+inherently sequential per bin, so it runs as deterministic per-group
+greedy first-fit-decreasing inside ``applyInPandas`` and is pinned by
+exact pytest invariants instead of SQL.
+
+Scale posture:
+- repetition_stats: one explode+groupBy shuffle keyed by doc_id — the
+  per-doc group is the doc's own bigrams, so no skew beyond document
+  length (cap extreme docs upstream via corpus_clean's length gate).
+- pii_scrub: stateless projection; pushdown/pruning unaffected.
+- stratified_sample: stateless filter on an md5-derived uniform; no
+  shuffle, no RNG state, reproducible across engines AND cluster
+  topologies (the reason to avoid rand(): Spark's sample() is
+  partition-dependent, so a repartition changes the sample).
+- pack_documents: packing parallelism = number of pack groups; each
+  group packs its own docs greedily. Groups are formed by an explicit
+  deterministic key (doc_id % n_groups), so output is stable across
+  cluster sizes; bin ids are group-prefixed, so no cross-group
+  coordination exists.
+"""
+
+from __future__ import annotations
+
+from typing import Dict
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.types import (
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from ..functions.text import tokens as tokens_col
+
+# ------------------------------------------------------- repetition --
+
+
+def repetition_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher-style repetition signals per document: duplicate-token
+    fraction and the most-repeated adjacent bigram's share of all
+    bigrams (high values flag boilerplate/spam for corpus filtering).
+
+    (doc_id, n_tokens, dup_token_frac, top_bigram_n, top_bigram_frac).
+    """
+    toks = F.transform(tokens_col(F.col(text_col)), F.lower)
+    base = docs.select(
+        "doc_id",
+        toks.alias("_toks"),
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("_n_distinct"),
+    )
+    bigrams = base.filter(F.col("n_tokens") > 1).select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("_toks") - 2),
+                lambda i: F.concat_ws(
+                    " ", F.get("_toks", i), F.get("_toks", i + 1)
+                ),
+            )
+        ).alias("bigram"),
+    )
+    top = (
+        bigrams.groupBy("doc_id", "bigram")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .groupBy("doc_id")
+        .agg(F.max("_n").alias("top_bigram_n"))
+    )
+    dup_frac = F.when(
+        F.col("n_tokens") > 0,
+        F.round(
+            1.0 - F.col("_n_distinct").cast("double") / F.col("n_tokens"), 6
+        ),
+    ).otherwise(F.lit(0.0))
+    top_frac = F.when(
+        F.col("n_tokens") > 1,
+        F.round(
+            F.coalesce(F.col("top_bigram_n"), F.lit(0)).cast("double")
+            / (F.col("n_tokens") - 1),
+            6,
+        ),
+    ).otherwise(F.lit(0.0))
+    return (
+        base.join(top, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            dup_frac.alias("dup_token_frac"),
+            F.coalesce(F.col("top_bigram_n"), F.lit(0))
+            .cast("long")
+            .alias("top_bigram_n"),
+            top_frac.alias("top_bigram_frac"),
+        )
+    )
+
+
+# -------------------------------------------------------- PII scrub --
+
+# conservative, lookahead-free patterns that parse identically under
+# Java regex (Spark) and RE2 (DuckDB); whitespace spelled as an explicit
+# class (RE2 \s lacks \x0B)
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+URL_RE = r"https?://[^ \t\n\x0B\f\r]+"
+
+
+def pii_scrub(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Redact emails and URLs with typed placeholders and count what was
+    removed — the standard pre-training scrub pass.
+
+    Counts are taken on the ORIGINAL text (an email inside a URL counts
+    under both); replacement order is email-then-URL so `user@host`
+    authority parts never leak through a URL that was truncated by the
+    email placeholder."""
+    email_n = F.regexp_count(F.col(text_col), F.lit(EMAIL_RE))
+    url_n = F.regexp_count(F.col(text_col), F.lit(URL_RE))
+    clean = F.regexp_replace(
+        F.regexp_replace(F.col(text_col), EMAIL_RE, "<EMAIL>"), URL_RE, "<URL>"
+    )
+    return docs.select(
+        "doc_id",
+        email_n.cast("long").alias("n_emails"),
+        url_n.cast("long").alias("n_urls"),
+        clean.alias("clean_text"),
+    )
+
+
+# ---------------------------------------------- stratified sampling --
+
+
+def stratified_sample(
+    df: DataFrame,
+    key_col: str,
+    strata_col: str,
+    rates: Dict[str, float],
+    default_rate: float = 0.0,
+    salt: str = "sample",
+) -> DataFrame:
+    """Keep each row with its stratum's probability, decided by a
+    PORTABLE deterministic uniform: u = first 64 bits of
+    md5(salt ':' key) as an integer, kept iff u < rate * 2^64.
+
+    Unlike ``DataFrame.sample``/``rand()`` the decision depends only on
+    the row's key — stable under repartitioning, retries, engine (the
+    DuckDB oracle reproduces it bit-for-bit via the repo's
+    ``('0x'||substr(md5(..),1,16))::UBIGINT`` convention), and cluster
+    size; changing ``salt`` draws an independent sample."""
+    u = F.conv(
+        F.substring(F.md5(F.concat_ws(":", F.lit(salt), F.col(key_col))), 1, 16),
+        16,
+        10,
+    ).cast("decimal(20,0)")
+    # thresholds as STRING literals: rate * 2^64 exceeds LongType, and
+    # the exact same integers must appear in the SQL oracle
+    expr = F.lit(str(sample_threshold(default_rate))).cast("decimal(20,0)")
+    for stratum, rate in sorted(rates.items()):
+        cond = F.col(strata_col) == stratum
+        lim = F.lit(str(sample_threshold(rate))).cast("decimal(20,0)")
+        expr = F.when(cond, lim).otherwise(expr)
+    return df.filter(u < expr)
+
+
+def sample_threshold(rate: float) -> int:
+    """rate -> integer cut on the md5-derived 64-bit uniform. Exposed so
+    oracles/other engines inline the IDENTICAL integer."""
+    return min(int(rate * (1 << 64)), (1 << 64))
+
+
+# ------------------------------------------------- sequence packing --
+
+PACKING_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType(), False),
+        StructField("n_tokens", LongType(), False),
+        StructField("bin_id", StringType(), False),
+        StructField("bin_fill", LongType(), False),
+        StructField("bin_docs", LongType(), False),
+    ]
+)
+
+
+def pack_documents(
+    docs_with_counts: DataFrame,
+    max_tokens: int,
+    id_col: str = "doc_id",
+    count_col: str = "n_tokens",
+    n_groups: int = 64,
+) -> DataFrame:
+    """Greedy first-fit-decreasing sequence packing: assign each doc to
+    a training bin of capacity ``max_tokens``, minimizing padding waste
+    when examples are concatenated into fixed-length sequences.
+
+    Packing is sequential per bin, so it runs per GROUP: docs are
+    grouped by the deterministic key ``doc_id % n_groups`` (NOT Spark's
+    physical partitioning — output must not change with cluster size),
+    each group packs independently with FFD (sort by count desc, id
+    asc; first bin that fits, else open a new one), and bin ids are
+    group-prefixed. Oversized docs (count > max_tokens) get their own
+    bin — flagged by bin_fill > max_tokens, never dropped silently.
+
+    Invariants (pytest-pinned): every input doc appears exactly once;
+    no multi-doc bin exceeds capacity; output is identical across
+    partitionings; waste is bounded by FFD's guarantees per group.
+    """
+
+    def pack(pdf) -> "pd.DataFrame":
+        import pandas as pd
+
+        pdf = pdf.sort_values(
+            [count_col, id_col], ascending=[False, True]
+        ).reset_index(drop=True)
+        group = int(pdf[id_col].iloc[0]) % n_groups if len(pdf) else 0
+        fills: list = []  # current fill per open bin
+        counts: list = []  # docs per open bin
+        assign: list = []
+        for _, row in pdf.iterrows():
+            n = int(row[count_col])
+            placed = None
+            for b in range(len(fills)):
+                if fills[b] + n <= max_tokens:
+                    placed = b
+                    break
+            if placed is None:
+                fills.append(0)
+                counts.append(0)
+                placed = len(fills) - 1
+            fills[placed] += n
+            counts[placed] += 1
+            assign.append(placed)
+        return pd.DataFrame(
+            {
+                "doc_id": pdf[id_col].astype("int64"),
+                "n_tokens": pdf[count_col].astype("int64"),
+                "bin_id": [f"{group}-{b}" for b in assign],
+                "bin_fill": [fills[b] for b in assign],
+                "bin_docs": [counts[b] for b in assign],
+            }
+        )
+
+    grouped = docs_with_counts.select(
+        F.col(id_col), F.col(count_col).cast("long").alias(count_col)
+    ).withColumn("_g", F.pmod(F.col(id_col), F.lit(n_groups)))
+    return grouped.groupBy("_g").applyInPandas(lambda pdf: pack(pdf), PACKING_SCHEMA)

@@ -1,0 +1,128 @@
+"""Corpus-preparation operators: repetition stats, PII scrub, portable
+stratified sampling, sequence packing — exact expectations computed in
+python, plus the packing invariants the driver's rows-only check can't
+see."""
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from nlquery_spark.operators.corpus import (
+    pack_documents,
+    pii_scrub,
+    repetition_stats,
+    sample_threshold,
+    stratified_sample,
+)
+
+
+def test_repetition_stats_hand_computed(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "a b a b a"),          # bigrams: ab ba ab ba -> top 2/4
+            (2, "x x x x"),            # xx xx xx -> top 3/3, dup 3/4
+            (3, "all distinct words"),
+            (4, ""),                   # empty
+            (5, "one"),                # single token: no bigrams
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in repetition_stats(df).collect()}
+    assert got[1].n_tokens == 5 and got[1].top_bigram_n == 2
+    assert got[1].top_bigram_frac == pytest.approx(0.5)
+    assert got[1].dup_token_frac == pytest.approx(round(1 - 2 / 5, 6))
+    assert got[2].top_bigram_n == 3 and got[2].top_bigram_frac == pytest.approx(1.0)
+    assert got[2].dup_token_frac == pytest.approx(0.75)
+    assert got[3].dup_token_frac == 0.0 and got[3].top_bigram_n == 1
+    assert got[4].n_tokens == 0 and got[4].top_bigram_n == 0
+    assert got[4].dup_token_frac == 0.0 and got[4].top_bigram_frac == 0.0
+    assert got[5].n_tokens == 1 and got[5].top_bigram_n == 0
+
+
+def test_pii_scrub_cases(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "mail me at bob.smith+x@sub.example.org today"),
+            (2, "see https://a.example/path?q=1 and http://b.example"),
+            (3, "both x@y.io and https://z.example here"),
+            (4, "no pii at all"),
+            (5, "auth url https://user@host.example/p"),  # email inside URL
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in pii_scrub(df).collect()}
+    assert got[1].n_emails == 1 and got[1].n_urls == 0
+    assert got[1].clean_text == "mail me at <EMAIL> today"
+    assert got[2].n_urls == 2 and got[2].n_emails == 0
+    assert got[2].clean_text == "see <URL> and <URL>"
+    assert got[3].n_emails == 1 and got[3].n_urls == 1
+    assert got[3].clean_text == "both <EMAIL> and <URL> here"
+    assert got[4].clean_text == "no pii at all"
+    # email-shaped authority inside a URL: counted under both, and the
+    # email replacement runs first so nothing of user@host survives
+    assert got[5].n_emails == 1 and got[5].n_urls == 1
+    assert "user@host" not in got[5].clean_text
+
+
+def test_stratified_sample_exact_membership_and_stability(spark):
+    rows = [(i, f"src{i % 4}") for i in range(2000)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    rates = {"src0": 0.8, "src1": 0.3, "src2": 0.0}
+    got = {
+        r.doc_id
+        for r in stratified_sample(df, "doc_id", "source", rates, 0.5).collect()
+    }
+
+    def keep(i, src):
+        u = int(hashlib.md5(f"sample:{i}".encode()).hexdigest()[:16], 16)
+        return u < sample_threshold(rates.get(src, 0.5))
+
+    want = {i for i, s in rows if keep(i, s)}
+    assert got == want  # bit-exact vs the python reference
+    assert not any(s == "src2" for i, s in rows if i in got)
+    # partitioning-independent: same sample after a repartition
+    got2 = {
+        r.doc_id
+        for r in stratified_sample(
+            df.repartition(13), "doc_id", "source", rates, 0.5
+        ).collect()
+    }
+    assert got2 == got
+
+
+def test_pack_documents_invariants(spark):
+    import numpy as np
+
+    rng = np.random.RandomState(2)
+    rows = [(int(i), int(rng.randint(10, 250))) for i in range(400)]
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens long")
+    out = pack_documents(df, max_tokens=512, n_groups=8).collect()
+    # coverage: every doc exactly once, counts preserved
+    assert sorted((r.doc_id, r.n_tokens) for r in out) == sorted(rows)
+    # capacity: no bin over max_tokens (all docs fit individually here)
+    fills = {}
+    for r in out:
+        fills.setdefault(r.bin_id, 0)
+        fills[r.bin_id] += r.n_tokens
+    assert all(f <= 512 for f in fills.values())
+    for r in out:  # reported fill == actual bin fill
+        assert r.bin_fill == fills[r.bin_id]
+    # first-fit with items <= max/2: at most one bin per group at <= 50%
+    by_group = {}
+    for b, f in fills.items():
+        by_group.setdefault(b.split("-")[0], []).append(f)
+    for g, fs in by_group.items():
+        assert sum(1 for f in fs if f <= 256) <= 1, (g, fs)
+    # determinism across physical partitionings
+    out2 = pack_documents(df.repartition(7), max_tokens=512, n_groups=8).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, out2))
+
+
+def test_pack_documents_oversized_gets_own_bin(spark):
+    df = spark.createDataFrame(
+        [(1, 100), (2, 9000), (3, 100)], "doc_id long, n_tokens long"
+    )
+    out = {r.doc_id: r for r in pack_documents(df, max_tokens=512, n_groups=1).collect()}
+    assert out[2].bin_docs == 1 and out[2].bin_fill == 9000  # flagged, not dropped
+    assert out[1].bin_id == out[3].bin_id != out[2].bin_id

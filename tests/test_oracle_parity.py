@@ -109,6 +109,9 @@ _NASTY_QUERIES = [
     "corpus_clean",
     "gazetteer_mentions",
     "gazetteer_topk_entities",
+    "doc_repetition",
+    "doc_pii_scrub",
+    "corpus_sample",
 ]
 
 
