@@ -1,4 +1,5 @@
 from .dedup import streaming_exact_dedup  # noqa: F401
+from .joins import interval_join_stream  # noqa: F401
 from .extract import (  # noqa: F401
     extract_triples_stream,
     read_pages_stream,
