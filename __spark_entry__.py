@@ -1478,6 +1478,39 @@ WHERE ('0x' || substr(md5('sample:' || doc_id), 1, 16))::UBIGINT::HUGEINT <
 """
 
 
+def _doc_chunks(spark, sf_dir):
+    """Sliding-window context chunking (64-token windows, stride 48)
+    over the documents table — the chunker feeding embedding/pretraining
+    stages. No shuffle: split + sequence + explode + slice, all in
+    codegen; the oracle mirrors the window arithmetic exactly."""
+    from nlquery_spark.operators.corpus import chunk_documents
+
+    docs = _load(spark, sf_dir, "documents")["documents"]
+    return chunk_documents(docs, chunk_tokens=64, stride=48)
+
+
+_CHUNKS_SQL = r"""
+WITH t AS (
+  SELECT doc_id,
+    CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+         ELSE string_split_regex(trim(text), '[ \t\n\x0B\f\r]+') END AS w
+  FROM documents
+), sized AS (
+  SELECT doc_id, w, len(w) AS n,
+    CASE WHEN len(w) <= 64 THEN 1
+         ELSE 1 + CAST(floor((len(w) - 64 + 47) / 48) AS INTEGER) END AS n_chunks
+  FROM t WHERE len(w) > 0
+), exploded AS (
+  SELECT doc_id, w, unnest(range(0, n_chunks)) AS chunk_idx FROM sized
+)
+SELECT doc_id, chunk_idx,
+  len(list_slice(w, chunk_idx * 48 + 1, chunk_idx * 48 + 64)) AS n_chunk_tokens,
+  array_to_string(list_slice(w, chunk_idx * 48 + 1, chunk_idx * 48 + 64), ' ')
+    AS chunk_text
+FROM exploded
+"""
+
+
 def _corpus_pack(spark, sf_dir):
     """Sequence packing for training batches: greedy FFD into 512-token
     bins, deterministic across cluster sizes (groups keyed by doc_id,
@@ -2000,6 +2033,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_repetition": _doc_repetition,
         "doc_pii_scrub": _doc_pii_scrub,
         "corpus_sample": _corpus_sample,
+        "doc_chunks": _doc_chunks,
         "corpus_pack": _corpus_pack,
         "doc_heavy_hitters": _doc_heavy_hitters,
         "gazetteer_mentions": _gazetteer_mentions,
@@ -2058,6 +2092,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_repetition": _REPETITION_SQL,
         "doc_pii_scrub": _pii_sql(),
         "corpus_sample": _sample_sql(),
+        "doc_chunks": _CHUNKS_SQL,
         # corpus_pack: iterative greedy bin state -> rows-only; exact
         # invariants pytest-pinned (tests/test_corpus.py)
         "doc_heavy_hitters": _HEAVY_HITTERS_SQL,

@@ -171,6 +171,55 @@ def sample_threshold(rate: float) -> int:
     return min(int(rate * (1 << 64)), (1 << 64))
 
 
+# ------------------------------------------------------- chunking --
+
+
+def chunk_documents(
+    docs: DataFrame,
+    chunk_tokens: int = 128,
+    stride: int = 96,
+    text_col: str = "text",
+) -> DataFrame:
+    """Sliding-window context chunking: split each document into
+    overlapping token windows of ``chunk_tokens`` advancing by
+    ``stride`` — the pre-training/embedding chunker for documents longer
+    than the model context.
+
+    Chunk k covers tokens [k*stride, k*stride + chunk_tokens); chunk
+    k >= 1 is emitted only if it contributes at least one NEW token
+    ((k-1)*stride + chunk_tokens < n), so trailing windows fully
+    contained in their predecessor never appear. Empty docs emit no
+    chunks. Pure codegen (split + sequence + explode + slice): the
+    explode fan-out is ~n/stride rows per doc and everything stays
+    JVM-side; no shuffle at all.
+    """
+    if stride <= 0 or chunk_tokens <= 0 or stride > chunk_tokens:
+        raise ValueError("need 0 < stride <= chunk_tokens")
+    toks = tokens_col(F.col(text_col))
+    base = docs.select(
+        "doc_id", toks.alias("_toks"), F.size(toks).alias("_n")
+    ).filter(F.col("_n") > 0)
+    n = F.col("_n")
+    n_chunks = F.when(
+        n <= chunk_tokens, F.lit(1)
+    ).otherwise(
+        F.lit(1)
+        + F.floor(
+            (n - chunk_tokens + stride - 1) / F.lit(stride)
+        ).cast("int")
+    )
+    chunked = base.withColumn(
+        "chunk_idx", F.explode(F.sequence(F.lit(0), n_chunks - 1))
+    )
+    piece = F.slice(F.col("_toks"), F.col("chunk_idx") * stride + 1, chunk_tokens)
+    return chunked.select(
+        "doc_id",
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        F.size(piece).cast("long").alias("n_chunk_tokens"),
+        F.array_join(piece, " ").alias("chunk_text"),
+    )
+
+
 # ------------------------------------------------- sequence packing --
 
 PACKING_SCHEMA = StructType(

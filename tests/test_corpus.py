@@ -171,3 +171,34 @@ def test_merge_upsert_broadcast_anti_plan(spark):
     )
     assert "LeftAnti" in plan and "Broadcast" in plan
     assert "SortMergeJoin" not in plan and "FullOuter" not in plan
+
+
+def test_chunk_documents_window_arithmetic(spark):
+    from nlquery_spark.operators.corpus import chunk_documents
+
+    texts = {
+        1: " ".join(f"t{i}" for i in range(10)),    # n <= chunk: 1 chunk
+        2: " ".join(f"t{i}" for i in range(5)),     # exactly chunk: 1 chunk
+        3: " ".join(f"t{i}" for i in range(6)),     # chunk+1: 2 chunks
+        4: " ".join(f"t{i}" for i in range(13)),    # several windows
+        5: "",                                       # empty: no chunks
+    }
+    df = spark.createDataFrame(list(texts.items()), "doc_id long, text string")
+    out = {}
+    for r in chunk_documents(df, chunk_tokens=5, stride=3, text_col="text").collect():
+        out.setdefault(r.doc_id, {})[r.chunk_idx] = r.chunk_text.split()
+    assert 1 in out and len(out[1]) == 3  # n=10: starts 0,3,6 (9+5>10 new)
+    assert len(out[2]) == 1 and len(out[2][0]) == 5
+    assert len(out[3]) == 2 and out[3][1] == ["t3", "t4", "t5"]
+    # n=13: chunks at 0,3,6,9 — start 12 would add no new token beyond
+    # [9,14) ... start 12 covers [12,13): t12 is NEW for k=4? (k-1)*s+c=14>13
+    # -> k=4 NOT emitted; coverage check below proves nothing is lost
+    assert len(out[4]) == 1 + -(-(13 - 5) // 3)
+    covered = sorted({t for ch in out[4].values() for t in ch})
+    assert covered == sorted(texts[4].split())
+    assert 5 not in out
+    # every chunk respects the window arithmetic
+    for d, chunks in out.items():
+        toks = texts[d].split()
+        for k, ch in chunks.items():
+            assert ch == toks[k * 3 : k * 3 + 5], (d, k)
