@@ -1807,6 +1807,45 @@ WITH RECURSIVE forms AS (
 
 _KG_EDGES_SQL = _KG_FORMS_CTE + "SELECT form_a, form_b, sim FROM edges"
 
+
+def _kg_degree_stats(spark, sf_dir):
+    """Degree histogram of the surface-form similarity graph (the KG
+    quality dashboard number: how connected is canonicalization input).
+    Two hash aggregations, both with map-side partial combine; isolated
+    nodes (degree 0) are included via an anti join against the edge
+    endpoints — the count every 'orphan rate' metric needs and the one
+    a naive edges-only GROUP BY silently drops."""
+    from nlquery_spark.operators.canonicalize import similarity_edges
+
+    forms = _kg_form_universe(spark, sf_dir)
+    edges = similarity_edges(forms, threshold=0.6, max_block_size=80)
+    ends = edges.select(F.col("form_a").alias("form")).union(
+        edges.select(F.col("form_b").alias("form"))
+    )
+    deg = ends.groupBy("form").agg(F.count(F.lit(1)).alias("degree"))
+    isolated = forms.join(deg, "form", "left_anti").select(
+        "form", F.lit(0).cast("long").alias("degree")
+    )
+    return (
+        deg.unionByName(isolated)
+        .groupBy("degree")
+        .agg(F.count(F.lit(1)).alias("n_nodes"))
+    )
+
+
+_KG_DEGREE_SQL = _KG_FORMS_CTE + """, ends AS (
+  SELECT form_a AS form FROM edges
+  UNION ALL
+  SELECT form_b FROM edges
+), deg AS (
+  SELECT form, COUNT(*) AS degree FROM ends GROUP BY form
+), all_deg AS (
+  SELECT degree FROM deg
+  UNION ALL
+  SELECT CAST(0 AS BIGINT) FROM forms f ANTI JOIN deg d ON f.form = d.form
+)
+SELECT degree, COUNT(*) AS n_nodes FROM all_deg GROUP BY degree"""
+
 _KG_CANONICALIZE_SQL = _KG_FORMS_CTE + r""", sym AS (
   SELECT form_a AS src, form_b AS dst FROM edges
   UNION
@@ -2044,6 +2083,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_pagerank": _kg_pagerank,
         "kg_similarity_edges": _kg_similarity_edges,
         "kg_canonicalize": _kg_canonicalize,
+        "kg_degree_stats": _kg_degree_stats,
         "dedup_minhash": _dedup_minhash,
         "dedup_simhash": _dedup_simhash,
         "dedup_embedding": _dedup_embedding,
@@ -2101,6 +2141,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_cosine_topk": _ANN_SQL,
         "kg_similarity_edges": _KG_EDGES_SQL,
         "kg_canonicalize": _KG_CANONICALIZE_SQL,
+        "kg_degree_stats": _KG_DEGREE_SQL,
         "entity_link_topk": _ENTITY_LINK_SQL,
         "dedup_simhash": _SIMHASH_SQL,
         "dedup_minhash": _minhash_sql(),
