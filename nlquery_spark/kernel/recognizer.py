@@ -22,6 +22,13 @@ class Recognizer:
         self.matchers = list(matchers)
         self.include_zero_matches = False
         self.max_passes = 100
+        # matcher partition is per-dictionary, not per-chunk: build the
+        # first-pass composite and the recursive list once (collect_matches
+        # runs per chunk on the extraction hot path)
+        self._first_pass = CompositeMatcher(
+            [m for m in self.matchers if m.first_pass_only]
+        )
+        self._recursive = [m for m in self.matchers if not m.first_pass_only]
 
     def _compose_start_token_to_matches(
         self, all_matches: Iterable[Match]
@@ -64,14 +71,9 @@ class Recognizer:
         scorer consumes (every candidate interpretation, not just the
         winning combination)."""
         match_bag = MatchBag(statement, [])
-        first_pass = CompositeMatcher(
-            [m for m in self.matchers if m.first_pass_only]
-        )
-        for m in first_pass.get_matches(match_bag):
+        for m in self._first_pass.get_matches(match_bag):
             match_bag.add(m)
-        self._process_recursive_matchers(
-            [m for m in self.matchers if not m.first_pass_only], match_bag
-        )
+        self._process_recursive_matchers(self._recursive, match_bag)
         return match_bag
 
     def recognize(

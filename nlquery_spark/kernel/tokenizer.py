@@ -41,7 +41,7 @@ _SEP_CHARS = frozenset(" \t\n\r")
 _FORCE_TYPES = (BRACKET, MATH, PUNCTUATION)
 
 
-def _char_class(ch: str) -> int:
+def _char_class_uncached(ch: str) -> int:
     # Order matters (reference checks digit, separator, bracket, math,
     # punctuation, word in that order — Tokenizer.cs:44-68).
     if ch.isdecimal():  # C# Char.IsDigit == Unicode Nd == str.isdecimal
@@ -57,6 +57,19 @@ def _char_class(ch: str) -> int:
     return WORD
 
 
+# per-character memo: classification is pure, and real text reuses a tiny
+# alphabet — one dict hit replaces the isdecimal/isspace branch chain
+# (~6% of end-to-end extraction time at profile). Pre-seeded with ASCII.
+_CLASS_CACHE = {chr(c): _char_class_uncached(chr(c)) for c in range(128)}
+
+
+def _char_class(ch: str) -> int:
+    cls = _CLASS_CACHE.get(ch)
+    if cls is None:
+        cls = _CLASS_CACHE[ch] = _char_class_uncached(ch)
+    return cls
+
+
 def tokenize(s: str) -> List[Token]:
     """Parse ``s`` into a lossless token list ending with SentenceEnd."""
     tokens: List[Token] = []
@@ -65,9 +78,11 @@ def tokenize(s: str) -> List[Token]:
     buf: List[str] = []
     pos = 0
     n = len(s)
-    for pos in range(n):
-        ch = s[pos]
-        new_type = _char_class(ch)
+    cache_get = _CLASS_CACHE.get
+    for pos, ch in enumerate(s):
+        new_type = cache_get(ch)
+        if new_type is None:
+            new_type = _char_class(ch)
         if new_type == NUMBER:
             # digits extend a Word in progress (allowed types = [Word])
             if token_type != NUMBER and token_type != WORD:
