@@ -115,9 +115,21 @@ class CompositeMatcher:
 
     def __init__(self, matchers):
         self.matchers = list(matchers)
+        # hoisted first-word screens, resolved once: (screen_word, child)
+        self._screened = [
+            (getattr(m, "first_word_screen", None), m) for m in self.matchers
+        ]
 
     def get_matches(self, match_bag: MatchBag) -> Iterator[Match]:
-        for matcher in self.matchers:
+        # skip children whose screen word is absent from the chunk
+        # (saves the generator round-trip per screened matcher; the
+        # child keeps its own guard too, so this is an optimization,
+        # not a semantics change — emission order of matchers that DO
+        # run is untouched)
+        vs = match_bag.statement.value_set
+        for fw, matcher in self._screened:
+            if fw is not None and fw not in vs:
+                continue
             yield from matcher.get_matches(match_bag)
 
 
@@ -156,6 +168,10 @@ class ExactPhraseMatcher:
         self.get_match = get_match
         self.allow_separators = True
         self._words_lower = [w.lower() for w in self.words]
+        # consumed by CompositeMatcher's hoisted screen
+        self.first_word_screen = (
+            self._words_lower[0] if self._words_lower else None
+        )
 
     def get_matches(self, match_bag: MatchBag) -> Iterator[Match]:
         # first-word screen: the FSM only ever advances on exact token
