@@ -41,7 +41,13 @@ def _parallelize(df: DataFrame) -> DataFrame:
     lineage driver-side just to read a partition count)."""
     target = df.sparkSession.sparkContext.defaultParallelism
     n_files = len(df.inputFiles())
-    if n_files < max(target // 2, 2):
+    if n_files >= max(target // 2, 2):
+        return df  # common corpus case decided without any RDD touch
+    # few (or no) input files: could still be many SPLITS of large
+    # files, which the file count under-reports — consult the actual
+    # scan partitioning (cheap here, the input is small by definition
+    # of this branch... or large-files, where the answer says no-op)
+    if df.rdd.getNumPartitions() < max(target // 2, 2):
         return df.repartition(target)
     return df
 
@@ -1612,8 +1618,17 @@ SELECT doc_id, rank, token AS entity, n_mentions FROM (
 # stage IS: the query persists the mentions DataFrame here, and the
 # oracle reproduces the top-k window over the very same parquet — the
 # link scorer itself is fully hash-checked (the mention internals stay
-# pytest-gated: superset-of-triples + span/score tests).
-_LINK_MENTIONS_PATH = "/tmp/nlquery_oracle/entity_link_mentions"
+# pytest-gated: superset-of-triples + span/score tests). The path is
+# keyed by the sf directory's basename so a bench run at sf0.1 never
+# clobbers the correctness gate's sf0.01 input; oracle_sql() derives
+# the same suffix from $SPARK_GRAFT_ORACLE_SF (driver default sf0.01,
+# and tests/test_oracle_parity.py exports its SF_DIR there).
+
+
+def _link_mentions_path(sf_dir: str) -> str:
+    import os
+
+    return f"/tmp/nlquery_oracle/entity_link_mentions_{os.path.basename(sf_dir.rstrip('/'))}"
 
 
 def _entity_link_topk(spark, sf_dir):
@@ -1633,16 +1648,21 @@ def _entity_link_topk(spark, sf_dir):
         F.col("lang"),
     )
     m = extract_mentions(pages, [DOCS_SCHEMA_SPEC], lang_filter=None)
-    m.write.mode("overwrite").parquet(_LINK_MENTIONS_PATH)
-    return link_topk(spark.read.parquet(_LINK_MENTIONS_PATH), k=2)
+    path = _link_mentions_path(sf_dir)
+    m.write.mode("overwrite").parquet(path)
+    return link_topk(spark.read.parquet(path), k=2)
 
 
-_ENTITY_LINK_SQL = f"""
+def _entity_link_sql() -> str:
+    import os
+
+    sf_dir = os.environ.get("SPARK_GRAFT_ORACLE_SF", "/root/testdata/sf0.01")
+    return f"""
 SELECT url, kind, name, value, score, "start", "end", link_rank FROM (
   SELECT *, ROW_NUMBER() OVER (
     PARTITION BY url, "start"
     ORDER BY score DESC, name ASC, value ASC, "end" ASC) AS link_rank
-  FROM '{_LINK_MENTIONS_PATH}/*.parquet'
+  FROM '{_link_mentions_path(sf_dir)}/*.parquet'
 ) WHERE link_rank <= 2
 """
 
@@ -2203,7 +2223,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_canonicalize": _KG_CANONICALIZE_SQL,
         "kg_degree_stats": _KG_DEGREE_SQL,
         "kg_negative_samples": _KG_NEG_SQL,
-        "entity_link_topk": _ENTITY_LINK_SQL,
+        "entity_link_topk": _entity_link_sql(),
         "dedup_simhash": _SIMHASH_SQL,
         "dedup_minhash": _minhash_sql(),
         "emb_neardup_exact": _EMB_EXACT_SQL,

@@ -263,7 +263,9 @@ def pack_documents(
         pdf = pdf.sort_values(
             [count_col, id_col], ascending=[False, True]
         ).reset_index(drop=True)
-        group = int(pdf[id_col].iloc[0]) % n_groups if len(pdf) else 0
+        # the grouping key itself, not a re-derivation from id (a
+        # non-integer id would collide prefixes across groups)
+        group = int(pdf["_g"].iloc[0]) if len(pdf) else 0
         fills: list = []  # current fill per open bin
         counts: list = []  # docs per open bin
         assign: list = []

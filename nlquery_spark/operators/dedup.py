@@ -584,14 +584,20 @@ def embedding_neardup_pairs(
     max_bucket_rows, n_tiles, tiled_buckets — the no-silent-caps
     contract the jaccard/canonicalize operators follow.
     """
-    first = df.select(F.size(vec_col).alias("d")).first()
-    dim = first["d"] if first else 0
     if block_planes is None:
-        n_rows = df.count()
+        # dim + count in ONE scan of the input lineage (a separate
+        # count() would replay potentially-expensive upstream work)
+        stats = df.agg(
+            F.count(F.lit(1)).alias("n"), F.max(F.size(vec_col)).alias("d")
+        ).first()
+        n_rows, dim = int(stats["n"] or 0), int(stats["d"] or 0)
         block_planes = max(
             1, int(np.ceil(np.log2(max(n_rows, 2) / max(max_bucket_block, 1))))
         ) if n_rows > max_bucket_block else 1
         block_planes = min(block_planes, 30)
+    else:
+        first = df.select(F.size(vec_col).alias("d")).first()
+        dim = first["d"] if first else 0
     if metrics is not None:
         metrics["block_planes"] = block_planes
     rng = np.random.RandomState(seed)
@@ -661,16 +667,18 @@ def _bucket_tiles(
     tiles (= the unavoidable O(n^2/block^2) tile count of the verify)."""
     counts = sig.groupBy("table", "bucket").agg(F.count(F.lit(1)).alias("_n"))
     if metrics is not None:
+        nb = F.ceil(F.col("_n") / max_bucket_block)
         stats = counts.agg(
             F.count(F.lit(1)).alias("n_buckets"),
             F.max("_n").alias("max_bucket_rows"),
-            F.sum(F.ceil(F.col("_n") / max_bucket_block)).alias("n_blocks"),
+            F.sum(nb * (nb + 1) / 2).alias("n_tiles"),  # C(nb,2)+nb per bucket
             F.sum(
                 (F.col("_n") > max_bucket_block).cast("long")
             ).alias("tiled_buckets"),
         ).first()
         metrics["n_buckets"] = int(stats["n_buckets"] or 0)
         metrics["max_bucket_rows"] = int(stats["max_bucket_rows"] or 0)
+        metrics["n_tiles"] = int(stats["n_tiles"] or 0)
         metrics["tiled_buckets"] = int(stats["tiled_buckets"] or 0)
     tagged = (
         sig.join(F.broadcast(counts), ["table", "bucket"])

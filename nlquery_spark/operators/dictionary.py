@@ -52,6 +52,10 @@ def capped_value_pairs(
     always survive level 1."""
     from pyspark.sql import Window
 
+    if not gazetteer_cols:
+        return df.sparkSession.createDataFrame(
+            [], "col_name string, value string"
+        )
     pairs = None
     for c in gazetteer_cols:
         p = (

@@ -81,7 +81,10 @@ def negative_samples(
 ) -> DataFrame:
     """One corrupted entity per edge: (edge_id, entity, neg_entity),
     with neg_entity != entity always (collision shifts by one mod n)."""
-    uni = dense_index(universe, entity_col, n_salts)
+    # the index is consumed three times (count, true-idx join, draw
+    # join): materialize it once instead of replaying the distinct +
+    # window lineage per consumer
+    uni = dense_index(universe, entity_col, n_salts).localCheckpoint(eager=True)
     n = uni.count()
     if n < 2:
         raise ValueError("negative sampling needs an entity universe >= 2")

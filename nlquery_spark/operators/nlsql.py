@@ -515,7 +515,14 @@ def _suggest_with_recognizer(rec, prefix: str, top_n: int) -> List[Tuple[str, fl
 
     seq = TokenSequence(tokenize(prefix))
     bag = MatchBag(seq, [])
-    first_pass = CompositeMatcher([m for m in rec.matchers if m.first_pass_only])
+    # the recognizer prebuilds its first-pass composite; rebuild only
+    # for foreign recognizer-likes without one (batch hot path runs
+    # this per prefix row)
+    first_pass = getattr(rec, "_first_pass", None)
+    if first_pass is None:
+        first_pass = CompositeMatcher(
+            [m for m in rec.matchers if m.first_pass_only]
+        )
     for m in first_pass.get_matches(bag):
         bag.add(m)
     scored: Dict[str, float] = {}

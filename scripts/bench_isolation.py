@@ -58,19 +58,26 @@ spark.stop()
 def main() -> None:
     queries = sys.argv[1:] or DEFAULT
     results = []
+    timeout_s = int(os.environ.get("SPARK_GRAFT_ISO_TIMEOUT", "900"))
     for name in queries:
-        r = subprocess.run(
-            [sys.executable, "-c", CHILD, name],
-            capture_output=True,
-            text=True,
-            cwd=REPO,
-        )
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c", CHILD, name],
+                capture_output=True,
+                text=True,
+                cwd=REPO,
+                timeout=timeout_s,
+            )
+            stdout, stderr = r.stdout, r.stderr
+        except subprocess.TimeoutExpired as e:
+            stdout = (e.stdout or b"").decode() if isinstance(e.stdout, bytes) else (e.stdout or "")
+            stderr = f"timeout after {timeout_s}s"
         rec = None
-        for line in r.stdout.splitlines():
+        for line in stdout.splitlines():
             if line.startswith("ISOLATION_JSON "):
                 rec = json.loads(line[len("ISOLATION_JSON "):])
         if rec is None:
-            rec = {"query": name, "error": (r.stderr or "no output")[-500:]}
+            rec = {"query": name, "error": (stderr or "no output")[-500:]}
         results.append(rec)
         print(json.dumps(rec), flush=True)
     print(json.dumps({"metric": "isolation", "results": results}))

@@ -12,6 +12,10 @@ import pytest
 import __spark_entry__ as entry_mod
 
 SF_DIR = os.environ.get("SPARK_GRAFT_ORACLE_SF", "/root/testdata/sf0.001")
+# oracles that reference run-scoped artifacts (entity_link_topk's
+# persisted mentions) derive their path from this env var — export the
+# resolved default so oracle_sql() sees the same sf this module uses
+os.environ["SPARK_GRAFT_ORACLE_SF"] = SF_DIR
 
 
 def _duck(sf_dir):
