@@ -1714,20 +1714,76 @@ def _kg_extract_triples(spark, sf_dir):
     )
 
 
+def _kg_edges_path(sf_dir: str) -> str:
+    import os
+
+    return f"/tmp/nlquery_oracle/kg_edges_{os.path.basename(sf_dir.rstrip('/'))}"
+
+
 def _kg_pagerank(spark, sf_dir):
     """Graph-analytics pass over the materialized KG: PageRank on the
     (subj -> obj) edge set — entity salience for downstream ranking.
-    Iterative DataFrame power iteration (not SQL-expressible -> rows
-    only); exactness is pytest-gated against dense numpy power
-    iteration (tests/test_pipeline.py)."""
+    Round 3 upgrade to a FULL value oracle: the (kernel-derived) edges
+    are persisted to parquet, the power iteration runs in
+    FIXED-ITERATION mode (tol=0, exactly 30 rounds), and the DuckDB
+    oracle reproduces those 30 rounds with a recursive CTE over the
+    same parquet (dangling mass as explicit 1/n fan-out edges,
+    zero-weight self-edges so every node keeps a row each round);
+    ranks compared at 5 decimals (double sum-order ulps are ~1e-14)."""
     from nlquery_spark.operators.canonicalize import pagerank
 
     triples = _kg_extract_triples(spark, sf_dir)
     edges = triples.select(F.col("subj").alias("src"), F.col("obj").alias("dst"))
-    # tol 1e-6 with rank rounded to 5: converged digits only, so the
-    # driver's rows check is stable while the loop stays ~10 rounds
-    ranks = pagerank(edges, tol=1e-6, max_iter=30)
+    path = _kg_edges_path(sf_dir)
+    edges.distinct().write.mode("overwrite").parquet(path)
+    ranks = pagerank(spark.read.parquet(path), tol=0.0, max_iter=30)
     return ranks.select("node", F.round("rank", 5).alias("rank"))
+
+
+def _kg_pagerank_sql() -> str:
+    import os
+
+    sf_dir = os.environ.get("SPARK_GRAFT_ORACLE_SF", "/root/testdata/sf0.01")
+    # NOTE: every helper CTE keeps its top level UNION-free (unions are
+    # wrapped in subqueries): under WITH RECURSIVE, DuckDB applied
+    # working-table semantics to a 3-branch UNION ALL helper, silently
+    # duplicating rows (observed: nodes doubled, dangling weights
+    # halved). Only `pr` is meant to be recursive.
+    return f"""
+WITH RECURSIVE e AS (
+  SELECT DISTINCT src, dst FROM '{_kg_edges_path(sf_dir)}/*.parquet'
+), nodes AS (
+  SELECT DISTINCT node FROM (
+    SELECT src AS node FROM e UNION ALL SELECT dst FROM e) u
+), nn AS (SELECT COUNT(*) AS n FROM nodes),
+deg AS (SELECT src, COUNT(*) AS d FROM e GROUP BY src),
+we AS (
+  SELECT * FROM (
+    -- real edges weighted 1/outdeg
+    SELECT e.src, e.dst, CAST(1.0 AS DOUBLE) / deg.d AS w
+    FROM e JOIN deg ON e.src = deg.src
+    UNION ALL
+    -- dangling mass: nodes with no out-edges fan out 1/n to every node
+    SELECT dang.node, nodes.node, CAST(1.0 AS DOUBLE) / (SELECT n FROM nn)
+    FROM (SELECT node FROM nodes WHERE node NOT IN (SELECT src FROM deg)) dang
+    CROSS JOIN nodes
+    UNION ALL
+    -- zero-weight self-edges: every node receives >= one contribution
+    -- per round, so the per-round aggregation never drops a node
+    SELECT node, node, CAST(0.0 AS DOUBLE) FROM nodes
+  ) u
+), pr AS (
+  SELECT 0 AS iter, node, CAST(1.0 AS DOUBLE) / (SELECT n FROM nn) AS rank
+  FROM nodes
+  UNION ALL
+  SELECT p.iter + 1, we.dst AS node,
+    0.15 / (SELECT n FROM nn) + 0.85 * SUM(p.rank * we.w) AS rank
+  FROM pr p JOIN we ON p.node = we.src
+  WHERE p.iter < 30
+  GROUP BY p.iter + 1, we.dst
+)
+SELECT node, ROUND(rank, 5) AS rank FROM pr WHERE iter = 30
+"""
 
 
 def _kg_form_universe(spark, sf_dir):
@@ -2223,6 +2279,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_canonicalize": _KG_CANONICALIZE_SQL,
         "kg_degree_stats": _KG_DEGREE_SQL,
         "kg_negative_samples": _KG_NEG_SQL,
+        "kg_pagerank": _kg_pagerank_sql(),
         "entity_link_topk": _entity_link_sql(),
         "dedup_simhash": _SIMHASH_SQL,
         "dedup_minhash": _minhash_sql(),

@@ -304,8 +304,12 @@ def pagerank(
     and are verified equal to dense numpy power iteration in tests.
     Stops when the L1 delta drops under ``tol`` or at ``max_iter``
     (recorded in ``metrics``; warns if not converged, same
-    no-silent-failure contract as connected_components).
+    no-silent-failure contract as connected_components). ``tol <= 0``
+    selects FIXED-ITERATION mode: exactly ``max_iter`` rounds, no
+    convergence warning — the deterministic contract an external
+    oracle (fixed-round recursive-CTE power iteration) can reproduce.
     """
+    fixed_iters = tol <= 0
     e = (
         edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
         .filter(F.col("src").isNotNull() & F.col("dst").isNotNull())
@@ -350,7 +354,7 @@ def pagerank(
             metrics["pagerank_iterations"] = iters
             metrics["pagerank_delta"] = delta
             metrics["pagerank_converged"] = delta < tol
-        if delta >= tol:
+        if delta >= tol and not fixed_iters:
             warnings.warn(
                 f"pagerank hit max_iter={max_iter} with L1 delta {delta:.2e} "
                 f">= tol {tol:.0e}; ranks are NOT converged.",
@@ -413,7 +417,7 @@ def pagerank(
         metrics["pagerank_iterations"] = iters
         metrics["pagerank_delta"] = float(delta)
         metrics["pagerank_converged"] = delta < tol
-    if delta >= tol:
+    if delta >= tol and not fixed_iters:
         warnings.warn(
             f"pagerank hit max_iter={max_iter} with L1 delta {delta:.2e} >= "
             f"tol {tol:.0e}; ranks are NOT converged.",
