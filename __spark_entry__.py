@@ -585,6 +585,33 @@ SELECT prefix, suggestion, ROUND(score, 6) AS score, rank FROM (
 """
 
 
+def _nl_filter_culture(spark, sf_dir):
+    """Culture-injected NL lifecycle on the driver surface: German
+    boolean connectors ('oder'/'und') wired through the Options phrase
+    tables (reference TableMatcherBuilder.cs:459-504) drive the same
+    compiled predicate as the English defaults — the localization
+    surface the reference exposes, exercised end-to-end (month tables
+    + offset phrases are pytest-covered in tests/test_nlsql.py)."""
+    from nlquery_spark.operators.nlsql import nl_filter
+
+    orders = _load(spark, sf_dir, "orders")["orders"]
+    nl = "orders with order status F oder O und total price more than 150000"
+    de = {
+        **NL_OPTIONS,
+        "group_or_phrases": ["oder"],
+        "group_and_phrases": ["und"],
+    }
+    return nl_filter(orders, nl, [ORDERS_PIVOT_SPEC], de).select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+
+
+_NL_CULTURE_SQL = """
+SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+WHERE (o_orderstatus = 'F' OR o_orderstatus = 'O') AND o_totalprice > 150000
+"""
+
+
 def _q17_small_quantity_revenue(spark, sf_dir):
     """Correlated-subquery surface (TPC-H Q17 shape): revenue from
     lineitems whose quantity is below half their part's average. The
@@ -2177,6 +2204,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nl_pivot_orders": _nl_pivot_orders,
         "nl_filter_stemmed": _nl_filter_stemmed,
         "nl_autocomplete": _nl_autocomplete,
+        "nl_filter_culture": _nl_filter_culture,
         "dict_spec_part": _dict_spec_part,
         "nl_filter_inferred": _nl_filter_inferred,
         "emb_cosine_jvm": _emb_cosine_jvm,
@@ -2239,6 +2267,7 @@ def oracle_sql() -> dict[str, str]:
         "nl_pivot_orders": _NL_PIVOT_SQL,
         "nl_filter_stemmed": _NL_STEMMED_SQL,
         "nl_autocomplete": _AC_SQL,
+        "nl_filter_culture": _NL_CULTURE_SQL,
         "dict_spec_part": _DICT_SPEC_SQL,
         "nl_filter_inferred": _NL_FILTER_INFERRED_SQL,
         "emb_cosine_jvm": _EMB_COSINE_SQL,
