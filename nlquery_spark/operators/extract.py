@@ -112,14 +112,36 @@ def dedup_triples(triples: DataFrame) -> DataFrame:
     """(subj, pred, obj) dedup keeping best score + support count.
 
     Partial aggregation (map-side combine) is free via Catalyst hash-agg;
-    AQE coalesces the post-shuffle partitions.
+    AQE coalesces the post-shuffle partitions. Every aggregate is
+    order-insensitive (min for rule, not first) so the output is
+    deterministic under any partitioning AND mergeable incrementally —
+    see merge_triple_deltas.
     """
     return triples.groupBy("subj", "pred", "obj").agg(
         F.max("score").alias("score"),
         F.count(F.lit(1)).alias("support"),
         F.min("start").alias("start"),
         F.min("end").alias("end"),
-        F.first("rule").alias("rule"),
+        F.min("rule").alias("rule"),
+    )
+
+
+def merge_triple_deltas(base: DataFrame, delta: DataFrame) -> DataFrame:
+    """Incremental crawl merge: combine dedup_triples outputs of page
+    BATCHES into exactly the aggregate the full corpus would produce —
+    max/sum/min are associative, so a daily delta re-aggregates against
+    the base without touching the already-extracted pages (the 100-TB
+    posture: extraction cost proportional to NEW pages only; one
+    key-shuffle over base+delta aggregates, which are triple-universe-
+    sized, not corpus-sized). Equality with full recomputation is
+    pytest-pinned."""
+    u = base.unionByName(delta)
+    return u.groupBy("subj", "pred", "obj").agg(
+        F.max("score").alias("score"),
+        F.sum("support").alias("support"),
+        F.min("start").alias("start"),
+        F.min("end").alias("end"),
+        F.min("rule").alias("rule"),
     )
 
 

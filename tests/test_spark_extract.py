@@ -87,3 +87,34 @@ def test_extract_plan_no_shuffle(spark, pages):
     parallel map over the scan)."""
     plan = extract_triples(pages, [orders_schema_spec()])._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_incremental_delta_merge_equals_full_recompute(spark):
+    """Daily-delta posture: extracting batch A and batch B separately and
+    merging their triple aggregates must equal extracting A+B at once —
+    bit-exact, including support counts and provenance mins."""
+    from pyspark.sql import functions as F
+
+    from nlquery_spark.operators.extract import (
+        dedup_triples,
+        extract_triples,
+        merge_triple_deltas,
+    )
+    from nlquery_spark.sources.pages import orders_schema_spec, synth_pages
+
+    spec = [orders_schema_spec()]
+    all_pages = synth_pages(spark, 300)
+    a = all_pages.filter(F.col("url").substr(-1, 1).isin("0", "1", "2", "3"))
+    b = all_pages.subtract(a)
+    full = {
+        tuple(r)
+        for r in dedup_triples(extract_triples(all_pages, spec)).collect()
+    }
+    merged = {
+        tuple(r)
+        for r in merge_triple_deltas(
+            dedup_triples(extract_triples(a, spec)),
+            dedup_triples(extract_triples(b, spec)),
+        ).collect()
+    }
+    assert full and merged == full
