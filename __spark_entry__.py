@@ -1741,6 +1741,18 @@ def _kg_extract_triples(spark, sf_dir):
     )
 
 
+def _ann_pq_topk(spark, sf_dir):
+    """PQ-ANN over the embeddings table: 64x-compressed codes + ADC
+    shortlist + exact re-rank (operators/similarity.py::pq_topk) — the
+    memory-bounded scale path (10^12 embeddings as m bytes/vector).
+    Lossy by design -> rows-only for the driver; recall vs bruteforce
+    is pytest-gated (tests/test_operators.py::test_pq_topk_recall*)."""
+    from nlquery_spark.operators.similarity import pq_topk
+
+    emb = _load(spark, sf_dir, "embeddings")["embeddings"]
+    return pq_topk(emb, query_ids=[0, 1, 2, 3, 4], k=5, m=8, n_centroids=64, rerank=16)
+
+
 def _kg_edges_path(sf_dir: str) -> str:
     import os
 
@@ -2242,6 +2254,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gazetteer_topk_entities": _gazetteer_topk_entities,
         "entity_link_topk": _entity_link_topk,
         "ann_cosine_topk": _ann_cosine_topk,
+        "ann_pq_topk": _ann_pq_topk,
         "kg_extract_triples": _kg_extract_triples,
         "kg_pagerank": _kg_pagerank,
         "kg_similarity_edges": _kg_similarity_edges,

@@ -347,3 +347,195 @@ def ivf_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "rank", F.col(id_col).alias("neighbor_id"), "cosine")
     )
+
+
+def _train_pq_codebooks(
+    sample: np.ndarray, m: int, n_centroids: int, iters: int, seed: int
+) -> np.ndarray:
+    """(m, n_centroids, sub_dim) codebooks via seeded per-subspace Lloyd
+    iterations on a driver-side sample — the standard PQ training path
+    (train on a bounded sample, encode the corpus distributed)."""
+    n, dim = sample.shape
+    sub = dim // m
+    rng = np.random.RandomState(seed)
+    books = np.empty((m, n_centroids, sub))
+    for j in range(m):
+        x = sample[:, j * sub : (j + 1) * sub]
+        cent = x[rng.choice(n, size=min(n_centroids, n), replace=False)]
+        if len(cent) < n_centroids:  # tiny sample: pad with jitter
+            pad = cent[rng.randint(0, len(cent), n_centroids - len(cent))]
+            cent = np.vstack([cent, pad + 1e-6 * rng.randn(*pad.shape)])
+        for _ in range(iters):
+            d2 = ((x[:, None, :] - cent[None, :, :]) ** 2).sum(-1)
+            assign = d2.argmin(1)
+            for c in range(n_centroids):
+                mask = assign == c
+                if mask.any():
+                    cent[c] = x[mask].mean(0)
+        books[j] = cent
+    return books
+
+
+PQ_TOPK_SCHEMA = StructType(
+    [
+        StructField("query_id", LongType(), False),
+        StructField("neighbor_id", LongType(), False),
+        StructField("adc_score", DoubleType(), False),
+    ]
+)
+
+
+def pq_topk(
+    corpus: DataFrame,
+    query_ids: Sequence[int],
+    k: int = 5,
+    m: int = 8,
+    n_centroids: int = 256,
+    train_iters: int = 5,
+    train_sample: int = 5000,
+    seed: int = 13,
+    rerank: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Product-quantization ANN — the MEMORY-bounded scale path: a
+    float32 corpus of dim d compresses to m bytes per vector (64x for
+    d=64, m=8), so 10^12 embeddings fit where raw floats cannot, at the
+    cost of approximate (asymmetric-distance, ADC) scores.
+
+    Vectors are L2-normalized first, so the ADC inner product
+    approximates cosine. Stages:
+    1. driver: train per-subspace codebooks on a bounded sample
+       (``train_sample`` rows, seeded Lloyd) — broadcast (m*256*sub
+       doubles, ~128 KB at the defaults).
+    2. mapInPandas ENCODE: one distance GEMM per batch per subspace ->
+       m uint8 codes per vector; this is the compressed index a real
+       deployment persists.
+    3. mapInPandas SCORE: per query a (m, 256) LUT of subspace dot
+       products, score = LUT gather summed over subspaces (numpy fancy
+       indexing, no decompression); per-partition shortlist, then a
+       global window keeps k*rerank rows per query. Shuffle = shortlist
+       rows per (query, partition) — same shape as cosine_topk_blocked.
+    4. exact RE-RANK of the shortlist (``rerank``>0, the production
+       shape): tight clusters quantize to identical codes, so ADC order
+       within them is tie-noise — a broadcast join fetches the
+       shortlist's raw vectors (k*rerank per query, tiny) and exact
+       cosine picks the final k.
+
+    Exactness contract: pytest recall gate vs bruteforce (PQ is lossy
+    by design — not oracle-able; adc_score stays in the output as the
+    shortlist evidence, cosine is exact).
+    """
+    first = corpus.select(F.size(vec_col).alias("d")).first()
+    dim = first["d"] if first else 0
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m={m} subspaces")
+    sample_rows = (
+        corpus.select(vec_col).limit(train_sample).toPandas()[vec_col].tolist()
+    )
+    sample = np.array(sample_rows, dtype=np.float64)
+    norms = np.linalg.norm(sample, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    books = _train_pq_codebooks(sample / norms, m, n_centroids, train_iters, seed)
+
+    qrows = (
+        corpus.filter(F.col(id_col).isin(list(query_ids)))
+        .select(id_col, vec_col)
+        .collect()
+    )
+    qids = np.array([r[0] for r in qrows], dtype=np.int64)
+    qv = np.array([r[1] for r in qrows], dtype=np.float64)
+    qn = np.linalg.norm(qv, axis=1, keepdims=True)
+    qn[qn == 0] = 1.0
+    qv = qv / qn
+
+    spark = corpus.sparkSession
+    bc = spark.sparkContext.broadcast((books, qids, qv))
+    sub = dim // m
+
+    def score(batches):
+        import pandas as pd
+
+        books_, qids_, qv_ = bc.value
+        # per-query LUT: (nq, m, n_centroids) of subspace dot products
+        lut = np.einsum("qjs,jcs->qjc", qv_.reshape(len(qv_), m, sub), books_)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            xn = np.linalg.norm(x, axis=1, keepdims=True)
+            xn[xn == 0] = 1.0
+            x = x / xn
+            ids = pdf[id_col].to_numpy(np.int64)
+            # encode: nearest centroid per subspace (||x-c||^2 argmin)
+            codes = np.empty((len(x), m), dtype=np.int64)
+            for j in range(m):
+                xs = x[:, j * sub : (j + 1) * sub]
+                d2 = (
+                    (xs**2).sum(1)[:, None]
+                    - 2 * xs @ books_[j].T
+                    + (books_[j] ** 2).sum(1)[None, :]
+                )
+                codes[:, j] = d2.argmin(1)
+            # ADC: gather LUT entries at each vector's codes
+            out_q, out_n, out_s = [], [], []
+            short = max(k * max(rerank, 1), k)
+            for qi in range(len(qids_)):
+                s = lut[qi, np.arange(m)[None, :], codes].sum(1)
+                mask = ids != qids_[qi]
+                cand_ids = ids[mask]
+                cand_s = s[mask]
+                top = np.argsort(-cand_s)[: min(short, len(cand_s))]
+                out_q.extend([int(qids_[qi])] * len(top))
+                out_n.extend(int(v) for v in cand_ids[top])
+                out_s.extend(round(float(v), 6) for v in cand_s[top])
+            yield pd.DataFrame(
+                {"query_id": out_q, "neighbor_id": out_n, "adc_score": out_s}
+            )
+
+    partial = corpus.select(id_col, vec_col).mapInPandas(score, PQ_TOPK_SCHEMA)
+    w_adc = Window.partitionBy("query_id").orderBy(
+        F.desc("adc_score"), F.asc("neighbor_id")
+    )
+    shortlist = (
+        partial.withColumn("_r", F.row_number().over(w_adc))
+        .filter(F.col("_r") <= k * max(rerank, 1))
+        .drop("_r")
+    )
+    if rerank <= 0:
+        return (
+            shortlist.withColumn("rank", F.row_number().over(w_adc).cast("long"))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "rank", "neighbor_id", "adc_score")
+        )
+    qdf = spark.createDataFrame(
+        [(int(i), [float(x) for x in v]) for i, v in zip(qids, qv)],
+        f"query_id long, qvec array<double>",
+    )
+    refined = (
+        shortlist.join(
+            corpus.select(
+                F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("nvec")
+            ),
+            "neighbor_id",
+        )
+        .join(F.broadcast(qdf), "query_id")
+        .withColumn(
+            "cosine",
+            F.round(
+                _dot(F.col("qvec"), F.col("nvec"))
+                / F.when(_norm(F.col("nvec")) > 0, _norm(F.col("nvec"))).otherwise(
+                    F.lit(1.0)
+                ),
+                6,
+            ),  # qvec is pre-normalized driver-side
+        )
+    )
+    w_exact = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        refined.withColumn("rank", F.row_number().over(w_exact).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "cosine", "adc_score")
+    )

@@ -170,3 +170,19 @@ def test_dedup_embedding_recall_vs_exact_query(spark):
     assert e, "fixture must contain exact near-dup pairs"
     assert not (g - e)  # exact verify: no false positives
     assert len(g & e) / len(e) >= 0.95
+
+
+def test_ann_pq_topk_recall_vs_exact_query(spark):
+    """ann_pq_topk is rows-only (lossy PQ); pin its usefulness here:
+    >= 0.8 recall vs the oracled exact bruteforce on the same fixture
+    (near-tie-dense synthetic cosines are the hard case)."""
+    bf = {
+        (r.query_id, r.neighbor_id)
+        for r in entry_mod.queries()["ann_cosine_topk"](spark, SF_DIR).collect()
+    }
+    pq = {
+        (r.query_id, r.neighbor_id)
+        for r in entry_mod.queries()["ann_pq_topk"](spark, SF_DIR).collect()
+    }
+    assert bf
+    assert len(bf & pq) / len(bf) >= 0.8
