@@ -1774,7 +1774,13 @@ def _kg_pagerank(spark, sf_dir):
     triples = _kg_extract_triples(spark, sf_dir)
     edges = triples.select(F.col("subj").alias("src"), F.col("obj").alias("dst"))
     path = _kg_edges_path(sf_dir)
-    edges.distinct().write.mode("overwrite").parquet(path)
+    # null endpoints filtered BEFORE the write: pagerank drops them
+    # anyway, but a NULL src in the parquet would turn the oracle's
+    # `NOT IN (SELECT src ...)` dangling test into UNKNOWN-for-all and
+    # silently zero its dangling mass
+    edges.filter(
+        F.col("src").isNotNull() & F.col("dst").isNotNull()
+    ).distinct().write.mode("overwrite").parquet(path)
     ranks = pagerank(spark.read.parquet(path), tol=0.0, max_iter=30)
     return ranks.select("node", F.round("rank", 5).alias("rank"))
 

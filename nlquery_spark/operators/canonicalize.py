@@ -58,6 +58,7 @@ def similarity_edges(
     threshold: float = 0.6,
     max_block_size: int = 200,
     metrics: Optional[dict] = None,
+    assume_distinct: bool = False,
 ) -> DataFrame:
     """(form_a, form_b, sim) edges between distinct surface forms.
 
@@ -71,10 +72,11 @@ def similarity_edges(
     dictionary-sized aggregation, only when asked for. The pipeline
     runner persists these next to the stage lineage.
     """
+    f = forms.select(F.col(form_col).alias("form"))
+    if not assume_distinct:
+        f = f.distinct()
     f = (
-        forms.select(F.col(form_col).alias("form"))
-        .distinct()
-        .withColumn("norm", normalize_form(F.col("form")))
+        f.withColumn("norm", normalize_form(F.col("form")))
         .filter(F.length("norm") > 0)
         .withColumn("first_tok", F.split(F.col("norm"), " ")[0])
         .withColumn("tri", _trigrams(F.col("norm")))
@@ -153,6 +155,7 @@ def connected_components(
     max_iter: int = 20,
     driver_max_graph: int = 2_000_000,
     metrics: Optional[dict] = None,
+    assume_distinct_nodes: bool = False,
 ) -> DataFrame:
     """(node, component) labeling, component id = min form in component.
 
@@ -172,9 +175,11 @@ def connected_components(
         .distinct()
         .localCheckpoint(eager=True)
     )
-    node_df = nodes.select(F.col(node_col).alias("node")).distinct().localCheckpoint(
-        eager=True
-    )
+    node_df = nodes.select(F.col(node_col).alias("node"))
+    if not assume_distinct_nodes:
+        # callers passing a pre-distinct'ed, pre-materialized node set
+        # (canonical_mapping) skip this shuffle + checkpoint
+        node_df = node_df.distinct().localCheckpoint(eager=True)
     n_edges, n_nodes = sym.count(), node_df.count()
     if n_edges + n_nodes <= driver_max_graph:
         labeled = _union_find_components(
@@ -251,9 +256,13 @@ def canonical_mapping(
         forms.select(F.col(form_col)).distinct().localCheckpoint(eager=True)
     )
     edges = similarity_edges(
-        forms_d, form_col, threshold, max_block_size, metrics
+        forms_d, form_col, threshold, max_block_size, metrics,
+        assume_distinct=True,
     ).localCheckpoint(eager=True)
-    cc = connected_components(edges, forms_d, node_col=form_col, metrics=metrics)
+    cc = connected_components(
+        edges, forms_d, node_col=form_col, metrics=metrics,
+        assume_distinct_nodes=True,
+    )
     return cc.select(
         F.col(form_col), F.col("component").alias("canonical_id")
     )
@@ -404,12 +413,18 @@ def pagerank(
             )
             .localCheckpoint(eager=True)
         )
-        delta = (
-            new_ranks.alias("a")
-            .join(ranks.alias("b"), "node")
-            .agg(F.sum(F.abs(F.col("a.rank") - F.col("b.rank"))))
-            .first()[0]
-        )
+        if fixed_iters and metrics is None:
+            # fixed-iteration mode with no metrics sink: the delta
+            # join+aggregate per round is pure overhead (it can never
+            # trigger the early stop)
+            delta = float("inf")
+        else:
+            delta = (
+                new_ranks.alias("a")
+                .join(ranks.alias("b"), "node")
+                .agg(F.sum(F.abs(F.col("a.rank") - F.col("b.rank"))))
+                .first()[0]
+            )
         ranks = new_ranks
         if delta < tol:
             break

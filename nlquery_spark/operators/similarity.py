@@ -428,6 +428,8 @@ def pq_topk(
     """
     first = corpus.select(F.size(vec_col).alias("d")).first()
     dim = first["d"] if first else 0
+    if dim <= 0:
+        raise ValueError("pq_topk needs a non-empty corpus of non-empty vectors")
     if dim % m != 0:
         raise ValueError(f"dim {dim} not divisible by m={m} subspaces")
     sample_rows = (
@@ -443,6 +445,8 @@ def pq_topk(
         .select(id_col, vec_col)
         .collect()
     )
+    if not qrows:
+        raise ValueError(f"none of query_ids={list(query_ids)} exist in the corpus")
     qids = np.array([r[0] for r in qrows], dtype=np.int64)
     qv = np.array([r[1] for r in qrows], dtype=np.float64)
     qn = np.linalg.norm(qv, axis=1, keepdims=True)
@@ -513,7 +517,10 @@ def pq_topk(
         f"query_id long, qvec array<double>",
     )
     refined = (
-        shortlist.join(
+        # BROADCAST the shortlist (k*rerank*n_queries rows): the raw
+        # vectors are fetched as a map-side semi join over the corpus
+        # scan, never a corpus shuffle
+        F.broadcast(shortlist).join(
             corpus.select(
                 F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("nvec")
             ),

@@ -68,6 +68,10 @@ def main() -> None:
     assert r8["canonical_triples"] == r32["canonical_triples"], (
         "pipeline output must be identical at both parallelism levels"
     )
+    assert r8.get("canonical_hash") == r32.get("canonical_hash"), (
+        "pipeline CONTENT must be identical at both parallelism levels "
+        "(order-insensitive xxhash64 sum over all columns)"
+    )
     eff = (r8["wall_sec"] / r32["wall_sec"]) / 4
     print(
         json.dumps(

@@ -48,9 +48,22 @@ def main() -> None:
     pipe = Pipeline(spark, args.workdir, kg_pipeline(args.workdir, [orders_schema_spec()]))
     ctx = pipe.run({"pages": pages}, force=args.force)
     wall = time.time() - t0
+    # order-insensitive CONTENT hash, not just a count: the
+    # cross-parallelism determinism claim (scripts/pipeline_scaling.py)
+    # needs identical triples, and equal cardinality would mask
+    # partitioning-sensitive value differences
+    from pyspark.sql import functions as F
+
+    canonical = ctx["canonical"]
+    content = canonical.agg(
+        # decimal accumulator: a long SUM of xxhash64 values overflows
+        # under ANSI mode
+        F.sum(F.xxhash64(*sorted(canonical.columns)).cast("decimal(38,0)")).alias("h")
+    ).first()["h"]
     summary = {
         "stages": pipe.report,
-        "canonical_triples": ctx["canonical"].count(),
+        "canonical_triples": canonical.count(),
+        "canonical_hash": str(content),
         "wall_sec": round(wall, 2),
         "master": spark.sparkContext.master,
         "parallelism": spark.sparkContext.defaultParallelism,
