@@ -87,3 +87,79 @@ def windowed_mention_rate(
             "n_mentions",
         )
     )
+
+
+def triples_merge_sink(
+    triples_stream: DataFrame,
+    base_dir: str,
+    checkpoint_path: str,
+    trigger_once: bool = True,
+):
+    """Streaming incremental KG maintenance: each micro-batch's triples
+    are aggregated (dedup_triples) and MERGED into the running base via
+    merge_triple_deltas — the continuous-crawl posture where the triple
+    aggregate stays current without re-extracting old pages.
+
+    Exactly-once across restarts: versions are keyed by the streaming
+    batchId (``base_dir/v{batchId}``) with a ``_LATEST`` pointer written
+    after a version commits. A replayed batch (failure before the
+    pointer update) rewrites the SAME version directory from the SAME
+    input deterministically, so re-delivery converges instead of
+    double-counting. Readers follow ``_LATEST`` (read_latest_triples).
+
+    Scale posture: the per-batch merge shuffles base+delta AGGREGATES
+    (triple-universe-sized) on the triple key, never the page corpus; a
+    real deployment points base_dir at an Iceberg table and replaces
+    the version dance with a MERGE snapshot commit."""
+    import os
+
+    from ..operators.extract import dedup_triples, merge_triple_deltas
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        delta = dedup_triples(batch_df)
+        latest = _read_latest_version(base_dir)
+        if latest is not None and latest >= batch_id:
+            return  # replayed batch already merged and committed
+        if latest is None:
+            merged = delta
+        else:
+            base = spark.read.parquet(os.path.join(base_dir, f"v{latest}"))
+            merged = merge_triple_deltas(base, delta)
+        out = os.path.join(base_dir, f"v{batch_id}")
+        merged.write.mode("overwrite").parquet(out)
+        tmp = os.path.join(base_dir, "_LATEST.tmp")
+        with open(tmp, "w") as fh:
+            fh.write(str(batch_id))
+        os.replace(tmp, os.path.join(base_dir, "_LATEST"))
+
+    os.makedirs(base_dir, exist_ok=True)
+    writer = (
+        triples_stream.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint_path)
+        .outputMode("append")
+    )
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def _read_latest_version(base_dir: str):
+    import os
+
+    p = os.path.join(base_dir, "_LATEST")
+    if not os.path.exists(p):
+        return None
+    with open(p) as fh:
+        s = fh.read().strip()
+    return int(s) if s else None
+
+
+def read_latest_triples(spark: SparkSession, base_dir: str) -> DataFrame:
+    """Current triple aggregate as of the last committed merge."""
+    import os
+
+    latest = _read_latest_version(base_dir)
+    if latest is None:
+        raise FileNotFoundError(f"no committed triple version in {base_dir}")
+    return spark.read.parquet(os.path.join(base_dir, f"v{latest}"))

@@ -401,3 +401,43 @@ def test_interval_join_stream_matches_batch(spark, tmp_path, sf_dir):
         (r.event_id, r.r_event_id) for r in spark.read.parquet(out).collect()
     }
     assert got == batch
+
+
+def test_streaming_incremental_merge_matches_batch(spark, tmp_path):
+    """Continuous-crawl KG maintenance: micro-batched pages merged
+    incrementally (dedup per batch + merge_triple_deltas into a
+    versioned base) must equal one-shot batch extraction+dedup over all
+    pages — including support counts."""
+    import glob
+    import os
+    import shutil
+
+    from nlquery_spark.operators.extract import dedup_triples, extract_triples
+    from nlquery_spark.sources.pages import orders_schema_spec, synth_pages
+    from nlquery_spark.streaming.extract import (
+        read_latest_triples,
+        read_pages_stream,
+        triples_merge_sink,
+    )
+
+    spec = [orders_schema_spec()]
+    pages = synth_pages(spark, 120)
+    src = str(tmp_path / "pages_in")
+    os.makedirs(src)
+    # 3 ordered slices -> >= 2 micro-batches at maxFilesPerTrigger=1
+    for i in range(3):
+        sdir = str(tmp_path / f"ps{i}")
+        pages.filter(F.crc32(F.col("url")) % 3 == i).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(sdir)
+        shutil.move(glob.glob(f"{sdir}/part-*.parquet")[0], f"{src}/{i:02d}.parquet")
+    stream = read_pages_stream(spark, src, max_files_per_trigger=1)
+    base, ckpt = str(tmp_path / "kg_base"), str(tmp_path / "kg_ckpt")
+    q = triples_merge_sink(extract_triples(stream, spec), base, ckpt)
+    q.awaitTermination(240)
+    got = {tuple(r) for r in read_latest_triples(spark, base).collect()}
+    want = {tuple(r) for r in dedup_triples(extract_triples(pages, spec)).collect()}
+    assert want and got == want
+    # versioned history exists and _LATEST points at the newest merge
+    versions = sorted(p for p in os.listdir(base) if p.startswith("v"))
+    assert len(versions) >= 2
