@@ -1646,16 +1646,50 @@ SELECT doc_id, rank, token AS entity, n_mentions FROM (
 # oracle reproduces the top-k window over the very same parquet — the
 # link scorer itself is fully hash-checked (the mention internals stay
 # pytest-gated: superset-of-triples + span/score tests). The path is
-# keyed by the sf directory's basename so a bench run at sf0.1 never
-# clobbers the correctness gate's sf0.01 input; oracle_sql() derives
-# the same suffix from $SPARK_GRAFT_ORACLE_SF (driver default sf0.01,
-# and tests/test_oracle_parity.py exports its SF_DIR there).
+# run-scoped via _oracle_path (sf basename + input fingerprint + code
+# tag) so a bench run at sf0.1 never clobbers the correctness gate's
+# sf0.01 input and a stale artifact can never be oracled against;
+# oracle_sql() derives the same path from $SPARK_GRAFT_ORACLE_SF
+# (driver default sf0.01; tests/test_oracle_parity.py exports its
+# SF_DIR there).
+
+
+# Bump when extraction/mention semantics change: a code change that
+# alters what the support parquet contains must change the path, so an
+# artifact written by an older build can never satisfy a newer oracle.
+_ORACLE_CODE_TAG = "r4a"
+
+
+def _oracle_path(name: str, sf_dir: str) -> str:
+    """Run-scoped oracle-support parquet path (VERDICT r3 item 3).
+
+    The basename embeds the sf dir name AND a fingerprint of the query's
+    actual input (documents.parquet file list + sizes, plus
+    _ORACLE_CODE_TAG), so a stale artifact — from a different sf, a
+    regenerated dataset, or an older extraction version — can never be
+    silently oracled against: the oracle would look for a path that was
+    never written and fail loudly instead."""
+    import hashlib
+    import os
+
+    root = os.path.join(sf_dir, "documents.parquet")
+    parts = [_ORACLE_CODE_TAG]
+    if os.path.isdir(root):
+        for dirpath, _dirs, files in sorted(os.walk(root)):
+            for f in sorted(files):
+                if f.startswith(("_", ".")):
+                    continue
+                p = os.path.join(dirpath, f)
+                parts.append(f"{os.path.relpath(p, root)}:{os.path.getsize(p)}")
+    elif os.path.exists(root):
+        parts.append(f"documents.parquet:{os.path.getsize(root)}")
+    fp = hashlib.md5("|".join(parts).encode()).hexdigest()[:10]
+    base = os.path.basename(sf_dir.rstrip("/"))
+    return f"/tmp/nlquery_oracle/{name}_{base}_{fp}"
 
 
 def _link_mentions_path(sf_dir: str) -> str:
-    import os
-
-    return f"/tmp/nlquery_oracle/entity_link_mentions_{os.path.basename(sf_dir.rstrip('/'))}"
+    return _oracle_path("entity_link_mentions", sf_dir)
 
 
 def _entity_link_topk(spark, sf_dir):
@@ -1754,9 +1788,7 @@ def _ann_pq_topk(spark, sf_dir):
 
 
 def _kg_edges_path(sf_dir: str) -> str:
-    import os
-
-    return f"/tmp/nlquery_oracle/kg_edges_{os.path.basename(sf_dir.rstrip('/'))}"
+    return _oracle_path("kg_edges", sf_dir)
 
 
 def _kg_pagerank(spark, sf_dir):
@@ -2211,7 +2243,30 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Driver query map. ORDERING IS A CONTRACT: the driver's correctness
+    harness evaluates the FIRST 50 entries (CORRECTNESS_r03 covered
+    exactly dict positions 1-50), so the map is ordered by evidence
+    need — (a) queries that have never had / lost their driver-green row
+    (the kg graph family + the dedup quartet, per VERDICT r3 item 1),
+    (b) queries whose code changed this round, (c) everything else —
+    with long-stable, code-unchanged r3-green queries pushed past the
+    window (they stay oracle-verified every session by
+    tests/test_oracle_parity.py, which runs ALL oracles)."""
     return {
+        # -- (a) never/stale driver-checked: must land in the window ------
+        "kg_pagerank": _kg_pagerank,
+        "kg_similarity_edges": _kg_similarity_edges,
+        "kg_canonicalize": _kg_canonicalize,
+        "kg_degree_stats": _kg_degree_stats,
+        "kg_negative_samples": _kg_negative_samples,
+        "dedup_minhash": _dedup_minhash,
+        "dedup_simhash": _dedup_simhash,
+        "dedup_embedding": _dedup_embedding,
+        "emb_neardup_exact": _emb_neardup_exact,
+        # -- (b) changed this round ---------------------------------------
+        "entity_link_topk": _entity_link_topk,
+        "ann_pq_topk": _ann_pq_topk,
+        # -- (c) r3-green, unchanged --------------------------------------
         "q1_pricing_summary": _q1_pricing_summary,
         "q3_shipping_priority": _q3_shipping_priority,
         "q5_local_supplier": _q5_local_supplier,
@@ -2220,11 +2275,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nl_filter_orders": _nl_filter_orders,
         "nl_agg_orders": _nl_agg_orders,
         "nl_pivot_orders": _nl_pivot_orders,
-        "nl_filter_stemmed": _nl_filter_stemmed,
         "nl_autocomplete": _nl_autocomplete,
-        "nl_filter_culture": _nl_filter_culture,
         "dict_spec_part": _dict_spec_part,
-        "nl_filter_inferred": _nl_filter_inferred,
         "emb_cosine_jvm": _emb_cosine_jvm,
         "streaming_extract": _streaming_extract,
         "q17_small_quantity_revenue": _q17_small_quantity_revenue,
@@ -2242,35 +2294,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_with_returns": _orders_with_returns,
         "promo_revenue_share": _promo_revenue_share,
         "daily_active_users": _daily_active_users,
+        "dedup_exact": _dedup_exact,
+        "dedup_ngram_jaccard": _dedup_ngram_jaccard,
+        "corpus_clean": _corpus_clean,
+        "corpus_sample": _corpus_sample,
+        "corpus_pack": _corpus_pack,
+        "doc_heavy_hitters": _doc_heavy_hitters,
+        "gazetteer_mentions": _gazetteer_mentions,
+        "gazetteer_topk_entities": _gazetteer_topk_entities,
+        "ann_cosine_topk": _ann_cosine_topk,
+        "kg_extract_triples": _kg_extract_triples,
+        # -- tail: long-stable r3-green, code unchanged since their last
+        # driver row; every one still oracle-checked per-session by
+        # tests/test_oracle_parity.py --------------------------------------
         "doc_token_stats": _doc_token_stats,
         "doc_subword_stats": _doc_subword_stats,
         "doc_quality": _doc_quality,
         "doc_lang_id": _doc_lang_id,
         "doc_fingerprint": _doc_fingerprint,
-        "dedup_exact": _dedup_exact,
-        "dedup_ngram_jaccard": _dedup_ngram_jaccard,
-        "corpus_clean": _corpus_clean,
         "doc_repetition": _doc_repetition,
         "doc_pii_scrub": _doc_pii_scrub,
-        "corpus_sample": _corpus_sample,
         "doc_chunks": _doc_chunks,
-        "corpus_pack": _corpus_pack,
-        "doc_heavy_hitters": _doc_heavy_hitters,
-        "gazetteer_mentions": _gazetteer_mentions,
-        "gazetteer_topk_entities": _gazetteer_topk_entities,
-        "entity_link_topk": _entity_link_topk,
-        "ann_cosine_topk": _ann_cosine_topk,
-        "ann_pq_topk": _ann_pq_topk,
-        "kg_extract_triples": _kg_extract_triples,
-        "kg_pagerank": _kg_pagerank,
-        "kg_similarity_edges": _kg_similarity_edges,
-        "kg_canonicalize": _kg_canonicalize,
-        "kg_degree_stats": _kg_degree_stats,
-        "kg_negative_samples": _kg_negative_samples,
-        "dedup_minhash": _dedup_minhash,
-        "dedup_simhash": _dedup_simhash,
-        "dedup_embedding": _dedup_embedding,
-        "emb_neardup_exact": _emb_neardup_exact,
+        "nl_filter_stemmed": _nl_filter_stemmed,
+        "nl_filter_culture": _nl_filter_culture,
+        "nl_filter_inferred": _nl_filter_inferred,
     }
 
 

@@ -186,3 +186,45 @@ def test_ann_pq_topk_recall_vs_exact_query(spark):
     }
     assert bf
     assert len(bf & pq) / len(bf) >= 0.8
+
+
+# ------------------------------------------- run-scoped oracle support --
+
+
+def test_oracle_support_path_is_run_scoped():
+    """VERDICT r3 item 3: the oracle-support parquet path must change
+    whenever the input or the extraction code version changes, so a
+    stale artifact can never be silently oracled against."""
+    p_001 = entry_mod._kg_edges_path("/root/testdata/sf0.001")
+    p_01 = entry_mod._kg_edges_path("/root/testdata/sf0.01")
+    assert p_001 != p_01  # different input -> different path
+    assert entry_mod._kg_edges_path("/root/testdata/sf0.001") == p_001  # stable
+    old = entry_mod._ORACLE_CODE_TAG
+    try:
+        entry_mod._ORACLE_CODE_TAG = old + "-bumped"
+        p_bumped = entry_mod._kg_edges_path("/root/testdata/sf0.001")
+    finally:
+        entry_mod._ORACLE_CODE_TAG = old
+    assert p_bumped != p_001  # code-version bump -> different path
+    # link-mentions path is scoped by the same mechanism
+    assert entry_mod._link_mentions_path(
+        "/root/testdata/sf0.001"
+    ) != entry_mod._link_mentions_path("/root/testdata/sf0.01")
+
+
+def test_kg_pagerank_oracle_reads_what_query_wrote(spark):
+    """The pagerank query persists its edge set for the oracle; the
+    parquet at the run-scoped path must hold exactly the distinct
+    non-null (subj, obj) pairs of the extracted triples."""
+    from pyspark.sql import functions as F
+
+    entry_mod.queries()["kg_pagerank"](spark, SF_DIR).count()  # writes path
+    edges = spark.read.parquet(entry_mod._kg_edges_path(SF_DIR))
+    triples = entry_mod.queries()["kg_extract_triples"](spark, SF_DIR)
+    expect = (
+        triples.select(F.col("subj").alias("src"), F.col("obj").alias("dst"))
+        .filter(F.col("src").isNotNull() & F.col("dst").isNotNull())
+        .distinct()
+    )
+    assert edges.exceptAll(expect).count() == 0
+    assert expect.exceptAll(edges).count() == 0
