@@ -121,7 +121,7 @@ _RECOGNIZER_CACHE: Dict[int, Recognizer] = {}
 
 
 def cached_recognizer(
-    schema_specs: Sequence[Dict], options_spec: Optional[Dict], cache_key: int
+    schema_specs: Sequence[Dict], options_spec: Optional[Dict], cache_key: str
 ) -> Recognizer:
     """Per-executor-process recognizer cache (compile once per worker)."""
     rec = _RECOGNIZER_CACHE.get(cache_key)

@@ -14,8 +14,8 @@ hot-entity salting lives in operators.canonicalize.
 
 from __future__ import annotations
 
+import hashlib
 import json
-import zlib
 from typing import Dict, Iterator, Optional, Sequence
 
 from pyspark.sql import DataFrame, functions as F
@@ -59,9 +59,12 @@ def extract_triples(
     spark = pages.sparkSession
     schema_specs = list(schema_specs)
     prescreen = build_prescreen(schema_specs, options_spec) if use_prescreen else None
-    cache_key = zlib.crc32(
+    # md5 of the canonical spec JSON (ADVICE r3): a 32-bit crc across
+    # different specs in one executor process could collide and silently
+    # reuse the wrong compiled recognizer; 128 bits cannot in practice.
+    cache_key = hashlib.md5(
         json.dumps([schema_specs, options_spec], sort_keys=True).encode()
-    )
+    ).hexdigest()
     payload_bc = spark.sparkContext.broadcast(
         (schema_specs, options_spec, prescreen, cache_key, top_k)
     )

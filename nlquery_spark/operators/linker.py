@@ -19,8 +19,8 @@ span.
 
 from __future__ import annotations
 
+import hashlib
 import json
-import zlib
 from typing import Dict, Iterator, Optional, Sequence
 
 from pyspark.sql import DataFrame, Window, functions as F
@@ -62,9 +62,9 @@ def extract_mentions(
     spark = pages.sparkSession
     schema_specs = list(schema_specs)
     prescreen = build_prescreen(schema_specs, options_spec) if use_prescreen else None
-    cache_key = zlib.crc32(
+    cache_key = hashlib.md5(  # 128-bit key: crc32 could collide across specs
         json.dumps([schema_specs, options_spec], sort_keys=True).encode()
-    )
+    ).hexdigest()
     payload_bc = spark.sparkContext.broadcast(
         (schema_specs, options_spec, prescreen, cache_key)
     )

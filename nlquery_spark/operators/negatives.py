@@ -78,9 +78,18 @@ def negative_samples(
     universe: DataFrame,
     salt: str = "neg",
     n_salts: int = 64,
+    strict: bool = False,
 ) -> DataFrame:
     """One corrupted entity per edge: (edge_id, entity, neg_entity),
-    with neg_entity != entity always (collision shifts by one mod n)."""
+    with neg_entity != entity always (collision shifts by one mod n).
+
+    Contract (ADVICE r3): every edge's ``entity_col`` value must appear
+    in ``universe`` — the dense-index join is INNER, so an uncovered
+    edge is dropped from the training corpus rather than corrupted.
+    ``strict=True`` pays one extra anti-join count job and raises if any
+    edge would be lost; the default stays off because at corpus scale
+    the caller builds the universe FROM the edges (coverage holds by
+    construction) and the extra job is pure overhead."""
     # the index is consumed three times (count, true-idx join, draw
     # join): materialize it once instead of replaying the distinct +
     # window lineage per consumer
@@ -88,6 +97,18 @@ def negative_samples(
     n = uni.count()
     if n < 2:
         raise ValueError("negative sampling needs an entity universe >= 2")
+    if strict:
+        lost = (
+            edges.select(F.col(entity_col).alias("entity"))
+            .join(uni, "entity", "left_anti")
+            .count()
+        )
+        if lost:
+            raise ValueError(
+                f"negative_samples: {lost} edge rows reference entities missing "
+                f"from the universe and would be silently dropped — extend the "
+                f"universe or sample with strict=False deliberately"
+            )
     draw = (
         _md5_u64(F.concat_ws(":", F.lit(salt), F.col("edge_id").cast("string")))
         % n

@@ -568,8 +568,8 @@ def suggest_keywords_df(
     per-executor compiled recognizer (cached_recognizer), Arrow batches,
     no shuffle — embarrassingly parallel over the prefix stream (e.g.
     scoring a day of partial search queries against the dictionary)."""
+    import hashlib
     import json
-    import zlib
 
     from pyspark.sql.types import (
         DoubleType,
@@ -581,9 +581,9 @@ def suggest_keywords_df(
 
     spark = prefixes.sparkSession
     schema_specs = list(schema_specs)
-    cache_key = zlib.crc32(
+    cache_key = hashlib.md5(  # 128-bit key: crc32 could collide across specs
         json.dumps([schema_specs, options_spec], sort_keys=True).encode()
-    )
+    ).hexdigest()
     payload_bc = spark.sparkContext.broadcast((schema_specs, options_spec, cache_key))
     out_schema = StructType(
         [

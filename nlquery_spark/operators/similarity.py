@@ -432,8 +432,18 @@ def pq_topk(
         raise ValueError("pq_topk needs a non-empty corpus of non-empty vectors")
     if dim % m != 0:
         raise ValueError(f"dim {dim} not divisible by m={m} subspaces")
+    # deterministic training draw (ADVICE r3): a bare limit() without
+    # ordering picks whatever partitions answer first, so codebooks —
+    # and hence codes/shortlists — depended on the physical layout.
+    # Ordering by xxhash64(id) is a layout-independent pseudo-random
+    # sample, and Spark executes orderBy+limit as TakeOrderedAndProject
+    # (per-partition top-n + driver merge), never a full corpus sort.
     sample_rows = (
-        corpus.select(vec_col).limit(train_sample).toPandas()[vec_col].tolist()
+        corpus.select(id_col, vec_col)
+        .orderBy(F.xxhash64(F.col(id_col).cast("string")), F.col(id_col))
+        .limit(train_sample)
+        .toPandas()[vec_col]
+        .tolist()
     )
     sample = np.array(sample_rows, dtype=np.float64)
     norms = np.linalg.norm(sample, axis=1, keepdims=True)

@@ -110,10 +110,18 @@ def triples_merge_sink(
     Scale posture: the per-batch merge shuffles base+delta AGGREGATES
     (triple-universe-sized) on the triple key, never the page corpus; a
     real deployment points base_dir at an Iceberg table and replaces
-    the version dance with a MERGE snapshot commit."""
+    the version dance with a MERGE snapshot commit.
+
+    ``base_dir`` must be a LOCAL filesystem path: the ``_LATEST``
+    pointer commit uses driver-local open()/os.replace(), whose
+    atomicity guarantee does not extend to scheme-prefixed URIs
+    (hdfs://, s3a://, ...) — those would silently break exactly-once,
+    so they are rejected up front."""
     import os
 
     from ..operators.extract import dedup_triples, merge_triple_deltas
+
+    base_dir = _require_local_dir(base_dir)
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
@@ -142,6 +150,25 @@ def triples_merge_sink(
     if trigger_once:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def _require_local_dir(base_dir: str) -> str:
+    """Reject scheme-prefixed URIs (ADVICE r3): the _LATEST commit
+    protocol relies on POSIX rename atomicity via os.replace(), which a
+    distributed-FS URI silently would not get. file:// local URIs are
+    normalized to a plain path; anything else raises."""
+    import re
+
+    if base_dir.startswith("file://"):
+        return base_dir[len("file://") :]
+    if re.match(r"^[A-Za-z][A-Za-z0-9+.-]*://", base_dir):
+        raise ValueError(
+            f"triples_merge_sink base_dir must be a local path, got {base_dir!r}: "
+            "the _LATEST pointer commit uses driver-local os.replace(), which is "
+            "only atomic on a local filesystem — use an Iceberg/transactional "
+            "table for distributed storage"
+        )
+    return base_dir
 
 
 def _read_latest_version(base_dir: str):

@@ -513,12 +513,24 @@ def test_pq_topk_deterministic(spark):
     df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
     r1 = sorted(map(tuple, similarity.pq_topk(df, [1, 2], k=3, m=4, n_centroids=32).collect()))
     r2 = sorted(map(tuple, similarity.pq_topk(df.repartition(7), [1, 2], k=3, m=4, n_centroids=32).collect()))
-    # same codebooks (seeded, sample is deterministic single-file scan)
-    # and ADC scores -> identical output across partitionings of the
-    # SCORING scan; training sample order is pinned by the limit() on
-    # the unrepartitioned frame in both calls? -- no: each call trains
-    # on its own frame's limit(). Repartition changes limit() order, so
-    # only the FIRST frame's determinism is asserted strictly:
     r1b = sorted(map(tuple, similarity.pq_topk(df, [1, 2], k=3, m=4, n_centroids=32).collect()))
+    # training now draws by xxhash64(id) order (layout-independent), so
+    # codebooks, codes, shortlists, and final ranks are identical across
+    # reruns AND across physical repartitionings of the corpus:
     assert r1 == r1b
-    assert {t[0] for t in r2} == {1, 2}  # repartitioned run still sane
+    assert r1 == r2
+
+
+def test_negative_samples_strict_raises_on_uncovered_edges(spark):
+    from nlquery_spark.operators.negatives import negative_samples
+
+    edges = spark.createDataFrame(
+        [(1, "a"), (2, "zz")], "edge_id long, entity string"
+    )
+    uni = spark.createDataFrame([("a",), ("b",), ("c",)], "entity string")
+    with pytest.raises(ValueError, match="missing"):
+        negative_samples(edges, "edge_id", "entity", uni, strict=True)
+    # default (non-strict) drops the uncovered edge — the documented
+    # universe-must-cover-edges contract
+    out = negative_samples(edges, "edge_id", "entity", uni).collect()
+    assert {r.edge_id for r in out} == {1}

@@ -441,3 +441,15 @@ def test_streaming_incremental_merge_matches_batch(spark, tmp_path):
     # versioned history exists and _LATEST points at the newest merge
     versions = sorted(p for p in os.listdir(base) if p.startswith("v"))
     assert len(versions) >= 2
+
+
+def test_triples_merge_sink_rejects_remote_base_dir():
+    import pytest
+
+    from nlquery_spark.streaming.extract import _require_local_dir
+
+    assert _require_local_dir("/tmp/x") == "/tmp/x"
+    assert _require_local_dir("file:///tmp/x") == "/tmp/x"
+    for uri in ("hdfs://nn/kg", "s3a://bucket/kg", "abfss://c@a/kg"):
+        with pytest.raises(ValueError, match="local path"):
+            _require_local_dir(uri)
