@@ -2267,6 +2267,105 @@ WHERE a.nrm > 0 AND b.nrm > 0
 """
 
 
+# ------------------------------------------------- graph ops (round 4) --
+
+
+def _token_cooccurrence(spark, sf_dir):
+    """KG co-mention edge weighting: gazetteer-term pairs co-occurring
+    in a document, scored by lift = (N * n_both) / (n_a * n_b) — the
+    association weight for co-mention edges before canonical-merge
+    (operators/graph.py::cooccurrence_lift). Pure-ratio score (no log)
+    so the oracle is bit-comparable after rounding."""
+    from nlquery_spark.operators.graph import cooccurrence_lift
+
+    docs = _load(spark, sf_dir, "documents")["documents"]
+    toks = _doc_tokens(docs).filter(F.col("token").isin(GAZETTEER))
+    n_docs = docs.select("doc_id").distinct().count()
+    out = cooccurrence_lift(toks, "doc_id", "token", n_docs)
+    return out.select(
+        F.col("item_a").alias("term_a"),
+        F.col("item_b").alias("term_b"),
+        F.col("n_a").alias("n_docs_a"),
+        F.col("n_b").alias("n_docs_b"),
+        F.col("n_both").alias("n_docs_both"),
+        "lift",
+    )
+
+
+def _cooccurrence_sql() -> str:
+    lst = ", ".join(f"'{w}'" for w in GAZETTEER)
+    return rf"""
+WITH toks AS (
+  SELECT DISTINCT doc_id, t AS token FROM (
+    SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '[ \t\n\x0B\f\r]+')) AS t
+    FROM documents
+  ) WHERE t IN ({lst})
+), c AS (SELECT token, COUNT(*) AS n FROM toks GROUP BY token),
+nd AS (SELECT COUNT(DISTINCT doc_id) AS n FROM documents),
+p AS (
+  SELECT a.token AS term_a, b.token AS term_b, COUNT(*) AS n_both
+  FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND a.token < b.token
+  GROUP BY 1, 2
+)
+SELECT p.term_a, p.term_b,
+  CAST(ca.n AS BIGINT) AS n_docs_a, CAST(cb.n AS BIGINT) AS n_docs_b,
+  CAST(p.n_both AS BIGINT) AS n_docs_both,
+  ROUND((CAST((SELECT n FROM nd) AS DOUBLE) * p.n_both)
+        / (CAST(ca.n AS DOUBLE) * cb.n), 6) AS lift
+FROM p JOIN c ca ON p.term_a = ca.token JOIN c cb ON p.term_b = cb.token
+"""
+
+
+def _part_coorder_triangles(spark, sf_dir):
+    """Graph-analytics surface: triangle participation counts over the
+    co-ordered-parts graph (edge = two parts on the same order >= 2
+    times — the support threshold keeps the graph sparse, the same
+    min-support idea that makes any co-occurrence graph tractable).
+    Triangle counting itself is operators/graph.py::triangle_counts —
+    degree-ordered orientation, so wedge fan-out is bounded on hubs."""
+    from nlquery_spark.operators.graph import triangle_counts
+
+    li = _load(spark, sf_dir, "lineitem")["lineitem"].select(
+        "l_orderkey", "l_partkey"
+    )
+    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pa"))
+    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pb"))
+    edges = (
+        a.join(b, "ok")
+        .filter(F.col("pa") < F.col("pb"))
+        .groupBy("pa", "pb")
+        .agg(F.count(F.lit(1)).alias("sup"))
+        .filter(F.col("sup") >= 2)
+        .select(F.col("pa").alias("src"), F.col("pb").alias("dst"))
+    )
+    return triangle_counts(edges).select(F.col("node").alias("part"), "n_triangles")
+
+
+# triangle sets are orientation-independent: the oracle enumerates with
+# the plain x<y<z convention, the Spark side with degree ordering — the
+# per-node counts must agree exactly.
+_TRIANGLES_SQL = """
+WITH e AS (
+  SELECT a.l_partkey AS src, b.l_partkey AS dst
+  FROM lineitem a
+  JOIN lineitem b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2 HAVING COUNT(*) >= 2
+), tri AS (
+  SELECT e1.src AS x, e1.dst AS y, e2.dst AS z
+  FROM e e1
+  JOIN e e2 ON e2.src = e1.dst
+  JOIN e e3 ON e3.src = e1.src AND e3.dst = e2.dst
+), corners AS (
+  SELECT node FROM (
+    SELECT x AS node FROM tri
+    UNION ALL SELECT y FROM tri
+    UNION ALL SELECT z FROM tri) u
+)
+SELECT node AS part, CAST(COUNT(*) AS BIGINT) AS n_triangles
+FROM corners GROUP BY node
+"""
+
+
 # ----------------------------------------------------------------- driver --
 
 
@@ -2296,9 +2395,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": _dedup_simhash,
         "dedup_embedding": _dedup_embedding,
         "emb_neardup_exact": _emb_neardup_exact,
-        # -- (b) changed this round ---------------------------------------
+        # -- (b) new or changed this round ---------------------------------
         "entity_link_topk": _entity_link_topk,
         "ann_pq_topk": _ann_pq_topk,
+        "token_cooccurrence_lift": _token_cooccurrence,
+        "part_coorder_triangles": _part_coorder_triangles,
         # -- (c) r3-green, unchanged --------------------------------------
         "q1_pricing_summary": _q1_pricing_summary,
         "q3_shipping_priority": _q3_shipping_priority,
@@ -2409,6 +2510,8 @@ def oracle_sql() -> dict[str, str]:
         "kg_negative_samples": _KG_NEG_SQL,
         "kg_pagerank": _kg_pagerank_sql(),
         "entity_link_topk": _entity_link_sql(),
+        "token_cooccurrence_lift": _cooccurrence_sql(),
+        "part_coorder_triangles": _TRIANGLES_SQL,
         "dedup_simhash": _SIMHASH_SQL,
         "dedup_minhash": _minhash_sql(),
         "emb_neardup_exact": _EMB_EXACT_SQL,

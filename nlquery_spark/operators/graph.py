@@ -1,0 +1,144 @@
+"""Generic graph analytics over edge DataFrames.
+
+Round-4 additions to the graph-ops family (connected components and
+PageRank live in operators/canonicalize.py): degree-ordered triangle
+counting and co-occurrence lift — the two standard building blocks for
+weighting and clustering the co-mention graph a KG-construction
+pipeline produces (reference analog: nlquery has no graph layer at all;
+the closest surface is the match-combination scoring in
+src/NReco.NLQuery/Recognizer.cs, which ranks COMBINATIONS rather than
+graph structure — this module is mission-added Spark-native design).
+
+Both operators are pure DataFrame compositions — no UDFs, no driver
+loops — so Catalyst handles pushdown/AQE and every intermediate stays
+JVM-side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def triangle_counts(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+    """Per-node triangle participation counts over an undirected graph.
+
+    Input may contain duplicates, self-loops, and either orientation;
+    edges are canonicalized + distinct'd first.
+
+    Scale design — degree-ordered enumeration: each edge is ORIENTED
+    from its lower-(degree, node) endpoint to the higher, and only the
+    minimum-order vertex of a triangle emits the wedge. Oriented
+    out-degree is O(sqrt(E)) max, so the wedge self-join never explodes
+    on skewed hubs (the star-graph pathology of naive 3-way joins: a
+    degree-d hub contributes d^2 wedges unoriented but only the wedges
+    of nodes ORDERED BELOW it here). Every triangle is produced exactly
+    once, then exploded to its three corners.
+
+    Shuffle inventory: canonical distinct (1), degree agg (1), two
+    degree joins (broadcast-eligible when the node set is small, AQE
+    decides), wedge self-join keyed on the wedge center (1), closing-
+    edge join keyed on (v1, v2) (1), final count agg (1) — every
+    exchange is on the edge or wedge set; nothing quadratic in nodes is
+    ever materialized beyond the oriented wedge count, which is the
+    lower bound any distributed triangle algorithm pays.
+    """
+    e = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .filter(
+            F.col("a").isNotNull() & F.col("b").isNotNull() & (F.col("a") != F.col("b"))
+        )
+        .distinct()
+    )
+    deg = (
+        e.select(F.col("a").alias("node"))
+        .unionAll(e.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    ed = e.join(
+        deg.select(F.col("node").alias("a"), F.col("deg").alias("deg_a")), "a"
+    ).join(deg.select(F.col("node").alias("b"), F.col("deg").alias("deg_b")), "b")
+    lower_first = (F.col("deg_a") < F.col("deg_b")) | (
+        (F.col("deg_a") == F.col("deg_b")) & (F.col("a") < F.col("b"))
+    )
+    o = ed.select(
+        F.when(lower_first, F.col("a")).otherwise(F.col("b")).alias("u"),
+        F.when(lower_first, F.col("b")).otherwise(F.col("a")).alias("v"),
+        F.when(lower_first, F.col("deg_b")).otherwise(F.col("deg_a")).alias("deg_v"),
+    )
+    # wedge at u: (v1, v2) both out-neighbors of u, ordered by the same
+    # (deg, node) total order the orientation uses — so the closing edge,
+    # if present, is oriented exactly v1 -> v2
+    o1 = o.select("u", F.col("v").alias("v1"), F.col("deg_v").alias("d1"))
+    o2 = o.select("u", F.col("v").alias("v2"), F.col("deg_v").alias("d2"))
+    wedge = o1.join(o2, "u").filter(
+        (F.col("d1") < F.col("d2"))
+        | ((F.col("d1") == F.col("d2")) & (F.col("v1") < F.col("v2")))
+    )
+    closing = o.select(F.col("u").alias("v1"), F.col("v").alias("v2"))
+    tri = wedge.join(closing, ["v1", "v2"]).select("u", "v1", "v2")
+    corners = tri.select(F.explode(F.array("u", "v1", "v2")).alias("node"))
+    return corners.groupBy("node").agg(
+        F.count(F.lit(1)).cast("long").alias("n_triangles")
+    )
+
+
+def cooccurrence_lift(
+    occurrences: DataFrame, group_col: str, item_col: str, n_groups: int
+) -> DataFrame:
+    """Pairwise co-occurrence lift over (group, item) observations.
+
+    For every item pair a < b:
+        lift = (N * n_both) / (n_a * n_b)
+    with N = ``n_groups`` (total groups in the population), n_a = groups
+    containing a, n_both = groups containing both — the association
+    strength used to weight KG co-mention edges (lift > 1 means the
+    pair co-occurs more often than independence predicts). Computed as
+    a pure ratio — deliberately NOT log-PMI: ln() differs by ulps
+    across engines, a plain IEEE multiply/divide does not, so the score
+    is bit-comparable against any ANSI-SQL oracle after rounding.
+
+    Scale: the pair self-join is keyed on the group and its fan-out is
+    bounded by the per-group DISTINCT item count — callers filter to a
+    bounded vocabulary (gazetteer terms, entity ids) upstream, which is
+    what makes pairwise co-occurrence tractable at all. The per-item
+    totals are broadcast (vocabulary-sized by the same argument).
+    """
+    p = (
+        occurrences.select(
+            F.col(group_col).alias("grp"), F.col(item_col).alias("item")
+        )
+        .filter(F.col("item").isNotNull())
+        .distinct()
+    )
+    c = p.groupBy("item").agg(F.count(F.lit(1)).alias("n"))
+    x = p.select("grp", F.col("item").alias("item_a"))
+    y = p.select("grp", F.col("item").alias("item_b"))
+    pair = (
+        x.join(y, "grp")
+        .filter(F.col("item_a") < F.col("item_b"))
+        .groupBy("item_a", "item_b")
+        .agg(F.count(F.lit(1)).alias("n_both"))
+    )
+    ca = F.broadcast(c.select(F.col("item").alias("item_a"), F.col("n").alias("n_a")))
+    cb = F.broadcast(c.select(F.col("item").alias("item_b"), F.col("n").alias("n_b")))
+    lift = F.round(
+        (F.lit(float(n_groups)) * F.col("n_both"))
+        / (F.col("n_a").cast("double") * F.col("n_b")),
+        6,
+    )
+    return (
+        pair.join(ca, "item_a")
+        .join(cb, "item_b")
+        .select(
+            "item_a",
+            "item_b",
+            F.col("n_a").cast("long").alias("n_a"),
+            F.col("n_b").cast("long").alias("n_b"),
+            F.col("n_both").cast("long").alias("n_both"),
+            lift.alias("lift"),
+        )
+    )

@@ -1,0 +1,82 @@
+"""operators/graph.py: triangle counting + co-occurrence lift vs
+python brute force."""
+
+import random
+from itertools import combinations
+
+import pytest
+from pyspark.sql import functions as F
+
+from nlquery_spark.operators.graph import cooccurrence_lift, triangle_counts
+
+
+def _brute_triangles(edge_set):
+    adj = {}
+    for a, b in edge_set:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    counts = {}
+    for x, y, z in combinations(sorted(adj), 3):
+        if y in adj[x] and z in adj[x] and z in adj[y]:
+            for n in (x, y, z):
+                counts[n] = counts.get(n, 0) + 1
+    return counts
+
+
+def test_triangle_counts_k4(spark):
+    # K4: every node sits in C(3,2)=3 triangles
+    edges = [(a, b) for a, b in combinations(range(4), 2)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r.node: r.n_triangles for r in triangle_counts(df).collect()}
+    assert got == {0: 3, 1: 3, 2: 3, 3: 3}
+
+
+def test_triangle_counts_dedups_orientation_and_self_loops(spark):
+    # duplicates, reversed orientation, and self-loops must not change
+    # the triangle set: one triangle (1,2,3); node 4 dangles
+    edges = [(1, 2), (2, 1), (2, 3), (1, 3), (3, 1), (3, 3), (3, 4)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r.node: r.n_triangles for r in triangle_counts(df).collect()}
+    assert got == {1: 1, 2: 1, 3: 1}
+
+
+def test_triangle_counts_random_graph_matches_bruteforce(spark):
+    rng = random.Random(7)
+    nodes = list(range(40))
+    edge_set = {
+        (a, b)
+        for a, b in combinations(nodes, 2)
+        if rng.random() < 0.15
+    }
+    # feed them with random orientation + duplicates
+    rows = []
+    for a, b in edge_set:
+        rows.append((b, a) if rng.random() < 0.5 else (a, b))
+        if rng.random() < 0.3:
+            rows.append((a, b))
+    df = spark.createDataFrame(rows, "src long, dst long")
+    got = {r.node: r.n_triangles for r in triangle_counts(df).collect()}
+    assert got == _brute_triangles(edge_set)
+
+
+def test_cooccurrence_lift_hand_computed(spark):
+    # 4 docs; a in {1,2,3}, b in {1,2}, c in {4}
+    rows = [(1, "a"), (1, "b"), (2, "a"), (2, "b"), (3, "a"), (4, "c"),
+            (1, "a")]  # duplicate observation must not double-count
+    df = spark.createDataFrame(rows, "doc long, term string")
+    out = {
+        (r.item_a, r.item_b): r
+        for r in cooccurrence_lift(df, "doc", "term", n_groups=4).collect()
+    }
+    assert set(out) == {("a", "b")}
+    r = out[("a", "b")]
+    assert (r.n_a, r.n_b, r.n_both) == (3, 2, 2)
+    assert r.lift == pytest.approx(round(4 * 2 / (3 * 2), 6), abs=1e-9)
+
+
+def test_cooccurrence_lift_independent_pair_near_one(spark):
+    # items present in every doc: lift exactly 1
+    rows = [(d, t) for d in range(6) for t in ("x", "y")]
+    df = spark.createDataFrame(rows, "doc long, term string")
+    out = cooccurrence_lift(df, "doc", "term", n_groups=6).collect()
+    assert len(out) == 1 and out[0].lift == 1.0
