@@ -2267,6 +2267,51 @@ WHERE a.nrm > 0 AND b.nrm > 0
 """
 
 
+# -------------------------------------------- decontamination (round 4) --
+
+
+def _corpus_decontaminate(spark, sf_dir):
+    """Train/eval n-gram decontamination: docs with doc_id < 100 play
+    the benchmark/eval set; every other document is flagged if it shares
+    a 4-gram with any benchmark doc (4 instead of the production-default
+    8 only because the fixture docs are short). The benchmark n-gram set
+    is broadcast; the corpus join is map-side — see
+    operators/corpus.py::decontaminate for the 100-TB posture."""
+    from nlquery_spark.operators.corpus import decontaminate
+
+    docs = _load(spark, sf_dir, "documents")["documents"]
+    bench = docs.filter(F.col("doc_id") < 100)
+    corpus = docs.filter(F.col("doc_id") >= 100)
+    return decontaminate(corpus, bench, n=4)
+
+
+def _decontaminate_sql() -> str:
+    n = 4
+    gram = " || ' ' || ".join(f"w[i+{j}]" if j else "w[i]" for j in range(n))
+    return rf"""
+WITH t AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '[ \t\n\x0B\f\r]+') AS w
+  FROM documents
+), g AS (
+  SELECT DISTINCT doc_id, s FROM (
+    SELECT doc_id,
+      unnest(list_transform(generate_series(1, len(w) - {n - 1}), i -> {gram})) AS s
+    FROM t WHERE len(w) >= {n})
+), bench AS (SELECT DISTINCT s FROM g WHERE doc_id < 100),
+corp AS (SELECT doc_id, s FROM g WHERE doc_id >= 100),
+sizes AS (SELECT doc_id, COUNT(*) AS n_ngrams FROM corp GROUP BY doc_id),
+hits AS (
+  SELECT corp.doc_id, COUNT(*) AS n_overlap
+  FROM corp JOIN bench ON corp.s = bench.s GROUP BY corp.doc_id
+)
+SELECT h.doc_id,
+  CAST(z.n_ngrams AS BIGINT) AS n_ngrams,
+  CAST(h.n_overlap AS BIGINT) AS n_overlap,
+  ROUND(CAST(h.n_overlap AS DOUBLE) / z.n_ngrams, 6) AS contamination
+FROM hits h JOIN sizes z ON h.doc_id = z.doc_id
+"""
+
+
 # ------------------------------------------------- graph ops (round 4) --
 
 
@@ -2400,12 +2445,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_pq_topk": _ann_pq_topk,
         "token_cooccurrence_lift": _token_cooccurrence,
         "part_coorder_triangles": _part_coorder_triangles,
+        "corpus_decontaminate": _corpus_decontaminate,
         # -- (c) r3-green, unchanged --------------------------------------
         "q1_pricing_summary": _q1_pricing_summary,
         "q3_shipping_priority": _q3_shipping_priority,
         "q5_local_supplier": _q5_local_supplier,
         "topk_orders_per_customer": _topk_orders_per_customer,
-        "events_by_minute": _events_by_minute,
         "nl_filter_orders": _nl_filter_orders,
         "nl_agg_orders": _nl_agg_orders,
         "nl_pivot_orders": _nl_pivot_orders,
@@ -2441,6 +2486,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- tail: long-stable r3-green, code unchanged since their last
         # driver row; every one still oracle-checked per-session by
         # tests/test_oracle_parity.py --------------------------------------
+        "events_by_minute": _events_by_minute,
         "doc_token_stats": _doc_token_stats,
         "doc_subword_stats": _doc_subword_stats,
         "doc_quality": _doc_quality,
@@ -2512,6 +2558,7 @@ def oracle_sql() -> dict[str, str]:
         "entity_link_topk": _entity_link_sql(),
         "token_cooccurrence_lift": _cooccurrence_sql(),
         "part_coorder_triangles": _TRIANGLES_SQL,
+        "corpus_decontaminate": _decontaminate_sql(),
         "dedup_simhash": _SIMHASH_SQL,
         "dedup_minhash": _minhash_sql(),
         "emb_neardup_exact": _EMB_EXACT_SQL,

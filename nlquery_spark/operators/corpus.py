@@ -171,6 +171,67 @@ def sample_threshold(rate: float) -> int:
     return min(int(rate * (1 << 64)), (1 << 64))
 
 
+# -------------------------------------------------- decontamination --
+
+
+def decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    n: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Benchmark decontamination — the train/eval overlap gate every LLM
+    data pipeline runs before training: flag corpus documents that share
+    word ``n``-grams with a benchmark/eval set, so eval answers don't
+    leak into the training corpus.
+
+    Returns flagged docs only: (doc_id, n_ngrams, n_overlap,
+    contamination) with n_ngrams = the doc's DISTINCT n-gram count,
+    n_overlap = how many of those appear anywhere in the benchmark set,
+    contamination = n_overlap / n_ngrams (rounded; exact IEEE division,
+    oracle-comparable). Tokenization is the repo-wide convention
+    (space-trim + lower + ASCII whitespace class) via
+    ``dedup.shingles_df`` — the same Arrow-batched shingler the
+    near-dup family uses (nested HOF shingling blows Janino, see that
+    docstring).
+
+    Scale posture (the reason this shape): benchmarks are SMALL by
+    construction (thousands of docs), so their distinct n-gram set is
+    broadcast; the corpus side is a map-side broadcast hash semi-join on
+    the exploded shingles — only MATCHING rows reach the per-doc count
+    shuffle, so that exchange is sized by the contamination, not the
+    corpus. The per-doc n_ngrams aggregate ships one partially-combined
+    row per document (explode keeps a doc's shingles partition-local).
+    100-TB posture: one corpus scan, one broadcast, two doc-keyed aggs.
+    """
+    from .dedup import shingles_df
+
+    bench = (
+        shingles_df(benchmark, id_col=id_col, text_col=text_col, n=n)
+        .select("shingle")
+        .distinct()
+    )
+    corp = shingles_df(corpus, id_col=id_col, text_col=text_col, n=n)
+    sizes = corp.groupBy("id").agg(F.count(F.lit(1)).alias("n_ngrams"))
+    hits = (
+        corp.join(F.broadcast(bench), "shingle")
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+    )
+    return (
+        hits.join(sizes, "id")
+        .select(
+            F.col("id").alias(id_col),
+            F.col("n_ngrams").cast("long").alias("n_ngrams"),
+            F.col("n_overlap").cast("long").alias("n_overlap"),
+            F.round(
+                F.col("n_overlap").cast("double") / F.col("n_ngrams"), 6
+            ).alias("contamination"),
+        )
+    )
+
+
 # ------------------------------------------------------- chunking --
 
 

@@ -242,3 +242,30 @@ def test_negative_samples_exact_vs_python_reference(spark):
             d = (d + 1) % n
         assert got[eid] == (true_e, ent_of[d]), eid
     assert all(t != ng for t, ng in got.values())
+
+
+def test_decontaminate_flags_ngram_overlap(spark):
+    from nlquery_spark.operators.corpus import decontaminate
+
+    bench = spark.createDataFrame(
+        [(0, "the quick brown fox jumps over the lazy dog")],
+        "doc_id long, text string",
+    )
+    corpus = spark.createDataFrame(
+        [
+            # contains 'quick brown fox jumps' (and more) -> flagged
+            (10, "a quick brown fox jumps again and again today"),
+            # no shared 4-gram -> clean
+            (11, "completely different sentence with no overlap at all"),
+            # exact copy of the benchmark doc -> contamination 1.0
+            (12, "the quick brown fox jumps over the lazy dog"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in decontaminate(corpus, bench, n=4).collect()}
+    assert set(out) == {10, 12}
+    assert out[12].contamination == 1.0
+    assert out[12].n_overlap == out[12].n_ngrams == 6  # 9 tokens -> 6 4-grams
+    # doc 10: 9 tokens -> 6 distinct 4-grams; shared: 'quick brown fox jumps'
+    assert (out[10].n_ngrams, out[10].n_overlap) == (6, 1)
+    assert out[10].contamination == round(1 / 6, 6)
