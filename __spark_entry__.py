@@ -2267,6 +2267,86 @@ WHERE a.nrm > 0 AND b.nrm > 0
 """
 
 
+# ------------------------------------- streaming session windows (r4) --
+
+
+def _streaming_session_windows(spark, sf_dir):
+    """BUILT-IN session windows on a real STREAM (vs the custom
+    applyInPandasWithState sessionizers, and vs the batch window-SQL
+    sessionize): the events table replays through an availableNow file
+    stream in multiple micro-batches, F.session_window merges sessions
+    across batches in the JVM state store, and a complete-mode memory
+    sink snapshots the final state — which must equal the batch answer,
+    so unlike streaming_extract this streaming query is FULLY ORACLED.
+    Session rule (probed + pinned): merge iff next_ts <= prev_ts + gap
+    (inclusive), window end = last_ts + gap; DuckDB reproduces it with
+    precise-microsecond interval arithmetic (date_diff('second') would
+    truncate sub-second gaps and mis-split)."""
+    import tempfile
+    import uuid
+
+    from nlquery_spark.streaming import session_window_stats
+
+    events = (
+        _load(spark, sf_dir, "events")["events"]
+        .select("user_id", F.col("ts").cast("timestamp_ltz").alias("ts"))
+    )
+    work = tempfile.mkdtemp(prefix="nlq_sessions_")
+    src = f"{work}/in"
+    # 8 files / 4 per trigger = 2+ micro-batches; the snapshot semantics
+    # of complete mode make the result independent of file pickup order
+    events.coalesce(8).write.mode("overwrite").parquet(src)
+    stream = (
+        spark.readStream.schema("user_id long, ts timestamp")
+        .option("maxFilesPerTrigger", 4)
+        .parquet(src)
+    )
+    sessions = session_window_stats(stream, gap="30 minutes")
+    table = f"sessions_{uuid.uuid4().hex[:8]}"
+    q = (
+        sessions.writeStream.format("memory")
+        .queryName(table)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise RuntimeError("streaming_session_windows did not finish in 300s")
+    return spark.table(table).select(
+        "user_id",
+        F.date_format("session_start", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias(
+            "session_start"
+        ),
+        F.date_format("session_end", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias(
+            "session_end"
+        ),
+        F.col("n_events").cast("long").alias("n_events"),
+    )
+
+
+_STREAM_SESSIONS_SQL = """
+WITH g AS (
+  SELECT user_id, ts,
+    CASE WHEN lag(ts) OVER w IS NULL
+           OR ts > lag(ts) OVER w + INTERVAL 1800 SECOND
+         THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), s AS (
+  SELECT *, SUM(new_session) OVER (
+    PARTITION BY user_id ORDER BY ts
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM g
+)
+SELECT user_id,
+  strftime(MIN(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+  strftime(MAX(ts) + INTERVAL 1800 SECOND, '%Y-%m-%d %H:%M:%S.%f') AS session_end,
+  CAST(COUNT(*) AS BIGINT) AS n_events
+FROM s GROUP BY user_id, sid
+"""
+
+
 # -------------------------------------------- decontamination (round 4) --
 
 
@@ -2446,11 +2526,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_cooccurrence_lift": _token_cooccurrence,
         "part_coorder_triangles": _part_coorder_triangles,
         "corpus_decontaminate": _corpus_decontaminate,
+        "streaming_session_windows": _streaming_session_windows,
         # -- (c) r3-green, unchanged --------------------------------------
         "q1_pricing_summary": _q1_pricing_summary,
         "q3_shipping_priority": _q3_shipping_priority,
         "q5_local_supplier": _q5_local_supplier,
-        "topk_orders_per_customer": _topk_orders_per_customer,
         "nl_filter_orders": _nl_filter_orders,
         "nl_agg_orders": _nl_agg_orders,
         "nl_pivot_orders": _nl_pivot_orders,
@@ -2486,6 +2566,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- tail: long-stable r3-green, code unchanged since their last
         # driver row; every one still oracle-checked per-session by
         # tests/test_oracle_parity.py --------------------------------------
+        "topk_orders_per_customer": _topk_orders_per_customer,
         "events_by_minute": _events_by_minute,
         "doc_token_stats": _doc_token_stats,
         "doc_subword_stats": _doc_subword_stats,
@@ -2559,6 +2640,7 @@ def oracle_sql() -> dict[str, str]:
         "token_cooccurrence_lift": _cooccurrence_sql(),
         "part_coorder_triangles": _TRIANGLES_SQL,
         "corpus_decontaminate": _decontaminate_sql(),
+        "streaming_session_windows": _STREAM_SESSIONS_SQL,
         "dedup_simhash": _SIMHASH_SQL,
         "dedup_minhash": _minhash_sql(),
         "emb_neardup_exact": _EMB_EXACT_SQL,
