@@ -2267,6 +2267,39 @@ WHERE a.nrm > 0 AND b.nrm > 0
 """
 
 
+# ------------------------------------------ inverted index (round 4) --
+
+
+def _inverted_index(spark, sf_dir):
+    """Corpus-scale inverted index (the distributed analog of the
+    reference's TableMatcherBuilder in-memory token index): per
+    (token, shard) posting lists with doc/position stats, postings
+    sharded by a portable md5 of the doc id so a hot token (stopword)
+    never lands on one reducer — operators/index.py."""
+    from nlquery_spark.operators.index import inverted_index
+
+    docs = _load(spark, sf_dir, "documents")["documents"]
+    return inverted_index(docs, n_shards=4)
+
+
+_INVERTED_INDEX_SQL = r"""
+WITH t AS (
+  SELECT doc_id,
+    (('0x' || substr(md5('shard:' || doc_id), 1, 16))::UBIGINT % 4)::BIGINT AS shard,
+    string_split_regex(trim(lower(text)), '[ \t\n\x0B\f\r]+') AS w
+  FROM documents
+), p AS (
+  SELECT doc_id, shard, w[i] AS token, i - 1 AS pos
+  FROM t, unnest(generate_series(1, len(w))) AS u(i)
+)
+SELECT token, shard,
+  CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+  CAST(COUNT(*) AS BIGINT) AS n_positions,
+  string_agg(doc_id || ':' || pos, ',' ORDER BY doc_id, pos) AS postings
+FROM p GROUP BY token, shard
+"""
+
+
 # ------------------------------------- streaming session windows (r4) --
 
 
@@ -2527,6 +2560,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "part_coorder_triangles": _part_coorder_triangles,
         "corpus_decontaminate": _corpus_decontaminate,
         "streaming_session_windows": _streaming_session_windows,
+        "inverted_index": _inverted_index,
         # -- (c) r3-green, unchanged --------------------------------------
         "q1_pricing_summary": _q1_pricing_summary,
         "q3_shipping_priority": _q3_shipping_priority,
@@ -2549,7 +2583,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_upsert_merge": _orders_upsert_merge,
         "purchase_attribution": _purchase_attribution,
         "event_session_assignment": _event_session_assignment,
-        "events_time_rollup": _events_time_rollup,
         "orders_with_returns": _orders_with_returns,
         "promo_revenue_share": _promo_revenue_share,
         "daily_active_users": _daily_active_users,
@@ -2567,6 +2600,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # driver row; every one still oracle-checked per-session by
         # tests/test_oracle_parity.py --------------------------------------
         "topk_orders_per_customer": _topk_orders_per_customer,
+        "events_time_rollup": _events_time_rollup,
         "events_by_minute": _events_by_minute,
         "doc_token_stats": _doc_token_stats,
         "doc_subword_stats": _doc_subword_stats,
@@ -2641,6 +2675,7 @@ def oracle_sql() -> dict[str, str]:
         "part_coorder_triangles": _TRIANGLES_SQL,
         "corpus_decontaminate": _decontaminate_sql(),
         "streaming_session_windows": _STREAM_SESSIONS_SQL,
+        "inverted_index": _INVERTED_INDEX_SQL,
         "dedup_simhash": _SIMHASH_SQL,
         "dedup_minhash": _minhash_sql(),
         "emb_neardup_exact": _EMB_EXACT_SQL,

@@ -1,0 +1,83 @@
+"""Distributed inverted-index materialization.
+
+The reference engine's core lookup structure is an in-memory inverted
+index over dictionary phrases (TableMatcherBuilder compiles caption/
+value tokens into per-token match lists — src/NReco.NLQuery/Table/
+TableMatcherBuilder.cs; our kernel mirrors it with the memoized
+inverted gazetteer lookup in kernel/matchers.py). This operator is the
+corpus-scale analog: materialize (token -> postings) over the document
+corpus itself, the artifact a distributed search/match service serves
+from.
+
+Scale design: postings for a hot token (stopwords!) are the classic
+reducer-killer — one key holding the whole corpus. ``n_shards`` splits
+every token's postings by a PORTABLE md5 hash of the doc id, so no
+reducer ever holds more than ~1/n_shards of the hottest token, and the
+shard key is reproducible across engines/retries (the same
+('0x'||substr(md5(..),1,16))::UBIGINT convention every sampler in this
+repo uses). Postings serialize as a deterministic "doc:pos" string
+sorted by (doc_id, pos) — numeric struct sort, not lexical string sort
+(which would put doc 10 before doc 2) — so the result is value-hash
+comparable against an ANSI-SQL oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def inverted_index(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_shards: int = 1,
+    salt: str = "shard",
+) -> DataFrame:
+    """(token, shard, n_docs, n_positions, postings) per token shard.
+
+    Tokenization is the repo-wide convention (space-trim + lower +
+    whitespace split) so index terms line up with every other token-
+    level operator. ``postings`` is ``"doc:pos,doc:pos,..."`` with
+    0-based positions, sorted numerically by (doc, pos).
+
+    One exchange on (token, shard); the collect_list per key is bounded
+    by the hottest token's per-shard postings — size shards so that
+    fits a reducer (at 10^12 docs a stopword needs thousands of shards;
+    the shard column keeps lookups a two-key range scan).
+    """
+    shard = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws(":", F.lit(salt), F.col(id_col).cast("string"))),
+                1,
+                16,
+            ),
+            16,
+            10,
+        ).cast("decimal(20,0)")
+        % n_shards
+    ).cast("long")
+    toks = docs.select(
+        F.col(id_col).alias("doc"),
+        shard.alias("shard"),
+        F.posexplode(F.split(F.trim(F.lower(F.col(text_col))), r"\s+")).alias(
+            "pos", "token"
+        ),
+    )
+    posting = F.array_join(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct(F.col("doc"), F.col("pos")))),
+            lambda s: F.concat_ws(
+                ":", s["doc"].cast("string"), s["pos"].cast("string")
+            ),
+        ),
+        ",",
+    )
+    return (
+        toks.groupBy("token", "shard")
+        .agg(
+            F.count_distinct(F.col("doc")).cast("long").alias("n_docs"),
+            F.count(F.lit(1)).cast("long").alias("n_positions"),
+            posting.alias("postings"),
+        )
+    )

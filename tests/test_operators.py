@@ -534,3 +534,29 @@ def test_negative_samples_strict_raises_on_uncovered_edges(spark):
     # universe-must-cover-edges contract
     out = negative_samples(edges, "edge_id", "entity", uni).collect()
     assert {r.edge_id for r in out} == {1}
+
+
+def test_inverted_index_postings_numeric_order(spark):
+    from nlquery_spark.operators.index import inverted_index
+
+    # doc ids 2 and 10: lexical string sort would put "10:*" first
+    df = spark.createDataFrame(
+        [(2, "alpha beta alpha"), (10, "alpha")], "doc_id long, text string"
+    )
+    out = {r.token: r for r in inverted_index(df, n_shards=1).collect()}
+    assert out["alpha"].postings == "2:0,2:2,10:0"
+    assert (out["alpha"].n_docs, out["alpha"].n_positions) == (2, 3)
+    assert out["beta"].postings == "2:1"
+
+
+def test_inverted_index_shards_partition_postings(spark):
+    from nlquery_spark.operators.index import inverted_index
+
+    df = spark.createDataFrame(
+        [(i, "tok") for i in range(200)], "doc_id long, text string"
+    )
+    rows = inverted_index(df, n_shards=4).collect()
+    assert {r.shard for r in rows} == {0, 1, 2, 3}
+    assert sum(r.n_positions for r in rows) == 200
+    # every doc appears exactly once across shards, none dominates fully
+    assert max(r.n_positions for r in rows) < 200
