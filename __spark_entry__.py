@@ -2300,6 +2300,31 @@ FROM p GROUP BY token, shard
 """
 
 
+def _index_phrase_search(spark, sf_dir):
+    """Corpus-scale exact-phrase query (ExactPhraseMatcher analog,
+    reference PhraseMatchers.cs exact mode): docs containing the
+    adjacent token pair 'table hash', via filtered positional streams
+    joined on (doc, anchor) — operators/index.py::phrase_search."""
+    from nlquery_spark.operators.index import phrase_search
+
+    docs = _load(spark, sf_dir, "documents")["documents"]
+    return phrase_search(docs, "table hash")
+
+
+_PHRASE_SEARCH_SQL = r"""
+WITH t AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '[ \t\n\x0B\f\r]+') AS w
+  FROM documents
+), p AS (
+  SELECT doc_id, w[i] AS a, w[i + 1] AS b
+  FROM t, unnest(generate_series(1, len(w) - 1)) AS u(i)
+)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_occurrences
+FROM p WHERE a = 'table' AND b = 'hash'
+GROUP BY doc_id
+"""
+
+
 # ------------------------------------- streaming session windows (r4) --
 
 
@@ -2561,6 +2586,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_decontaminate": _corpus_decontaminate,
         "streaming_session_windows": _streaming_session_windows,
         "inverted_index": _inverted_index,
+        "index_phrase_search": _index_phrase_search,
         # -- (c) r3-green, unchanged --------------------------------------
         "q1_pricing_summary": _q1_pricing_summary,
         "q3_shipping_priority": _q3_shipping_priority,
@@ -2585,7 +2611,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_session_assignment": _event_session_assignment,
         "orders_with_returns": _orders_with_returns,
         "promo_revenue_share": _promo_revenue_share,
-        "daily_active_users": _daily_active_users,
         "dedup_exact": _dedup_exact,
         "dedup_ngram_jaccard": _dedup_ngram_jaccard,
         "corpus_clean": _corpus_clean,
@@ -2599,6 +2624,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- tail: long-stable r3-green, code unchanged since their last
         # driver row; every one still oracle-checked per-session by
         # tests/test_oracle_parity.py --------------------------------------
+        "daily_active_users": _daily_active_users,
         "topk_orders_per_customer": _topk_orders_per_customer,
         "events_time_rollup": _events_time_rollup,
         "events_by_minute": _events_by_minute,
@@ -2676,6 +2702,7 @@ def oracle_sql() -> dict[str, str]:
         "corpus_decontaminate": _decontaminate_sql(),
         "streaming_session_windows": _STREAM_SESSIONS_SQL,
         "inverted_index": _INVERTED_INDEX_SQL,
+        "index_phrase_search": _PHRASE_SEARCH_SQL,
         "dedup_simhash": _SIMHASH_SQL,
         "dedup_minhash": _minhash_sql(),
         "emb_neardup_exact": _EMB_EXACT_SQL,

@@ -81,3 +81,47 @@ def inverted_index(
             posting.alias("postings"),
         )
     )
+
+
+def phrase_search(
+    docs: DataFrame,
+    phrase: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Positional phrase search — the corpus-scale analog of the
+    reference's ExactPhraseMatcher (src/NReco.NLQuery/Matchers/
+    PhraseMatchers.cs exact mode: all phrase words adjacent, in order):
+    (doc_id, n_occurrences) for documents containing the phrase's
+    tokens at consecutive positions.
+
+    Plan: each term's positions are filtered FIRST (a selective filter
+    on the exploded token stream — rare-term selectivity prunes before
+    any join), shifted by the term's offset so every surviving row
+    carries its candidate ANCHOR position, then k-1 equi-joins on
+    (doc, anchor) intersect the streams. Join keys are unique per side
+    (a position holds one token), so the joins are 1:1 — no fan-out,
+    and AQE broadcasts whichever term list is small. This is exactly
+    how a search engine executes a phrase query over the positional
+    index materialized by :func:`inverted_index`.
+    """
+    terms = [t for t in phrase.lower().split() if t]
+    if not terms:
+        raise ValueError("phrase_search needs a non-empty phrase")
+    toks = docs.select(
+        F.col(id_col).alias("doc"),
+        F.posexplode(F.split(F.trim(F.lower(F.col(text_col))), r"\s+")).alias(
+            "pos", "token"
+        ),
+    )
+    out = None
+    for i, term in enumerate(terms):
+        t = toks.filter(F.col("token") == term).select(
+            "doc", (F.col("pos") - i).alias("anchor")
+        )
+        out = t if out is None else out.join(t, ["doc", "anchor"])
+    return (
+        out.groupBy("doc")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_occurrences"))
+        .select(F.col("doc").alias(id_col), "n_occurrences")
+    )

@@ -560,3 +560,25 @@ def test_inverted_index_shards_partition_postings(spark):
     assert sum(r.n_positions for r in rows) == 200
     # every doc appears exactly once across shards, none dominates fully
     assert max(r.n_positions for r in rows) < 200
+
+
+def test_phrase_search_adjacency_and_order(spark):
+    from nlquery_spark.operators.index import phrase_search
+
+    df = spark.createDataFrame(
+        [
+            (1, "big data big data big"),      # "big data" twice
+            (2, "data big"),                   # reversed -> no match
+            (3, "big x data"),                 # not adjacent -> no match
+            (4, "Big Data"),                   # case-folded -> match
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r.n_occurrences for r in phrase_search(df, "big data").collect()}
+    assert out == {1: 2, 4: 1}
+    # three-token phrase
+    out3 = {
+        r.doc_id: r.n_occurrences
+        for r in phrase_search(df, "big data big").collect()
+    }
+    assert out3 == {1: 2}
