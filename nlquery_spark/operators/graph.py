@@ -51,6 +51,10 @@ def triangle_counts(edges: DataFrame, src: str = "src", dst: str = "dst") -> Dat
             F.col("a").isNotNull() & F.col("b").isNotNull() & (F.col("a") != F.col("b"))
         )
         .distinct()
+        # consumed by the degree agg AND the orientation join: compute
+        # the canonical edge set (and whatever lineage produced it —
+        # often a whole pair-generation pipeline) exactly once
+        .localCheckpoint(eager=True)
     )
     deg = (
         e.select(F.col("a").alias("node"))
@@ -68,7 +72,10 @@ def triangle_counts(edges: DataFrame, src: str = "src", dst: str = "dst") -> Dat
         F.when(lower_first, F.col("a")).otherwise(F.col("b")).alias("u"),
         F.when(lower_first, F.col("b")).otherwise(F.col("a")).alias("v"),
         F.when(lower_first, F.col("deg_b")).otherwise(F.col("deg_a")).alias("deg_v"),
-    )
+        # three consumers (both wedge sides + the closing-edge probe):
+        # materialize the oriented edges once, or the degree joins above
+        # replay three times
+    ).localCheckpoint(eager=True)
     # wedge at u: (v1, v2) both out-neighbors of u, ordered by the same
     # (deg, node) total order the orientation uses — so the closing edge,
     # if present, is oriented exactly v1 -> v2
@@ -113,6 +120,12 @@ def cooccurrence_lift(
         )
         .filter(F.col("item").isNotNull())
         .distinct()
+        # four consumers (both self-join sides + both count lineages):
+        # materialize the vocabulary-filtered projection ONCE instead of
+        # four corpus scans — at 100 TB this is the difference between
+        # one pass over the corpus and four (plan-verified: un-checkpointed,
+        # the physical plan had 4 parquet scans of the corpus)
+        .localCheckpoint(eager=True)
     )
     c = p.groupBy("item").agg(F.count(F.lit(1)).alias("n"))
     x = p.select("grp", F.col("item").alias("item_a"))
