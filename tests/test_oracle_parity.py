@@ -116,6 +116,14 @@ _NASTY_QUERIES = [
     "doc_repetition",
     "doc_pii_scrub",
     "corpus_sample",
+    # round-4 token-level queries: inverted_index exercises the
+    # whitespace/unicode edge cases directly; the others degenerate to
+    # empty-vs-empty on this fixture (benchmark split, gazetteer terms
+    # absent) — still a valid both-sides-agree check
+    "inverted_index",
+    "index_phrase_search",
+    "token_cooccurrence_lift",
+    "corpus_decontaminate",
 ]
 
 

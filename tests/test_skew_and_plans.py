@@ -153,3 +153,54 @@ def test_corpus_clean_pushdown_and_stage_order(spark, sf_dir):
     q_pos = plan.find(">= 0.75")
     assert q_pos > 0, plan[:1500]
     assert q_pos > plan.find("Exchange") > 0, plan[:1500]
+
+
+def test_decontaminate_broadcasts_benchmark(spark, sf_dir):
+    """The benchmark n-gram side must broadcast — the corpus join is
+    map-side; a shuffled corpus join would be the 100-TB killer."""
+    plan = (
+        em.queries()["corpus_decontaminate"](spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan and "SortMergeJoin" not in plan
+
+
+def test_inverted_index_single_exchange(spark, sf_dir):
+    """One shuffle on (token, shard) — the count_distinct adds a partial
+    expand but no extra corpus-wide exchange beyond the keyed aggs."""
+    plan = (
+        em.queries()["inverted_index"](spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Scan parquet") == 1  # one corpus pass
+    assert "CartesianProduct" not in plan
+
+
+def test_phrase_search_no_fanout_joins(spark, sf_dir):
+    plan = (
+        em.queries()["index_phrase_search"](spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan
+
+
+def test_cooccurrence_single_corpus_scan(spark, sf_dir):
+    """The localCheckpoint means the four consumers of the filtered
+    (group, item) projection read materialized blocks — the final plan
+    must scan the corpus parquet zero times (checkpoint RDD scans only)
+    beyond the lineage already materialized."""
+    plan = (
+        em.queries()["token_cooccurrence_lift"](spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Scan parquet" not in plan  # all inputs come from the checkpoint
+    assert "Scan ExistingRDD" in plan
