@@ -2302,7 +2302,7 @@ FROM p GROUP BY token, shard
 
 def _index_phrase_search(spark, sf_dir):
     """Corpus-scale exact-phrase query (ExactPhraseMatcher analog,
-    reference PhraseMatchers.cs exact mode): docs containing the
+    reference Matchers/ExactPhraseMatcher.cs): docs containing the
     adjacent token pair 'table hash', via filtered positional streams
     joined on (doc, anchor) — operators/index.py::phrase_search."""
     from nlquery_spark.operators.index import phrase_search

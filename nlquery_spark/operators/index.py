@@ -91,7 +91,7 @@ def phrase_search(
 ) -> DataFrame:
     """Positional phrase search — the corpus-scale analog of the
     reference's ExactPhraseMatcher (src/NReco.NLQuery/Matchers/
-    PhraseMatchers.cs exact mode: all phrase words adjacent, in order):
+    ExactPhraseMatcher.cs: all phrase words adjacent, in order):
     (doc_id, n_occurrences) for documents containing the phrase's
     tokens at consecutive positions.
 
