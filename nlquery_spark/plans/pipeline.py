@@ -190,10 +190,12 @@ def kg_pipeline(
     schema_specs,
     options_spec=None,
     canonical_threshold: float = 0.6,
+    with_graph: bool = True,
 ) -> List[Stage]:
     """The standard KG-construction pipeline: extract -> dedup ->
-    canonicalize (stages S2-S6 of SURVEY.md §3.4)."""
-    from ..operators.canonicalize import canonicalize_triples
+    canonicalize -> graph metrics (stages S2-S6 of SURVEY.md §3.4 plus
+    the graph-materialize pass the north rule names)."""
+    from ..operators.canonicalize import canonicalize_triples, pagerank
     from ..operators.extract import dedup_triples, extract_triples
 
     def s_extract(spark, ctx):
@@ -208,8 +210,47 @@ def kg_pipeline(
             ctx["dedup"], threshold=canonical_threshold, metrics=m
         )
 
-    return [
+    def s_graph(spark, ctx):
+        """Graph-metrics materialization over the canonical triples:
+        per-entity PageRank (adaptive driver/distributed), in/out
+        degrees, and triangle participation — one row per node, the
+        artifact entity-salience ranking and KG-quality dashboards read.
+        The distinct edge set feeds four consumers, so it materializes
+        once; ranks are rounded to 9 decimals so the checkpoint is
+        bit-stable across cluster sizes (raw double power-iteration
+        sums carry ~1e-15 order noise)."""
+        from ..operators.graph import triangle_counts
+
+        m = ctx["_metrics"].setdefault("graph", {})
+        edges = (
+            ctx["canonical"]
+            .select(F.col("subj").alias("src"), F.col("obj").alias("dst"))
+            .filter(F.col("src").isNotNull() & F.col("dst").isNotNull())
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        m["n_edges"] = edges.count()
+        pr = pagerank(edges, max_iter=30, metrics=m)
+        out_deg = edges.groupBy(F.col("src").alias("node")).agg(
+            F.count(F.lit(1)).cast("long").alias("out_degree")
+        )
+        in_deg = edges.groupBy(F.col("dst").alias("node")).agg(
+            F.count(F.lit(1)).cast("long").alias("in_degree")
+        )
+        tris = triangle_counts(edges)
+        return (
+            pr.select("node", F.round("rank", 9).alias("rank"))
+            .join(out_deg, "node", "left")
+            .join(in_deg, "node", "left")
+            .join(tris, "node", "left")
+            .fillna(0, subset=["out_degree", "in_degree", "n_triangles"])
+        )
+
+    stages = [
         Stage("extract", s_extract),
         Stage("dedup", s_dedup),
         Stage("canonical", s_canonical, partition_by=["pred"]),
     ]
+    if with_graph:
+        stages.append(Stage("graph", s_graph))
+    return stages

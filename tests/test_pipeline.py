@@ -262,3 +262,41 @@ def test_pagerank_warns_when_not_converged(spark):
         pagerank(edf, max_iter=1, tol=1e-12, metrics=m).count()
     assert m["pagerank_converged"] is False
     assert any("NOT converged" in str(x.message) for x in rec)
+
+
+def test_pipeline_graph_stage(spark, tmp_path):
+    """The graph-metrics stage: one row per KG node with pagerank +
+    degrees + triangle counts; ranks sum to ~1 (the pagerank invariant)
+    and degrees reconcile with the distinct edge set."""
+    from pyspark.sql import functions as F
+
+    workdir = str(tmp_path / "pipe_g")
+    pages = synth_pages(spark, 60).cache()
+    pages.count()
+    p = Pipeline(spark, workdir, kg_pipeline(workdir, [orders_schema_spec()]))
+    out = p.run({"pages": pages})
+    g = out["graph"]
+    assert set(g.columns) == {"node", "rank", "out_degree", "in_degree", "n_triangles"}
+    edges = (
+        out["canonical"]
+        .select(F.col("subj").alias("src"), F.col("obj").alias("dst"))
+        .filter(F.col("src").isNotNull() & F.col("dst").isNotNull())
+        .distinct()
+    )
+    n_edges = edges.count()
+    agg = g.agg(
+        F.sum("rank").alias("rs"),
+        F.sum("out_degree").alias("od"),
+        F.sum("in_degree").alias("id"),
+        F.count(F.lit(1)).alias("n"),
+    ).first()
+    assert abs(agg["rs"] - 1.0) < 1e-6
+    assert agg["od"] == n_edges and agg["id"] == n_edges
+    # node set == union of edge endpoints
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .union(edges.select(F.col("dst").alias("node")))
+        .distinct()
+        .count()
+    )
+    assert agg["n"] == nodes
