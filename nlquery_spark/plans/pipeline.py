@@ -230,7 +230,12 @@ def kg_pipeline(
             .localCheckpoint(eager=True)
         )
         m["n_edges"] = edges.count()
-        pr = pagerank(edges, max_iter=30, metrics=m)
+        # damping 0.85 contracts the error by 0.85/round: ~85 rounds
+        # reach tol=1e-6, so 100 covers it; the adaptive driver path
+        # makes the extra rounds cheap below driver_max_graph, and the
+        # distributed path pays one shuffle per round only on graphs
+        # that actually need the scale
+        pr = pagerank(edges, max_iter=100, metrics=m)
         out_deg = edges.groupBy(F.col("src").alias("node")).agg(
             F.count(F.lit(1)).cast("long").alias("out_degree")
         )
