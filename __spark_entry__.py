@@ -2267,6 +2267,105 @@ WHERE a.nrm > 0 AND b.nrm > 0
 """
 
 
+# ----------------------- editdist edges + LOCF resample (round 4) --
+
+
+def _kg_editdist_edges(spark, sf_dir):
+    """S5 alternative matcher: Levenshtein <= 2 edges between normalized
+    surface forms (typo/OCR complement to the trigram-Jaccard edges) —
+    operators/canonicalize.py::edit_distance_edges. Integer distances,
+    so the oracle is exact; blocking (first/last char, 80-cap) mirrored
+    in SQL."""
+    from nlquery_spark.operators.canonicalize import edit_distance_edges
+
+    forms = _kg_form_universe(spark, sf_dir)
+    return edit_distance_edges(forms, max_dist=2, max_block_size=80)
+
+
+_KG_EDITDIST_SQL = r"""
+WITH RECURSIVE forms AS (
+  SELECT p_name AS form FROM part
+  UNION
+  SELECT upper(p_name) FROM part WHERE p_partkey % 7 = 0
+  UNION
+  SELECT replace(p_name, ' ', '-') FROM part WHERE p_partkey % 11 = 0
+  UNION
+  SELECT s_name FROM supplier
+), normed AS (
+  SELECT DISTINCT form,
+         trim(regexp_replace(lower(form), '[^a-z0-9]+', ' ', 'g')) AS norm
+  FROM forms
+), nz AS (SELECT form, norm FROM normed WHERE length(norm) > 0),
+blocked AS (
+  SELECT DISTINCT form, norm, u.block
+  FROM nz, UNNEST([substr(norm, 1, 1), substr(norm, length(norm), 1)]) AS u(block)
+), capped AS (
+  SELECT form, norm, block FROM (
+    SELECT form, norm, block,
+           ROW_NUMBER() OVER (PARTITION BY block ORDER BY form) AS rn
+    FROM blocked
+  ) WHERE rn <= 80
+)
+SELECT DISTINCT a.form AS form_a, b.form AS form_b,
+  CAST(levenshtein(a.norm, b.norm) AS BIGINT) AS dist
+FROM capped a
+JOIN capped b ON a.block = b.block AND a.form < b.form
+WHERE levenshtein(a.norm, b.norm) <= 2
+"""
+
+
+def _events_resample_locf(spark, sf_dir):
+    """Time-series regularization: hourly grid per user from first to
+    last event, empty buckets gap-filled by last-observation-carried-
+    forward (operators/timeseries.py::resample_locf). Deterministic
+    in-bucket tie-break (ts, event_id) makes the filled series exactly
+    reproducible in SQL."""
+    from nlquery_spark.operators.timeseries import resample_locf
+
+    events = _load(spark, sf_dir, "events")["events"].filter(
+        F.col("user_id") < 20
+    )
+    out = resample_locf(events, unit="hour")
+    return out.select(
+        "user_id",
+        F.date_format("bucket", "yyyy-MM-dd HH:mm:ss").alias("bucket"),
+        "value_locf",
+        "n_obs",
+    )
+
+
+_LOCF_SQL = """
+WITH e AS (
+  SELECT user_id, ts, value, event_id FROM events WHERE user_id < 20
+), b AS (
+  SELECT user_id, date_trunc('hour', MIN(ts)) AS mn,
+         date_trunc('hour', MAX(ts)) AS mx
+  FROM e GROUP BY user_id
+), spine AS (
+  SELECT user_id, unnest(generate_series(mn, mx, INTERVAL 1 HOUR)) AS bucket
+  FROM b
+), obs AS (
+  SELECT user_id, date_trunc('hour', ts) AS bucket, value,
+    ROW_NUMBER() OVER (PARTITION BY user_id, date_trunc('hour', ts)
+                       ORDER BY ts DESC, event_id DESC) AS rn
+  FROM e
+), last_obs AS (
+  SELECT user_id, bucket, value FROM obs WHERE rn = 1
+), cnt AS (
+  SELECT user_id, bucket, COUNT(*) AS n FROM obs GROUP BY user_id, bucket
+)
+SELECT s.user_id,
+  strftime(s.bucket, '%Y-%m-%d %H:%M:%S') AS bucket,
+  last_value(l.value IGNORE NULLS) OVER (
+    PARTITION BY s.user_id ORDER BY s.bucket
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_locf,
+  CAST(COALESCE(cnt.n, 0) AS BIGINT) AS n_obs
+FROM spine s
+LEFT JOIN last_obs l ON l.user_id = s.user_id AND l.bucket = s.bucket
+LEFT JOIN cnt ON cnt.user_id = s.user_id AND cnt.bucket = s.bucket
+"""
+
+
 # ------------------------------------------ inverted index (round 4) --
 
 
@@ -2587,6 +2686,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_session_windows": _streaming_session_windows,
         "inverted_index": _inverted_index,
         "index_phrase_search": _index_phrase_search,
+        "kg_editdist_edges": _kg_editdist_edges,
+        "events_resample_locf": _events_resample_locf,
         # -- (c) r3-green, unchanged --------------------------------------
         "q1_pricing_summary": _q1_pricing_summary,
         "q3_shipping_priority": _q3_shipping_priority,
@@ -2602,10 +2703,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_props_json": _event_props_json,
         "order_value_percentiles": _order_value_percentiles,
         "ship_lag_by_month": _ship_lag_by_month,
-        "customers_without_orders": _customers_without_orders,
         "order_priority_rollup": _order_priority_rollup,
         "part_setops_98_not_99": _part_supplier_setops,
-        "events_sessionize": _events_sessionize,
         "orders_upsert_merge": _orders_upsert_merge,
         "purchase_attribution": _purchase_attribution,
         "event_session_assignment": _event_session_assignment,
@@ -2624,6 +2723,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- tail: long-stable r3-green, code unchanged since their last
         # driver row; every one still oracle-checked per-session by
         # tests/test_oracle_parity.py --------------------------------------
+        "customers_without_orders": _customers_without_orders,
+        "events_sessionize": _events_sessionize,
         "daily_active_users": _daily_active_users,
         "topk_orders_per_customer": _topk_orders_per_customer,
         "events_time_rollup": _events_time_rollup,
@@ -2703,6 +2804,8 @@ def oracle_sql() -> dict[str, str]:
         "streaming_session_windows": _STREAM_SESSIONS_SQL,
         "inverted_index": _INVERTED_INDEX_SQL,
         "index_phrase_search": _PHRASE_SEARCH_SQL,
+        "kg_editdist_edges": _KG_EDITDIST_SQL,
+        "events_resample_locf": _LOCF_SQL,
         "dedup_simhash": _SIMHASH_SQL,
         "dedup_minhash": _minhash_sql(),
         "emb_neardup_exact": _EMB_EXACT_SQL,

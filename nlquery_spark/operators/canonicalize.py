@@ -123,6 +123,91 @@ def similarity_edges(
     )
 
 
+def edit_distance_edges(
+    forms: DataFrame,
+    form_col: str = "form",
+    max_dist: int = 2,
+    max_block_size: int = 200,
+    metrics: Optional[dict] = None,
+) -> DataFrame:
+    """(form_a, form_b, dist) edges between surface forms whose
+    NORMALIZED forms are within ``max_dist`` Levenshtein edits — the
+    typo/OCR-noise complement to :func:`similarity_edges`' trigram
+    Jaccard (which needs shared trigrams; a 2-edit typo in a short form
+    can destroy most of them). Levenshtein is integer-exact, so the
+    edge set is bit-comparable against any engine with the classic DP
+    definition (DuckDB's levenshtein()).
+
+    Blocking: each form lands in two blocks — first and last character
+    of its norm — and pairs are generated within blocks. A pair whose
+    edits touch BOTH the first and last character is missed: the
+    standard recall/scale tradeoff of exact-key blocking, stated rather
+    than hidden (deletion-neighborhood blocking is complete for k=1 but
+    explodes combinatorially at k=2). Oversized blocks are capped by
+    the same row_number guard as similarity_edges, with the same
+    ``metrics`` accounting.
+    """
+    f = (
+        forms.select(F.col(form_col).alias("form"))
+        .distinct()
+        .withColumn("norm", normalize_form(F.col("form")))
+        .filter(F.length("norm") > 0)
+    )
+    blocked = f.select(
+        "form",
+        "norm",
+        F.explode(
+            F.array(
+                F.substring("norm", 1, 1),
+                F.expr("substr(norm, length(norm), 1)"),
+            )
+        ).alias("block"),
+    ).distinct()
+    if metrics is not None:
+        over = (
+            blocked.groupBy("block")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .filter(F.col("n") > max_block_size)
+            .agg(
+                F.count(F.lit(1)).alias("blocks"),
+                F.sum(F.col("n") - max_block_size).alias("dropped"),
+            )
+            .first()
+        )
+        metrics["blocks_capped"] = int(over["blocks"] or 0)
+        metrics["block_rows_dropped"] = int(over["dropped"] or 0)
+    w = Window.partitionBy("block").orderBy("form")
+    blocked = (
+        blocked.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= max_block_size)
+        .drop("_rn")
+    )
+    a, b = blocked.alias("a"), blocked.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.block") == F.col("b.block"))
+            & (F.col("a.form") < F.col("b.form"))
+            # pure pruning, never changes results: dist >= |len diff|,
+            # so pairs failing this can't pass the levenshtein filter —
+            # but they skip the O(n*m) DP entirely
+            & (
+                F.abs(F.length(F.col("a.norm")) - F.length(F.col("b.norm")))
+                <= max_dist
+            ),
+        )
+        .filter(F.levenshtein(F.col("a.norm"), F.col("b.norm")) <= max_dist)
+        .select(
+            F.col("a.form").alias("form_a"),
+            F.col("b.form").alias("form_b"),
+            F.levenshtein(F.col("a.norm"), F.col("b.norm"))
+            .cast("long")
+            .alias("dist"),
+        )
+        .distinct()
+    )
+
+
 def _union_find_components(edge_rows, node_rows):
     """Driver-side union-find; root of every tree is kept at the
     lexicographic min of its members, so find(x) returns the min form of

@@ -300,3 +300,62 @@ def test_pipeline_graph_stage(spark, tmp_path):
         .count()
     )
     assert agg["n"] == nodes
+
+
+def test_edit_distance_edges_known_distances(spark):
+    from nlquery_spark.operators.canonicalize import edit_distance_edges
+
+    forms = spark.createDataFrame(
+        [("spark",), ("spork",), ("sparkk",), ("Spark!",), ("zzzz",)],
+        "form string",
+    )
+    out = {
+        (r.form_a, r.form_b): r.dist
+        for r in edit_distance_edges(forms, max_dist=2).collect()
+    }
+    # norms: spark/spork/sparkk/spark/zzzz — 'Spark!' normalizes to 'spark'
+    assert out[("Spark!", "spark")] == 0
+    assert out[("spark", "spork")] == 1
+    assert out[("spark", "sparkk")] == 1
+    assert out[("Spark!", "spork")] == 1
+    assert out[("sparkk", "spork")] == 2
+    assert all("zzzz" not in k for k in out)
+
+
+def test_edit_distance_edges_blocking_miss_documented(spark):
+    from nlquery_spark.operators.canonicalize import edit_distance_edges
+
+    # 'abc' vs 'xbz': dist 2 but first AND last chars differ -> no
+    # shared block -> missed. This is the documented recall tradeoff.
+    forms = spark.createDataFrame([("abc",), ("xbz",)], "form string")
+    assert edit_distance_edges(forms, max_dist=2).count() == 0
+
+
+def test_resample_locf_fills_gaps(spark):
+    import datetime as dt
+
+    from nlquery_spark.operators.timeseries import resample_locf
+
+    base = dt.datetime(2024, 1, 1, 0, 30)
+    rows = [
+        # user 1: obs in hours 0 and 3 -> hours 1, 2 carry 10.0 forward;
+        # two obs in hour 0, later one (by ts) wins
+        (100, base, 1, "x", 5.0, "{}"),
+        (101, base + dt.timedelta(minutes=10), 1, "x", 10.0, "{}"),
+        (102, base + dt.timedelta(hours=3), 1, "x", 7.0, "{}"),
+        # user 2: single obs
+        (103, base, 2, "x", 1.5, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    out = {
+        (r.user_id, str(r.bucket)): (r.value_locf, r.n_obs)
+        for r in resample_locf(df, unit="hour").collect()
+    }
+    assert out[(1, "2024-01-01 00:00:00")] == (10.0, 2)
+    assert out[(1, "2024-01-01 01:00:00")] == (10.0, 0)
+    assert out[(1, "2024-01-01 02:00:00")] == (10.0, 0)
+    assert out[(1, "2024-01-01 03:00:00")] == (7.0, 1)
+    assert out[(2, "2024-01-01 00:00:00")] == (1.5, 1)
+    assert len(out) == 5
