@@ -2366,6 +2366,43 @@ LEFT JOIN cnt ON cnt.user_id = s.user_id AND cnt.bucket = s.bucket
 """
 
 
+def _customer_order_full_outer(spark, sf_dir):
+    """FULL OUTER join surface (the one join type without a driver row
+    until round 4): 1995 order counts per customer x high-balance
+    customers — both sides carry unmatched keys, so every null pattern
+    of the full outer join appears and is hash-checked."""
+    d = _load(spark, sf_dir, "orders", "customer")
+    a = (
+        d["orders"]
+        .filter(F.year("o_orderdate") == 1995)
+        .groupBy(F.col("o_custkey").alias("custkey"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_orders_1995"))
+    )
+    b = (
+        d["customer"]
+        .filter(F.col("c_acctbal") > 9000)
+        .select(F.col("c_custkey").alias("custkey"), "c_name")
+    )
+    return a.join(b, "custkey", "full_outer").select(
+        "custkey",
+        "c_name",
+        F.coalesce("n_orders_1995", F.lit(0)).cast("long").alias("n_orders_1995"),
+    )
+
+
+_FULL_OUTER_SQL = """
+WITH a AS (
+  SELECT o_custkey AS custkey, CAST(COUNT(*) AS BIGINT) AS n_orders_1995
+  FROM orders WHERE year(o_orderdate) = 1995 GROUP BY o_custkey
+), b AS (
+  SELECT c_custkey AS custkey, c_name FROM customer WHERE c_acctbal > 9000
+)
+SELECT COALESCE(a.custkey, b.custkey) AS custkey, b.c_name,
+  CAST(COALESCE(a.n_orders_1995, 0) AS BIGINT) AS n_orders_1995
+FROM a FULL OUTER JOIN b ON a.custkey = b.custkey
+"""
+
+
 # ------------------------------------------ inverted index (round 4) --
 
 
@@ -2688,6 +2725,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "index_phrase_search": _index_phrase_search,
         "kg_editdist_edges": _kg_editdist_edges,
         "events_resample_locf": _events_resample_locf,
+        "customer_order_full_outer": _customer_order_full_outer,
         # -- (c) r3-green, unchanged --------------------------------------
         "q1_pricing_summary": _q1_pricing_summary,
         "q3_shipping_priority": _q3_shipping_priority,
@@ -2709,7 +2747,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "purchase_attribution": _purchase_attribution,
         "event_session_assignment": _event_session_assignment,
         "orders_with_returns": _orders_with_returns,
-        "promo_revenue_share": _promo_revenue_share,
         "dedup_exact": _dedup_exact,
         "dedup_ngram_jaccard": _dedup_ngram_jaccard,
         "corpus_clean": _corpus_clean,
@@ -2723,6 +2760,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- tail: long-stable r3-green, code unchanged since their last
         # driver row; every one still oracle-checked per-session by
         # tests/test_oracle_parity.py --------------------------------------
+        "promo_revenue_share": _promo_revenue_share,
         "customers_without_orders": _customers_without_orders,
         "events_sessionize": _events_sessionize,
         "daily_active_users": _daily_active_users,
@@ -2806,6 +2844,7 @@ def oracle_sql() -> dict[str, str]:
         "index_phrase_search": _PHRASE_SEARCH_SQL,
         "kg_editdist_edges": _KG_EDITDIST_SQL,
         "events_resample_locf": _LOCF_SQL,
+        "customer_order_full_outer": _FULL_OUTER_SQL,
         "dedup_simhash": _SIMHASH_SQL,
         "dedup_minhash": _minhash_sql(),
         "emb_neardup_exact": _EMB_EXACT_SQL,
