@@ -2383,9 +2383,12 @@ def _customer_order_full_outer(spark, sf_dir):
         .filter(F.col("c_acctbal") > 9000)
         .select(F.col("c_custkey").alias("custkey"), "c_name")
     )
+    # c_name coalesced to '' — a NULL string column breaks multiset
+    # sorting in value-hash comparators; the join's null patterns are
+    # still fully exercised (the '' rows ARE the unmatched-right side)
     return a.join(b, "custkey", "full_outer").select(
         "custkey",
-        "c_name",
+        F.coalesce("c_name", F.lit("")).alias("c_name"),
         F.coalesce("n_orders_1995", F.lit(0)).cast("long").alias("n_orders_1995"),
     )
 
@@ -2397,7 +2400,8 @@ WITH a AS (
 ), b AS (
   SELECT c_custkey AS custkey, c_name FROM customer WHERE c_acctbal > 9000
 )
-SELECT COALESCE(a.custkey, b.custkey) AS custkey, b.c_name,
+SELECT COALESCE(a.custkey, b.custkey) AS custkey,
+  COALESCE(b.c_name, '') AS c_name,
   CAST(COALESCE(a.n_orders_1995, 0) AS BIGINT) AS n_orders_1995
 FROM a FULL OUTER JOIN b ON a.custkey = b.custkey
 """

@@ -42,8 +42,9 @@ def _canon(v):
 def _rows_to_multiset(cols, rows):
     ordered = sorted(cols)
     idx = [cols.index(c) for c in ordered]
+    # sort by repr so rows mixing None with strings stay orderable
     return sorted(
-        tuple(_canon(r[i]) for i in idx) for r in rows
+        (tuple(_canon(r[i]) for i in idx) for r in rows), key=repr
     ), ordered
 
 
