@@ -2366,6 +2366,57 @@ LEFT JOIN cnt ON cnt.user_id = s.user_id AND cnt.bucket = s.bucket
 """
 
 
+def _chunk_boilerplate(spark, sf_dir):
+    """Boilerplate / repeated-paragraph detection (the CCNet-style pass
+    a crawl corpus needs before training): chunk every document into
+    context windows, digest each chunk, and flag digests occurring in
+    >= 2 DISTINCT documents — headers, footers, navigation crud.
+    Composition of the oracled chunker (shuffle-free codegen) + one
+    exchange keyed by the chunk md5; chunk text never shuffles, only
+    its 32-byte digest."""
+    from nlquery_spark.operators.corpus import chunk_documents
+
+    docs = _load(spark, sf_dir, "documents")["documents"]
+    ch = chunk_documents(docs, chunk_tokens=64, stride=48)
+    return (
+        ch.groupBy(F.md5(F.col("chunk_text")).alias("chunk_hash"))
+        .agg(
+            F.count_distinct(F.col("doc_id")).cast("long").alias("n_docs"),
+            F.count(F.lit(1)).cast("long").alias("n_occurrences"),
+            F.min("doc_id").cast("long").alias("example_doc"),
+        )
+        .filter(F.col("n_docs") >= 2)
+    )
+
+
+_BOILERPLATE_SQL = r"""
+WITH t AS (
+  SELECT doc_id,
+    CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+         ELSE string_split_regex(trim(text), '[ \t\n\x0B\f\r]+') END AS w
+  FROM documents
+), sized AS (
+  SELECT doc_id, w, len(w) AS n,
+    CASE WHEN len(w) <= 64 THEN 1
+         ELSE 1 + CAST(floor((len(w) - 64 + 47) / 48) AS INTEGER) END AS n_chunks
+  FROM t WHERE len(w) > 0
+), exploded AS (
+  SELECT doc_id, w, unnest(range(0, n_chunks)) AS chunk_idx FROM sized
+), chunks AS (
+  SELECT doc_id,
+    array_to_string(list_slice(w, chunk_idx * 48 + 1, chunk_idx * 48 + 64), ' ')
+      AS chunk_text
+  FROM exploded
+)
+SELECT md5(chunk_text) AS chunk_hash,
+  CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+  CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+  CAST(MIN(doc_id) AS BIGINT) AS example_doc
+FROM chunks GROUP BY md5(chunk_text)
+HAVING COUNT(DISTINCT doc_id) >= 2
+"""
+
+
 def _customer_order_full_outer(spark, sf_dir):
     """FULL OUTER join surface (the one join type without a driver row
     until round 4): 1995 order counts per customer x high-balance
@@ -2730,6 +2781,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_editdist_edges": _kg_editdist_edges,
         "events_resample_locf": _events_resample_locf,
         "customer_order_full_outer": _customer_order_full_outer,
+        "chunk_boilerplate": _chunk_boilerplate,
         # -- (c) r3-green, unchanged --------------------------------------
         "q1_pricing_summary": _q1_pricing_summary,
         "q3_shipping_priority": _q3_shipping_priority,
@@ -2744,7 +2796,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q17_small_quantity_revenue": _q17_small_quantity_revenue,
         "event_props_json": _event_props_json,
         "order_value_percentiles": _order_value_percentiles,
-        "ship_lag_by_month": _ship_lag_by_month,
         "order_priority_rollup": _order_priority_rollup,
         "part_setops_98_not_99": _part_supplier_setops,
         "orders_upsert_merge": _orders_upsert_merge,
@@ -2764,6 +2815,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- tail: long-stable r3-green, code unchanged since their last
         # driver row; every one still oracle-checked per-session by
         # tests/test_oracle_parity.py --------------------------------------
+        "ship_lag_by_month": _ship_lag_by_month,
         "promo_revenue_share": _promo_revenue_share,
         "customers_without_orders": _customers_without_orders,
         "events_sessionize": _events_sessionize,
@@ -2849,6 +2901,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_editdist_edges": _KG_EDITDIST_SQL,
         "events_resample_locf": _LOCF_SQL,
         "customer_order_full_outer": _FULL_OUTER_SQL,
+        "chunk_boilerplate": _BOILERPLATE_SQL,
         "dedup_simhash": _SIMHASH_SQL,
         "dedup_minhash": _minhash_sql(),
         "emb_neardup_exact": _EMB_EXACT_SQL,
