@@ -1741,9 +1741,16 @@ def _entity_link_topk(spark, sf_dir):
         F.col("text"),
         F.col("lang"),
     )
-    m = extract_mentions(pages, [DOCS_SCHEMA_SPEC], lang_filter=None)
     path = _link_mentions_path(sf_dir)
-    m.write.mode("overwrite").parquet(path)
+    # the path embeds the input+code fingerprint, so an existing
+    # complete artifact is BY CONSTRUCTION the one this run would
+    # write — skip the re-materialization (repeat runs at the same sf
+    # save the mention-extraction + parquet round-trip)
+    import os
+
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        m = extract_mentions(pages, [DOCS_SCHEMA_SPEC], lang_filter=None)
+        m.write.mode("overwrite").parquet(path)
     return link_topk(spark.read.parquet(path), k=2)
 
 
@@ -1836,16 +1843,23 @@ def _kg_pagerank(spark, sf_dir):
     ranks compared at 5 decimals (double sum-order ulps are ~1e-14)."""
     from nlquery_spark.operators.canonicalize import pagerank
 
-    triples = _kg_extract_triples(spark, sf_dir)
-    edges = triples.select(F.col("subj").alias("src"), F.col("obj").alias("dst"))
+    import os
+
     path = _kg_edges_path(sf_dir)
-    # null endpoints filtered BEFORE the write: pagerank drops them
-    # anyway, but a NULL src in the parquet would turn the oracle's
-    # `NOT IN (SELECT src ...)` dangling test into UNKNOWN-for-all and
-    # silently zero its dangling mass
-    edges.filter(
-        F.col("src").isNotNull() & F.col("dst").isNotNull()
-    ).distinct().write.mode("overwrite").parquet(path)
+    # fingerprinted path ⇒ an existing complete artifact is exactly
+    # what this run would write; skip re-extraction on repeat runs
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        triples = _kg_extract_triples(spark, sf_dir)
+        edges = triples.select(
+            F.col("subj").alias("src"), F.col("obj").alias("dst")
+        )
+        # null endpoints filtered BEFORE the write: pagerank drops them
+        # anyway, but a NULL src in the parquet would turn the oracle's
+        # `NOT IN (SELECT src ...)` dangling test into UNKNOWN-for-all
+        # and silently zero its dangling mass
+        edges.filter(
+            F.col("src").isNotNull() & F.col("dst").isNotNull()
+        ).distinct().write.mode("overwrite").parquet(path)
     ranks = pagerank(spark.read.parquet(path), tol=0.0, max_iter=30)
     return ranks.select("node", F.round("rank", 5).alias("rank"))
 
