@@ -237,3 +237,26 @@ def test_kg_pagerank_oracle_reads_what_query_wrote(spark):
     )
     assert edges.exceptAll(expect).count() == 0
     assert expect.exceptAll(edges).count() == 0
+
+
+def test_correctness_window_holds_all_active_queries():
+    """ORDERING CONTRACT (VERDICT r3 item 1): the driver's correctness
+    harness checks the FIRST 50 queries() entries. Everything past
+    position 50 must belong to the documented long-stable tail —
+    adding a new query at the tail would silently exempt it from the
+    driver's hard gate."""
+    qs = list(entry_mod.queries())
+    stable_tail = {
+        "ship_lag_by_month", "promo_revenue_share", "customers_without_orders",
+        "events_sessionize", "daily_active_users", "topk_orders_per_customer",
+        "events_time_rollup", "events_by_minute", "doc_token_stats",
+        "doc_subword_stats", "doc_quality", "doc_lang_id", "doc_fingerprint",
+        "doc_repetition", "doc_pii_scrub", "doc_chunks", "nl_filter_stemmed",
+        "nl_filter_culture", "nl_filter_inferred",
+    }
+    assert set(qs[50:]) <= stable_tail, (
+        f"non-stable queries past the 50-entry driver window: "
+        f"{set(qs[50:]) - stable_tail}"
+    )
+    # and every tail query still has its oracle run per-session here
+    assert set(qs[50:]) <= set(entry_mod.oracle_sql())
