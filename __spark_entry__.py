@@ -68,12 +68,15 @@ def _parallelize(df: DataFrame) -> DataFrame:
 
 
 def _parse_bytes(s: str) -> int:
-    """'134217728b' / '128m' / '1g' -> bytes (Spark size-conf syntax)."""
+    """'134217728b' / '128m' / '128mb' / '1g' -> bytes (Spark's
+    byteStringAs accepts both one- and two-letter suffixes)."""
     s = str(s).strip().lower()
-    mult = {"k": 1 << 10, "m": 1 << 20, "g": 1 << 30, "t": 1 << 40, "b": 1}
+    if s.endswith("b"):
+        s = s[:-1]
+    mult = {"k": 1 << 10, "m": 1 << 20, "g": 1 << 30, "t": 1 << 40, "p": 1 << 50}
     if s and s[-1] in mult:
         return int(s[:-1] or 0) * mult[s[-1]]
-    return int(s)
+    return int(s or 0)
 
 
 def _dec(col, prec: int = 10) -> "F.Column":
@@ -1693,20 +1696,29 @@ SELECT doc_id, rank, token AS entity, n_mentions FROM (
 _ORACLE_CODE_TAG = "r4a"
 
 
-def _oracle_path(name: str, sf_dir: str) -> str:
+def _oracle_path(name: str, sf_dir: str, table: str = "documents", extra=None) -> str:
     """Run-scoped oracle-support parquet path (VERDICT r3 item 3).
 
     The basename embeds the sf dir name AND a fingerprint of the query's
-    actual input (documents.parquet file list + sizes, plus
-    _ORACLE_CODE_TAG), so a stale artifact — from a different sf, a
-    regenerated dataset, or an older extraction version — can never be
-    silently oracled against: the oracle would look for a path that was
-    never written and fail loudly instead."""
+    actual input (``table``.parquet file list + sizes, plus
+    _ORACLE_CODE_TAG and any ``extra`` config the artifact depends on —
+    e.g. the extraction spec), so a stale artifact — from a different
+    sf, a regenerated dataset, an older extraction version, or an
+    edited spec — can never be silently reused or oracled against: the
+    consumer would look for a path that was never written and fail
+    loudly (or rebuild) instead."""
     import hashlib
+    import json
     import os
 
-    root = os.path.join(sf_dir, "documents.parquet")
+    root = os.path.join(sf_dir, f"{table}.parquet")
     parts = [_ORACLE_CODE_TAG]
+    if extra is not None:
+        parts.append(
+            hashlib.md5(
+                json.dumps(extra, sort_keys=True, default=str).encode()
+            ).hexdigest()[:8]
+        )
     if os.path.isdir(root):
         for dirpath, _dirs, files in sorted(os.walk(root)):
             for f in sorted(files):
@@ -1715,14 +1727,17 @@ def _oracle_path(name: str, sf_dir: str) -> str:
                 p = os.path.join(dirpath, f)
                 parts.append(f"{os.path.relpath(p, root)}:{os.path.getsize(p)}")
     elif os.path.exists(root):
-        parts.append(f"documents.parquet:{os.path.getsize(root)}")
+        parts.append(f"{table}.parquet:{os.path.getsize(root)}")
     fp = hashlib.md5("|".join(parts).encode()).hexdigest()[:10]
     base = os.path.basename(sf_dir.rstrip("/"))
     return f"/tmp/nlquery_oracle/{name}_{base}_{fp}"
 
 
 def _link_mentions_path(sf_dir: str) -> str:
-    return _oracle_path("entity_link_mentions", sf_dir)
+    # the artifact is a function of the docs AND the extraction spec:
+    # editing DOCS_SCHEMA_SPEC moves the path, so the skip-if-exists
+    # reuse can never serve a stale spec's mentions
+    return _oracle_path("entity_link_mentions", sf_dir, extra=DOCS_SCHEMA_SPEC)
 
 
 def _entity_link_topk(spark, sf_dir):
@@ -1828,7 +1843,7 @@ def _ann_pq_topk(spark, sf_dir):
 
 
 def _kg_edges_path(sf_dir: str) -> str:
-    return _oracle_path("kg_edges", sf_dir)
+    return _oracle_path("kg_edges", sf_dir, extra=DOCS_SCHEMA_SPEC)
 
 
 def _kg_pagerank(spark, sf_dir):
@@ -2545,7 +2560,6 @@ def _streaming_session_windows(spark, sf_dir):
     (inclusive), window end = last_ts + gap; DuckDB reproduces it with
     precise-microsecond interval arithmetic (date_diff('second') would
     truncate sub-second gaps and mis-split)."""
-    import tempfile
     import uuid
 
     from nlquery_spark.streaming import session_window_stats
@@ -2554,11 +2568,18 @@ def _streaming_session_windows(spark, sf_dir):
         _load(spark, sf_dir, "events")["events"]
         .select("user_id", F.col("ts").cast("timestamp_ltz").alias("ts"))
     )
-    work = tempfile.mkdtemp(prefix="nlq_sessions_")
-    src = f"{work}/in"
-    # 8 files / 4 per trigger = 2+ micro-batches; the snapshot semantics
-    # of complete mode make the result independent of file pickup order
-    events.coalesce(8).write.mode("overwrite").parquet(src)
+    # fingerprint-stable source path (same mechanism as the oracle
+    # artifacts): repeat runs at the same sf reuse the staged files
+    # instead of leaking a new events copy into /tmp per invocation
+    src = _oracle_path("stream_sessions_src", sf_dir, table="events")
+    import os
+
+    if not os.path.exists(os.path.join(src, "_SUCCESS")):
+        # repartition, NOT coalesce: the scan of one small parquet file
+        # is a single partition and coalesce can only shrink — 8 files /
+        # 4 per trigger = 2+ micro-batches, so cross-batch session
+        # merging in the state store is actually exercised
+        events.repartition(8).write.mode("overwrite").parquet(src)
     stream = (
         spark.readStream.schema("user_id long, ts timestamp")
         .option("maxFilesPerTrigger", 4)

@@ -117,7 +117,7 @@ def build_recognizer(
     return rec
 
 
-_RECOGNIZER_CACHE: Dict[int, Recognizer] = {}
+_RECOGNIZER_CACHE: Dict[str, Recognizer] = {}
 
 
 def cached_recognizer(

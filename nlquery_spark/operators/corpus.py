@@ -150,11 +150,9 @@ def stratified_sample(
     DuckDB oracle reproduces it bit-for-bit via the repo's
     ``('0x'||substr(md5(..),1,16))::UBIGINT`` convention), and cluster
     size; changing ``salt`` draws an independent sample."""
-    u = F.conv(
-        F.substring(F.md5(F.concat_ws(":", F.lit(salt), F.col(key_col))), 1, 16),
-        16,
-        10,
-    ).cast("decimal(20,0)")
+    from ..functions.hashing import md5_u64
+
+    u = md5_u64(F.concat_ws(":", F.lit(salt), F.col(key_col)))
     # thresholds as STRING literals: rate * 2^64 exceeds LongType, and
     # the exact same integers must appear in the SQL oracle
     expr = F.lit(str(sample_threshold(default_rate))).cast("decimal(20,0)")
@@ -200,10 +198,11 @@ def decontaminate(
     construction (thousands of docs), so their distinct n-gram set is
     broadcast; the corpus side is a map-side broadcast hash semi-join on
     the exploded shingles — only MATCHING rows reach the per-doc count
-    shuffle, so that exchange is sized by the contamination, not the
-    corpus. The per-doc n_ngrams aggregate ships one partially-combined
-    row per document (explode keeps a doc's shingles partition-local).
-    100-TB posture: one corpus scan, one broadcast, two doc-keyed aggs.
+    shuffle, and the per-doc n_ngrams aggregate is pruned by a
+    broadcast left-semi against the flagged doc ids first, so BOTH
+    doc-keyed exchanges are sized by the contamination, not the corpus.
+    100-TB posture: two map-only corpus passes, two broadcasts, two
+    contamination-sized aggs.
     """
     from .dedup import shingles_df
 
@@ -213,11 +212,24 @@ def decontaminate(
         .distinct()
     )
     corp = shingles_df(corpus, id_col=id_col, text_col=text_col, n=n)
-    sizes = corp.groupBy("id").agg(F.count(F.lit(1)).alias("n_ngrams"))
     hits = (
         corp.join(F.broadcast(bench), "shingle")
         .groupBy("id")
         .agg(F.count(F.lit(1)).alias("n_overlap"))
+        # two consumers (the semi prune + the final join): materialize
+        # the contamination-sized result once, or its corpus-scan
+        # lineage replays inside the semi join's broadcast
+        .localCheckpoint(eager=True)
+    )
+    # n_ngrams only for FLAGGED docs: a left-semi against the hit ids
+    # (contamination-sized, broadcast) prunes the per-doc size agg to
+    # the same cardinality as the output — without it the sizes
+    # exchange ships one row per corpus document just to be discarded
+    # by the inner join below
+    sizes = (
+        corp.join(F.broadcast(hits.select("id")), "id", "left_semi")
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("n_ngrams"))
     )
     return (
         hits.join(sizes, "id")

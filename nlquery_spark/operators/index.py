@@ -45,16 +45,10 @@ def inverted_index(
     fits a reducer (at 10^12 docs a stopword needs thousands of shards;
     the shard column keeps lookups a two-key range scan).
     """
+    from ..functions.hashing import md5_u64
+
     shard = (
-        F.conv(
-            F.substring(
-                F.md5(F.concat_ws(":", F.lit(salt), F.col(id_col).cast("string"))),
-                1,
-                16,
-            ),
-            16,
-            10,
-        ).cast("decimal(20,0)")
+        md5_u64(F.concat_ws(":", F.lit(salt), F.col(id_col).cast("string")))
         % n_shards
     ).cast("long")
     toks = docs.select(

@@ -30,10 +30,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window, functions as F
 
 
-def _md5_u64(col) -> "F.Column":
-    """First 64 bits of md5 as decimal(20,0) — the repo-wide portable
-    uniform (DuckDB: ('0x'||substr(md5(x),1,16))::UBIGINT)."""
-    return F.conv(F.substring(F.md5(col), 1, 16), 16, 10).cast("decimal(20,0)")
+from ..functions.hashing import md5_u64 as _md5_u64  # single shared definition
 
 
 def dense_index(

@@ -153,22 +153,26 @@ def triples_merge_sink(
 
 
 def _require_local_dir(base_dir: str) -> str:
-    """Reject scheme-prefixed URIs (ADVICE r3): the _LATEST commit
-    protocol relies on POSIX rename atomicity via os.replace(), which a
-    distributed-FS URI silently would not get. file:// local URIs are
-    normalized to a plain path; anything else raises."""
-    import re
+    """Reject non-local URIs (ADVICE r3): the _LATEST commit protocol
+    relies on POSIX rename atomicity via os.replace(), which a
+    distributed-FS URI silently would not get. Any scheme-prefixed
+    form is parsed as a URI — including Hadoop-style single-slash
+    ``file:/path`` and ``file://host/path`` — and only file URIs with
+    an empty/localhost authority normalize to a plain absolute path;
+    everything else raises."""
+    from urllib.parse import unquote, urlparse
 
-    if base_dir.startswith("file://"):
-        return base_dir[len("file://") :]
-    if re.match(r"^[A-Za-z][A-Za-z0-9+.-]*://", base_dir):
-        raise ValueError(
-            f"triples_merge_sink base_dir must be a local path, got {base_dir!r}: "
-            "the _LATEST pointer commit uses driver-local os.replace(), which is "
-            "only atomic on a local filesystem — use an Iceberg/transactional "
-            "table for distributed storage"
-        )
-    return base_dir
+    parsed = urlparse(base_dir)
+    if parsed.scheme in ("", None):
+        return base_dir
+    if parsed.scheme == "file" and parsed.netloc in ("", "localhost"):
+        return unquote(parsed.path)
+    raise ValueError(
+        f"triples_merge_sink base_dir must be a local path, got {base_dir!r}: "
+        "the _LATEST pointer commit uses driver-local os.replace(), which is "
+        "only atomic on a local filesystem — use an Iceberg/transactional "
+        "table for distributed storage"
+    )
 
 
 def _read_latest_version(base_dir: str):
