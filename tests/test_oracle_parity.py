@@ -260,3 +260,71 @@ def test_correctness_window_holds_all_active_queries():
     )
     # and every tail query still has its oracle run per-session here
     assert set(qs[50:]) <= set(entry_mod.oracle_sql())
+
+
+# ------------------------------------------------ seeded fuzz corpus --
+
+
+@pytest.fixture(scope="module")
+def fuzz_sf(spark, tmp_path_factory):
+    """A seeded pseudo-random corpus: 120 docs mixing normal words,
+    repeated boilerplate, gazetteer terms, unicode, digits, and odd
+    whitespace — parity must hold on corpora no one hand-picked."""
+    import random
+
+    rng = random.Random(20260817)
+    vocab = (
+        entry_mod.GAZETTEER
+        + ["the", "a", "of", "and", "Zürich", "naïve", "x1", "42", "0.5",
+           "CAFÉ", "tok-en", "it's", "__", "…"]
+    )
+    seps = [" ", "  ", "\t", "\n", " \x0b "]
+    docs = []
+    for i in range(120):
+        n = rng.randint(0, 40)
+        text = "".join(
+            rng.choice(vocab) + rng.choice(seps) for _ in range(n)
+        )
+        if i % 7 == 0:
+            text += " common boilerplate sentence shared across documents"
+        docs.append((i, text, "en", f"src{i % 3}", len(text)))
+    d = tmp_path_factory.mktemp("fuzz")
+    spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.mode("overwrite").parquet(str(d / "documents.parquet"))
+    return str(d)
+
+
+_FUZZ_QUERIES = [
+    "inverted_index",
+    "index_phrase_search",
+    "token_cooccurrence_lift",
+    "corpus_decontaminate",
+    "chunk_boilerplate",
+    "doc_token_stats",
+    "doc_fingerprint",
+    "dedup_exact",
+    "gazetteer_mentions",
+    "doc_chunks",
+]
+
+
+@pytest.mark.parametrize("name", _FUZZ_QUERIES)
+def test_oracle_parity_on_fuzz_corpus(spark, fuzz_sf, name):
+    q = entry_mod.queries()[name]
+    sdf = q(spark, fuzz_sf)
+    spark_rows = [tuple(r) for r in sdf.collect()]
+    spark_cols = list(sdf.columns)
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{fuzz_sf}/documents.parquet/*.parquet')"
+    )
+    res = con.execute(entry_mod.oracle_sql()[name])
+    duck_cols = [d[0] for d in res.description]
+    duck_rows = res.fetchall()
+    assert sorted(spark_cols) == sorted(duck_cols), f"{name}: columns differ"
+    assert len(spark_rows) == len(duck_rows), f"{name}: row count differs"
+    s_vals, _ = _rows_to_multiset(spark_cols, spark_rows)
+    d_vals, _ = _rows_to_multiset(duck_cols, duck_rows)
+    assert s_vals == d_vals, f"{name}: values differ"
