@@ -2631,6 +2631,62 @@ FROM s GROUP BY user_id, sid
 """
 
 
+def _streaming_events_by_minute(spark, sf_dir):
+    """Tumbling-window streaming aggregation — the other stateful
+    window class next to session windows, and the most common streaming
+    op in production: per-minute per-type event counts and exact
+    decimal sums maintained in the JVM state store across micro-batches
+    (availableNow file stream, complete-mode memory snapshot). Fully
+    ORACLED: the snapshot must equal the batch GROUP BY, so this is the
+    second streaming query with a value-hash oracle."""
+    import os
+    import uuid
+
+    events = _load(spark, sf_dir, "events")["events"].select(
+        F.col("ts").cast("timestamp_ltz").alias("ts"), "event_type", "value"
+    )
+    src = _oracle_path("stream_events_src", sf_dir, table="events")
+    if not os.path.exists(os.path.join(src, "_SUCCESS")):
+        events.repartition(8).write.mode("overwrite").parquet(src)
+    stream = (
+        spark.readStream.schema("ts timestamp, event_type string, value double")
+        .option("maxFilesPerTrigger", 4)
+        .parquet(src)
+    )
+    agg = stream.groupBy(
+        F.window("ts", "1 minute").alias("w"), "event_type"
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast("decimal(10,2)")).cast("double").alias("sum_value"),
+    )
+    table = f"minutes_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(table)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise RuntimeError("streaming_events_by_minute did not finish in 300s")
+    return spark.table(table).select(
+        F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("minute"),
+        "event_type",
+        F.col("n_events").cast("long").alias("n_events"),
+        "sum_value",
+    )
+
+
+_STREAM_MINUTES_SQL = """
+SELECT strftime(date_trunc('minute', ts), '%Y-%m-%d %H:%M:%S') AS minute,
+  event_type,
+  CAST(COUNT(*) AS BIGINT) AS n_events,
+  CAST(SUM(CAST(value AS DECIMAL(10,2))) AS DOUBLE) AS sum_value
+FROM events GROUP BY 1, 2
+"""
+
+
 # -------------------------------------------- decontamination (round 4) --
 
 
@@ -2811,6 +2867,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "part_coorder_triangles": _part_coorder_triangles,
         "corpus_decontaminate": _corpus_decontaminate,
         "streaming_session_windows": _streaming_session_windows,
+        "streaming_events_by_minute": _streaming_events_by_minute,
         "inverted_index": _inverted_index,
         "index_phrase_search": _index_phrase_search,
         "kg_editdist_edges": _kg_editdist_edges,
@@ -2819,7 +2876,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_boilerplate": _chunk_boilerplate,
         # -- (c) r3-green, unchanged --------------------------------------
         "q1_pricing_summary": _q1_pricing_summary,
-        "q3_shipping_priority": _q3_shipping_priority,
         "q5_local_supplier": _q5_local_supplier,
         "nl_filter_orders": _nl_filter_orders,
         "nl_agg_orders": _nl_agg_orders,
@@ -2850,6 +2906,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- tail: long-stable r3-green, code unchanged since their last
         # driver row; every one still oracle-checked per-session by
         # tests/test_oracle_parity.py --------------------------------------
+        "q3_shipping_priority": _q3_shipping_priority,
         "ship_lag_by_month": _ship_lag_by_month,
         "promo_revenue_share": _promo_revenue_share,
         "customers_without_orders": _customers_without_orders,
@@ -2931,6 +2988,7 @@ def oracle_sql() -> dict[str, str]:
         "part_coorder_triangles": _TRIANGLES_SQL,
         "corpus_decontaminate": _decontaminate_sql(),
         "streaming_session_windows": _STREAM_SESSIONS_SQL,
+        "streaming_events_by_minute": _STREAM_MINUTES_SQL,
         "inverted_index": _INVERTED_INDEX_SQL,
         "index_phrase_search": _PHRASE_SEARCH_SQL,
         "kg_editdist_edges": _KG_EDITDIST_SQL,

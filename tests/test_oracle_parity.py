@@ -247,6 +247,7 @@ def test_correctness_window_holds_all_active_queries():
     driver's hard gate."""
     qs = list(entry_mod.queries())
     stable_tail = {
+        "q3_shipping_priority",
         "ship_lag_by_month", "promo_revenue_share", "customers_without_orders",
         "events_sessionize", "daily_active_users", "topk_orders_per_customer",
         "events_time_rollup", "events_by_minute", "doc_token_stats",
