@@ -1690,10 +1690,57 @@ SELECT doc_id, rank, token AS entity, n_mentions FROM (
 # SF_DIR there).
 
 
-# Bump when extraction/mention semantics change: a code change that
-# alters what the support parquet contains must change the path, so an
-# artifact written by an older build can never satisfy a newer oracle.
-_ORACLE_CODE_TAG = "r4a"
+# Manual escape hatch on top of the automatic code digest below: bump
+# when something OUTSIDE nlquery_spark/ that affects artifact content
+# changes (e.g. this file's query definitions).
+_ORACLE_CODE_TAG = "r4b"
+
+_CODE_DIGEST_CACHE = None
+
+
+def _code_digest() -> str:
+    """md5 over every .py in the nlquery_spark package — folded into
+    artifact fingerprints so ANY library change moves the paths and the
+    skip-if-exists reuse can never serve output of older code (the
+    manual tag alone relied on remembering to bump it)."""
+    global _CODE_DIGEST_CACHE
+    if _CODE_DIGEST_CACHE is None:
+        import hashlib
+        import os
+
+        import nlquery_spark
+
+        root = os.path.dirname(nlquery_spark.__file__)
+        h = hashlib.md5()
+        for dirpath, _dirs, files in sorted(os.walk(root)):
+            for f in sorted(files):
+                if f.endswith(".py"):
+                    with open(os.path.join(dirpath, f), "rb") as fh:
+                        h.update(fh.read())
+        _CODE_DIGEST_CACHE = h.hexdigest()[:10]
+    return _CODE_DIGEST_CACHE
+
+
+def _materialize_once(path: str, write_fn) -> str:
+    """Write a shared fingerprinted artifact exactly once, safely under
+    concurrency: writers stage into a unique temp dir and atomically
+    rename it into place — a plain check-then-overwrite lets two
+    processes (bench + parity run at the same sf) clobber each other's
+    in-flight task files. The rename loser discards its copy; by
+    fingerprint construction the winner's artifact is equivalent."""
+    import os
+    import shutil
+    import uuid
+
+    if os.path.exists(os.path.join(path, "_SUCCESS")):
+        return path
+    tmp = f"{path}.tmp-{uuid.uuid4().hex[:8]}"
+    write_fn(tmp)
+    try:
+        os.rename(tmp, path)
+    except OSError:
+        shutil.rmtree(tmp, ignore_errors=True)  # another writer won
+    return path
 
 
 def _oracle_path(name: str, sf_dir: str, table: str = "documents", extra=None) -> str:
@@ -1712,7 +1759,7 @@ def _oracle_path(name: str, sf_dir: str, table: str = "documents", extra=None) -
     import os
 
     root = os.path.join(sf_dir, f"{table}.parquet")
-    parts = [_ORACLE_CODE_TAG]
+    parts = [_ORACLE_CODE_TAG, _code_digest()]
     if extra is not None:
         parts.append(
             hashlib.md5(
@@ -1756,16 +1803,17 @@ def _entity_link_topk(spark, sf_dir):
         F.col("text"),
         F.col("lang"),
     )
-    path = _link_mentions_path(sf_dir)
     # the path embeds the input+code fingerprint, so an existing
     # complete artifact is BY CONSTRUCTION the one this run would
-    # write — skip the re-materialization (repeat runs at the same sf
-    # save the mention-extraction + parquet round-trip)
-    import os
-
-    if not os.path.exists(os.path.join(path, "_SUCCESS")):
-        m = extract_mentions(pages, [DOCS_SCHEMA_SPEC], lang_filter=None)
-        m.write.mode("overwrite").parquet(path)
+    # write — _materialize_once skips the re-materialization (repeat
+    # runs at the same sf save the mention-extraction round-trip) and
+    # stays safe under concurrent writers
+    path = _materialize_once(
+        _link_mentions_path(sf_dir),
+        lambda p: extract_mentions(pages, [DOCS_SCHEMA_SPEC], lang_filter=None)
+        .write.mode("overwrite")
+        .parquet(p),
+    )
     return link_topk(spark.read.parquet(path), k=2)
 
 
@@ -1858,12 +1906,7 @@ def _kg_pagerank(spark, sf_dir):
     ranks compared at 5 decimals (double sum-order ulps are ~1e-14)."""
     from nlquery_spark.operators.canonicalize import pagerank
 
-    import os
-
-    path = _kg_edges_path(sf_dir)
-    # fingerprinted path ⇒ an existing complete artifact is exactly
-    # what this run would write; skip re-extraction on repeat runs
-    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+    def _write_edges(p):
         triples = _kg_extract_triples(spark, sf_dir)
         edges = triples.select(
             F.col("subj").alias("src"), F.col("obj").alias("dst")
@@ -1874,7 +1917,11 @@ def _kg_pagerank(spark, sf_dir):
         # and silently zero its dangling mass
         edges.filter(
             F.col("src").isNotNull() & F.col("dst").isNotNull()
-        ).distinct().write.mode("overwrite").parquet(path)
+        ).distinct().write.mode("overwrite").parquet(p)
+
+    # fingerprinted path ⇒ an existing complete artifact is exactly
+    # what this run would write; skip re-extraction on repeat runs
+    path = _materialize_once(_kg_edges_path(sf_dir), _write_edges)
     ranks = pagerank(spark.read.parquet(path), tol=0.0, max_iter=30)
     return ranks.select("node", F.round("rank", 5).alias("rank"))
 
@@ -2570,16 +2617,15 @@ def _streaming_session_windows(spark, sf_dir):
     )
     # fingerprint-stable source path (same mechanism as the oracle
     # artifacts): repeat runs at the same sf reuse the staged files
-    # instead of leaking a new events copy into /tmp per invocation
-    src = _oracle_path("stream_sessions_src", sf_dir, table="events")
-    import os
-
-    if not os.path.exists(os.path.join(src, "_SUCCESS")):
-        # repartition, NOT coalesce: the scan of one small parquet file
-        # is a single partition and coalesce can only shrink — 8 files /
-        # 4 per trigger = 2+ micro-batches, so cross-batch session
-        # merging in the state store is actually exercised
-        events.repartition(8).write.mode("overwrite").parquet(src)
+    # instead of leaking a new events copy into /tmp per invocation.
+    # repartition, NOT coalesce: the scan of one small parquet file is
+    # a single partition and coalesce can only shrink — 8 files / 4 per
+    # trigger = 2+ micro-batches, so cross-batch session merging in the
+    # state store is actually exercised
+    src = _materialize_once(
+        _oracle_path("stream_sessions_src", sf_dir, table="events"),
+        lambda p: events.repartition(8).write.mode("overwrite").parquet(p),
+    )
     stream = (
         spark.readStream.schema("user_id long, ts timestamp")
         .option("maxFilesPerTrigger", 4)
@@ -2639,15 +2685,15 @@ def _streaming_events_by_minute(spark, sf_dir):
     (availableNow file stream, complete-mode memory snapshot). Fully
     ORACLED: the snapshot must equal the batch GROUP BY, so this is the
     second streaming query with a value-hash oracle."""
-    import os
     import uuid
 
     events = _load(spark, sf_dir, "events")["events"].select(
         F.col("ts").cast("timestamp_ltz").alias("ts"), "event_type", "value"
     )
-    src = _oracle_path("stream_events_src", sf_dir, table="events")
-    if not os.path.exists(os.path.join(src, "_SUCCESS")):
-        events.repartition(8).write.mode("overwrite").parquet(src)
+    src = _materialize_once(
+        _oracle_path("stream_events_src", sf_dir, table="events"),
+        lambda p: events.repartition(8).write.mode("overwrite").parquet(p),
+    )
     stream = (
         spark.readStream.schema("ts timestamp, event_type string, value double")
         .option("maxFilesPerTrigger", 4)

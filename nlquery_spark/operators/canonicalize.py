@@ -84,26 +84,7 @@ def similarity_edges(
     blocked = f.select(
         "form", "norm", "tri", F.explode(F.array("norm", "first_tok")).alias("block")
     ).distinct()
-    if metrics is not None:
-        over = (
-            blocked.groupBy("block")
-            .agg(F.count(F.lit(1)).alias("n"))
-            .filter(F.col("n") > max_block_size)
-            .agg(
-                F.count(F.lit(1)).alias("blocks"),
-                F.sum(F.col("n") - max_block_size).alias("dropped"),
-            )
-            .first()
-        )
-        metrics["blocks_capped"] = int(over["blocks"] or 0)
-        metrics["block_rows_dropped"] = int(over["dropped"] or 0)
-    # skew guard: cap block sizes
-    w = Window.partitionBy("block").orderBy("form")
-    blocked = (
-        blocked.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") <= max_block_size)
-        .drop("_rn")
-    )
+    blocked = _cap_blocks(blocked, max_block_size, metrics)
     a = blocked.alias("a")
     b = blocked.alias("b")
     inter = F.size(F.array_intersect(F.col("a.tri"), F.col("b.tri")))
@@ -120,6 +101,34 @@ def similarity_edges(
         )
         .filter(F.col("sim") >= threshold)
         .distinct()
+    )
+
+
+def _cap_blocks(
+    blocked: DataFrame, max_block_size: int, metrics: Optional[dict]
+) -> DataFrame:
+    """Shared skew guard for every block-based edge builder: cap each
+    block at ``max_block_size`` rows (row_number, form-ordered for
+    determinism), recording blocks_capped / block_rows_dropped when a
+    ``metrics`` dict is passed — no silent caps."""
+    if metrics is not None:
+        over = (
+            blocked.groupBy("block")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .filter(F.col("n") > max_block_size)
+            .agg(
+                F.count(F.lit(1)).alias("blocks"),
+                F.sum(F.col("n") - max_block_size).alias("dropped"),
+            )
+            .first()
+        )
+        metrics["blocks_capped"] = int(over["blocks"] or 0)
+        metrics["block_rows_dropped"] = int(over["dropped"] or 0)
+    w = Window.partitionBy("block").orderBy("form")
+    return (
+        blocked.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= max_block_size)
+        .drop("_rn")
     )
 
 
@@ -163,25 +172,7 @@ def edit_distance_edges(
             )
         ).alias("block"),
     ).distinct()
-    if metrics is not None:
-        over = (
-            blocked.groupBy("block")
-            .agg(F.count(F.lit(1)).alias("n"))
-            .filter(F.col("n") > max_block_size)
-            .agg(
-                F.count(F.lit(1)).alias("blocks"),
-                F.sum(F.col("n") - max_block_size).alias("dropped"),
-            )
-            .first()
-        )
-        metrics["blocks_capped"] = int(over["blocks"] or 0)
-        metrics["block_rows_dropped"] = int(over["dropped"] or 0)
-    w = Window.partitionBy("block").orderBy("form")
-    blocked = (
-        blocked.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") <= max_block_size)
-        .drop("_rn")
-    )
+    blocked = _cap_blocks(blocked, max_block_size, metrics)
     a, b = blocked.alias("a"), blocked.alias("b")
     return (
         a.join(
@@ -196,7 +187,8 @@ def edit_distance_edges(
                 <= max_dist
             ),
         )
-        .filter(F.levenshtein(F.col("a.norm"), F.col("b.norm")) <= max_dist)
+        # compute the DP once; filtering the projected column halves
+        # the dominant per-pair cost vs a separate filter expression
         .select(
             F.col("a.form").alias("form_a"),
             F.col("b.form").alias("form_b"),
@@ -204,6 +196,7 @@ def edit_distance_edges(
             .cast("long")
             .alias("dist"),
         )
+        .filter(F.col("dist") <= max_dist)
         .distinct()
     )
 

@@ -230,12 +230,15 @@ def kg_pipeline(
             .localCheckpoint(eager=True)
         )
         m["n_edges"] = edges.count()
-        # damping 0.85 contracts the error by 0.85/round: ~85 rounds
-        # reach tol=1e-6, so 100 covers it; the adaptive driver path
-        # makes the extra rounds cheap below driver_max_graph, and the
-        # distributed path pays one shuffle per round only on graphs
-        # that actually need the scale
-        pr = pagerank(edges, max_iter=100, metrics=m)
+        # FIXED-ITERATION mode (tol=0), not convergence mode: on the
+        # distributed path the L1-delta stop test is a partition-order-
+        # dependent double sum, so a delta within ~1e-15 of tol could
+        # stop one cluster size at round k and another at k+1 — a
+        # ~1e-6 rank shift that defeats the 9-decimal rounding and the
+        # bit-stable-checkpoint claim. 100 rounds: damping 0.85
+        # contracts error ~0.85/round, so 1e-6-level accuracy is
+        # reached with margin, identically on every cluster size.
+        pr = pagerank(edges, tol=0.0, max_iter=100, metrics=m)
         out_deg = edges.groupBy(F.col("src").alias("node")).agg(
             F.count(F.lit(1)).cast("long").alias("out_degree")
         )

@@ -155,18 +155,21 @@ def triples_merge_sink(
 def _require_local_dir(base_dir: str) -> str:
     """Reject non-local URIs (ADVICE r3): the _LATEST commit protocol
     relies on POSIX rename atomicity via os.replace(), which a
-    distributed-FS URI silently would not get. Any scheme-prefixed
-    form is parsed as a URI — including Hadoop-style single-slash
-    ``file:/path`` and ``file://host/path`` — and only file URIs with
-    an empty/localhost authority normalize to a plain absolute path;
-    everything else raises."""
+    distributed-FS URI silently would not get. ``file:`` URIs —
+    including Hadoop-style single-slash ``file:/path`` — normalize to a
+    plain absolute path when the authority is empty/localhost; any
+    other ``scheme://`` raises. A bare local path is passed through
+    untouched, including relative paths whose first segment happens to
+    contain a colon (``runs:v2/kg``) — those are NOT URIs."""
+    import re
     from urllib.parse import unquote, urlparse
 
-    parsed = urlparse(base_dir)
-    if parsed.scheme in ("", None):
+    if base_dir.startswith("file:"):
+        parsed = urlparse(base_dir)
+        if parsed.netloc in ("", "localhost"):
+            return unquote(parsed.path)
+    elif not re.match(r"^[A-Za-z][A-Za-z0-9+.-]*://", base_dir):
         return base_dir
-    if parsed.scheme == "file" and parsed.netloc in ("", "localhost"):
-        return unquote(parsed.path)
     raise ValueError(
         f"triples_merge_sink base_dir must be a local path, got {base_dir!r}: "
         "the _LATEST pointer commit uses driver-local os.replace(), which is "
