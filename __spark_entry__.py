@@ -46,6 +46,11 @@ def _parallelize(df: DataFrame) -> DataFrame:
     target = spark.sparkContext.defaultParallelism
     floor = max(target // 2, 2)
     files = df.inputFiles()
+    if not files:
+        # non-file source (in-memory createDataFrame, table scan without
+        # file listing): its partitioning already reflects how it was
+        # built — a blind repartition here is a pure wasted shuffle
+        return df
     if len(files) >= floor:
         return df  # common corpus case
     max_bytes = _parse_bytes(
@@ -362,32 +367,100 @@ ORDER BY cos_sim DESC, vec_id LIMIT 10
 """
 
 
+def _stream_pages_path(sf_dir: str) -> str:
+    return _oracle_path("stream_extract_src", sf_dir)
+
+
+def _stream_batch_triples_path(sf_dir: str) -> str:
+    # a function of the docs AND the extraction spec, like the other
+    # kernel-derived oracle-support artifacts
+    return _oracle_path("stream_extract_batch", sf_dir, extra=DOCS_SCHEMA_SPEC)
+
+
 def _streaming_extract(spark, sf_dir):
-    """Structured Streaming extraction (rows-only check: streaming is
-    not SQL-expressible). Pages land in a temp dir, an availableNow
-    file-stream runs the SAME stateless mapInPandas extraction as the
-    batch path, and the exactly-once parquet sink is read back — the
-    streaming analog of kg_extract_triples (tests assert stream==batch
-    on identical input)."""
+    """Structured Streaming extraction — FULLY ORACLED since round 5
+    (VERDICT r4 item 4, via the recipe the session-window queries
+    proved): documents-derived pages are staged as 8 parquet files, an
+    availableNow file stream replays them through the SAME stateless
+    mapInPandas extraction in 2+ micro-batches (4 files/trigger), and
+    the exactly-once parquet sink is read back and aggregated with
+    dedup_triples. The BATCH extraction over the identical staged pages
+    is persisted once to a fingerprinted artifact, and the DuckDB
+    oracle independently aggregates that parquet — so the value-hash
+    proves the streaming machinery (micro-batch split, exactly-once
+    sink, restartable checkpoint) neither drops nor duplicates a single
+    triple vs batch. Same honest posture as entity_link_topk /
+    kg_pagerank: the kernel mention internals stay pytest-gated
+    (P/R >= 0.95 fixtures); what the oracle hash-checks end-to-end is
+    the streaming dataflow around the kernel."""
     import tempfile
 
-    from nlquery_spark.operators.extract import extract_triples
-    from nlquery_spark.sources.pages import orders_schema_spec, synth_pages
+    from nlquery_spark.operators.extract import dedup_triples, extract_triples
     from nlquery_spark.streaming import read_pages_stream, triples_to_sink
 
+    docs = _load(spark, sf_dir, "documents")["documents"]
+    pages = docs.select(
+        F.concat(F.lit("doc:"), F.col("doc_id")).alias("url"),
+        F.to_timestamp(F.lit("2020-01-01 00:00:00")).alias("warc_ts"),
+        F.encode(F.lit(""), "utf-8").alias("html"),
+        F.col("text"),
+        F.col("lang"),
+    )
+    # 8 source files / 4 per trigger = 2+ micro-batches: exercises
+    # multi-batch exactly-once without paying per-batch setup for 32
+    # near-empty files (BENCH/ISOLATION_r03.md); fingerprint-stable
+    # path so repeat runs at the same sf reuse the staged files
+    src = _materialize_once(
+        _stream_pages_path(sf_dir),
+        lambda p: pages.repartition(8).write.mode("overwrite").parquet(p),
+    )
+    # batch reference triples over the SAME staged files — the oracle's
+    # input; skip-if-exists via the fingerprinted path
+    batch_path = _materialize_once(
+        _stream_batch_triples_path(sf_dir),
+        lambda p: extract_triples(
+            spark.read.parquet(src), [DOCS_SCHEMA_SPEC], lang_filter=None
+        ).write.mode("overwrite").parquet(p),
+    )
+    assert batch_path  # consumed by _streaming_extract_sql
     work = tempfile.mkdtemp(prefix="nlq_stream_")
-    src, out, ckpt = f"{work}/in", f"{work}/out", f"{work}/ckpt"
-    # 8 source files / 4 per trigger = 2+ micro-batches: still exercises
-    # multi-batch exactly-once, without paying per-batch setup for 32
-    # near-empty files (the r2 suite spent ~14s of this query's 19s on
-    # micro-batch overhead — BENCH/ISOLATION_r03.md)
-    synth_pages(spark, 200).coalesce(8).write.mode("overwrite").parquet(src)
+    out, ckpt = f"{work}/out", f"{work}/ckpt"
     stream = read_pages_stream(spark, src, max_files_per_trigger=4)
-    q = triples_to_sink(extract_triples(stream, [orders_schema_spec()]), out, ckpt, trigger_once=True)
+    q = triples_to_sink(
+        extract_triples(stream, [DOCS_SCHEMA_SPEC], lang_filter=None),
+        out,
+        ckpt,
+        trigger_once=True,
+    )
     if not q.awaitTermination(300):
         q.stop()
         raise RuntimeError("streaming_extract did not finish within 300s")
-    return spark.read.parquet(out).select("subj", "pred", "obj")
+    return dedup_triples(spark.read.parquet(out)).select(
+        "subj",
+        "pred",
+        "obj",
+        F.round("score", 6).alias("score"),
+        F.col("support").cast("long").alias("support"),
+        F.col("start").cast("long").alias("start"),
+        F.col("end").cast("long").alias("end"),
+        "rule",
+    )
+
+
+def _streaming_extract_sql() -> str:
+    import os
+
+    sf_dir = os.environ.get("SPARK_GRAFT_ORACLE_SF", "/root/testdata/sf0.01")
+    return f"""
+SELECT subj, pred, obj,
+  ROUND(MAX(score), 6) AS score,
+  CAST(COUNT(*) AS BIGINT) AS support,
+  CAST(MIN(start) AS BIGINT) AS start,
+  CAST(MIN("end") AS BIGINT) AS "end",
+  MIN(rule) AS rule
+FROM '{_stream_batch_triples_path(sf_dir)}/*.parquet'
+GROUP BY subj, pred, obj
+"""
 
 
 def _nl_filter_inferred(spark, sf_dir):
@@ -1712,11 +1785,34 @@ def _code_digest() -> str:
 
         root = os.path.dirname(nlquery_spark.__file__)
         h = hashlib.md5()
+        n_hashed = 0
         for dirpath, _dirs, files in sorted(os.walk(root)):
             for f in sorted(files):
                 if f.endswith(".py"):
                     with open(os.path.join(dirpath, f), "rb") as fh:
                         h.update(fh.read())
+                    n_hashed += 1
+        if n_hashed == 0:
+            # package imported from a --py-files zip: os.walk of a path
+            # INSIDE the archive yields nothing, and an empty digest
+            # would silently disable the stale-artifact guard. Hash the
+            # zip bytes instead (same property: any code change moves
+            # every fingerprinted artifact path).
+            zip_path = root
+            while zip_path and not os.path.isfile(zip_path):
+                parent = os.path.dirname(zip_path)
+                if parent == zip_path:  # filesystem root: no archive
+                    zip_path = ""
+                    break
+                zip_path = parent
+            if not (zip_path and zip_path.endswith(".zip")):
+                raise RuntimeError(
+                    f"_code_digest: no .py files under {root!r} and no "
+                    "enclosing zip archive — refusing to emit an empty "
+                    "digest (it would defeat artifact fingerprinting)"
+                )
+            with open(zip_path, "rb") as fh:
+                h.update(fh.read())
         _CODE_DIGEST_CACHE = h.hexdigest()[:10]
     return _CODE_DIGEST_CACHE
 
@@ -1738,8 +1834,18 @@ def _materialize_once(path: str, write_fn) -> str:
     write_fn(tmp)
     try:
         os.rename(tmp, path)
-    except OSError:
-        shutil.rmtree(tmp, ignore_errors=True)  # another writer won
+    except OSError as e:
+        shutil.rmtree(tmp, ignore_errors=True)
+        # rename fails either because another writer won the race (fine:
+        # their artifact is equivalent by fingerprint construction) or
+        # for a non-race reason (permissions, stale foreign dir at
+        # path). Only the first leaves a complete artifact — verify,
+        # don't let the consumer read a missing/partial path.
+        if not os.path.exists(os.path.join(path, "_SUCCESS")):
+            raise RuntimeError(
+                f"_materialize_once: rename {tmp!r} -> {path!r} failed "
+                f"and no complete artifact exists at the destination"
+            ) from e
     return path
 
 
@@ -1766,15 +1872,22 @@ def _oracle_path(name: str, sf_dir: str, table: str = "documents", extra=None) -
                 json.dumps(extra, sort_keys=True, default=str).encode()
             ).hexdigest()[:8]
         )
+    # name + size + mtime: size alone would let a regenerated dataset
+    # with size-identical but byte-different files silently reuse a
+    # stale artifact; mtime_ns changes on any rewrite
     if os.path.isdir(root):
         for dirpath, _dirs, files in sorted(os.walk(root)):
             for f in sorted(files):
                 if f.startswith(("_", ".")):
                     continue
                 p = os.path.join(dirpath, f)
-                parts.append(f"{os.path.relpath(p, root)}:{os.path.getsize(p)}")
+                st = os.stat(p)
+                parts.append(
+                    f"{os.path.relpath(p, root)}:{st.st_size}:{st.st_mtime_ns}"
+                )
     elif os.path.exists(root):
-        parts.append(f"{table}.parquet:{os.path.getsize(root)}")
+        st = os.stat(root)
+        parts.append(f"{table}.parquet:{st.st_size}:{st.st_mtime_ns}")
     fp = hashlib.md5("|".join(parts).encode()).hexdigest()[:10]
     base = os.path.basename(sf_dir.rstrip("/"))
     return f"/tmp/nlquery_oracle/{name}_{base}_{fp}"
@@ -2493,6 +2606,65 @@ HAVING COUNT(DISTINCT doc_id) >= 2
 """
 
 
+def _paragraph_boilerplate(spark, sf_dir):
+    """Boilerplate detection over CONTENT-DEFINED chunks (VERDICT r4
+    item 5): chunk_boilerplate's fixed 64/48-stride windows only catch
+    WINDOW-ALIGNED repeats — the same header at different token offsets
+    in two docs hashes differently. CCNet answers with paragraph-split
+    digests; this corpus has no newlines to split on (crawl-normalized
+    single-line text), so the query uses the delimiter-free
+    generalization: content-defined boundaries (md5(token) % 16 == 0),
+    which make chunk edges a function of content, not offset — an
+    unaligned repeated passage still yields identical interior chunks.
+    The literal \\n\\n paragraph mode exists too
+    (operators/corpus.py::paragraph_chunks) and is pytest-verified on a
+    fixture WITH newlines + an offset-shifted repeated header
+    (tests/test_corpus.py)."""
+    from nlquery_spark.operators.corpus import content_defined_chunks
+
+    docs = _load(spark, sf_dir, "documents")["documents"]
+    ch = content_defined_chunks(docs, avg_tokens=16)
+    return (
+        ch.groupBy(F.md5(F.col("chunk_text")).alias("chunk_hash"))
+        .agg(
+            F.count_distinct(F.col("doc_id")).cast("long").alias("n_docs"),
+            F.count(F.lit(1)).cast("long").alias("n_occurrences"),
+            F.min("doc_id").cast("long").alias("example_doc"),
+        )
+        .filter(F.col("n_docs") >= 2)
+    )
+
+
+_PARAGRAPH_BOILERPLATE_SQL = r"""
+WITH t AS (
+  SELECT doc_id,
+    CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+         ELSE string_split_regex(trim(text), '[ \t\n\x0B\f\r]+') END AS w
+  FROM documents
+), p AS (
+  SELECT doc_id, i - 1 AS pos, w[i] AS token,
+    CASE WHEN ('0x' || substr(md5('cdc:' || w[i]), 1, 16))::UBIGINT % 16 = 0
+         THEN 1 ELSE 0 END AS b
+  FROM t, unnest(generate_series(1, len(w))) AS u(i)
+), c AS (
+  SELECT doc_id, pos, token,
+    COALESCE(SUM(b) OVER (PARTITION BY doc_id ORDER BY pos
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS chunk_idx
+  FROM p
+), chunks AS (
+  SELECT doc_id, chunk_idx,
+    string_agg(token, ' ' ORDER BY pos) AS chunk_text
+  FROM c GROUP BY doc_id, chunk_idx
+)
+SELECT md5(chunk_text) AS chunk_hash,
+  CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+  CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+  CAST(MIN(doc_id) AS BIGINT) AS example_doc
+FROM chunks GROUP BY md5(chunk_text)
+HAVING COUNT(DISTINCT doc_id) >= 2
+"""
+
+
 def _customer_order_full_outer(spark, sf_dir):
     """FULL OUTER join surface (the one join type without a driver row
     until round 4): 1995 order counts per customer x high-balance
@@ -2887,71 +3059,17 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Driver query map. ORDERING IS A CONTRACT: the driver's correctness
-    harness evaluates the FIRST 50 entries (CORRECTNESS_r03 covered
-    exactly dict positions 1-50), so the map is ordered by evidence
-    need — (a) queries that have never had / lost their driver-green row
-    (the kg graph family + the dedup quartet, per VERDICT r3 item 1),
-    (b) queries whose code changed this round, (c) everything else —
-    with long-stable, code-unchanged r3-green queries pushed past the
-    window (they stay oracle-verified every session by
-    tests/test_oracle_parity.py, which runs ALL oracles)."""
+    harness evaluates the FIRST 50 entries, so the window ROTATES each
+    round (VERDICT r4 item 1 / ADVICE r4): (a) the 20 queries whose last
+    driver row was r3 (past the r4 window) come first, (b) queries new
+    or code-changed this round, (c) r4-green queries filling the window
+    — so after this round EVERY query has a driver-green row within the
+    last two rounds. The tail holds only r4-driver-green queries whose
+    code is unchanged this round; each is still oracle-verified every
+    session by tests/test_oracle_parity.py, which runs ALL oracles, and
+    the tail set is pinned by the window-ordering test."""
     return {
-        # -- (a) never/stale driver-checked: must land in the window ------
-        "kg_pagerank": _kg_pagerank,
-        "kg_similarity_edges": _kg_similarity_edges,
-        "kg_canonicalize": _kg_canonicalize,
-        "kg_degree_stats": _kg_degree_stats,
-        "kg_negative_samples": _kg_negative_samples,
-        "dedup_minhash": _dedup_minhash,
-        "dedup_simhash": _dedup_simhash,
-        "dedup_embedding": _dedup_embedding,
-        "emb_neardup_exact": _emb_neardup_exact,
-        # -- (b) new or changed this round ---------------------------------
-        "entity_link_topk": _entity_link_topk,
-        "ann_pq_topk": _ann_pq_topk,
-        "token_cooccurrence_lift": _token_cooccurrence,
-        "part_coorder_triangles": _part_coorder_triangles,
-        "corpus_decontaminate": _corpus_decontaminate,
-        "streaming_session_windows": _streaming_session_windows,
-        "streaming_events_by_minute": _streaming_events_by_minute,
-        "inverted_index": _inverted_index,
-        "index_phrase_search": _index_phrase_search,
-        "kg_editdist_edges": _kg_editdist_edges,
-        "events_resample_locf": _events_resample_locf,
-        "customer_order_full_outer": _customer_order_full_outer,
-        "chunk_boilerplate": _chunk_boilerplate,
-        # -- (c) r3-green, unchanged --------------------------------------
-        "q1_pricing_summary": _q1_pricing_summary,
-        "q5_local_supplier": _q5_local_supplier,
-        "nl_filter_orders": _nl_filter_orders,
-        "nl_agg_orders": _nl_agg_orders,
-        "nl_pivot_orders": _nl_pivot_orders,
-        "nl_autocomplete": _nl_autocomplete,
-        "dict_spec_part": _dict_spec_part,
-        "emb_cosine_jvm": _emb_cosine_jvm,
-        "streaming_extract": _streaming_extract,
-        "q17_small_quantity_revenue": _q17_small_quantity_revenue,
-        "event_props_json": _event_props_json,
-        "order_value_percentiles": _order_value_percentiles,
-        "order_priority_rollup": _order_priority_rollup,
-        "part_setops_98_not_99": _part_supplier_setops,
-        "orders_upsert_merge": _orders_upsert_merge,
-        "purchase_attribution": _purchase_attribution,
-        "event_session_assignment": _event_session_assignment,
-        "orders_with_returns": _orders_with_returns,
-        "dedup_exact": _dedup_exact,
-        "dedup_ngram_jaccard": _dedup_ngram_jaccard,
-        "corpus_clean": _corpus_clean,
-        "corpus_sample": _corpus_sample,
-        "corpus_pack": _corpus_pack,
-        "doc_heavy_hitters": _doc_heavy_hitters,
-        "gazetteer_mentions": _gazetteer_mentions,
-        "gazetteer_topk_entities": _gazetteer_topk_entities,
-        "ann_cosine_topk": _ann_cosine_topk,
-        "kg_extract_triples": _kg_extract_triples,
-        # -- tail: long-stable r3-green, code unchanged since their last
-        # driver row; every one still oracle-checked per-session by
-        # tests/test_oracle_parity.py --------------------------------------
+        # -- (a) last driver row is r3: rotate back into the window -------
         "q3_shipping_priority": _q3_shipping_priority,
         "ship_lag_by_month": _ship_lag_by_month,
         "promo_revenue_share": _promo_revenue_share,
@@ -2972,6 +3090,61 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nl_filter_stemmed": _nl_filter_stemmed,
         "nl_filter_culture": _nl_filter_culture,
         "nl_filter_inferred": _nl_filter_inferred,
+        # -- (b) new or changed this round ---------------------------------
+        "paragraph_boilerplate": _paragraph_boilerplate,
+        "streaming_extract": _streaming_extract,
+        "index_phrase_search": _index_phrase_search,
+        "token_cooccurrence_lift": _token_cooccurrence,
+        # -- (c) r4-green fill --------------------------------------------
+        "q1_pricing_summary": _q1_pricing_summary,
+        "q5_local_supplier": _q5_local_supplier,
+        "nl_filter_orders": _nl_filter_orders,
+        "nl_agg_orders": _nl_agg_orders,
+        "nl_pivot_orders": _nl_pivot_orders,
+        "nl_autocomplete": _nl_autocomplete,
+        "dict_spec_part": _dict_spec_part,
+        "emb_cosine_jvm": _emb_cosine_jvm,
+        "q17_small_quantity_revenue": _q17_small_quantity_revenue,
+        "event_props_json": _event_props_json,
+        "order_value_percentiles": _order_value_percentiles,
+        "order_priority_rollup": _order_priority_rollup,
+        "part_setops_98_not_99": _part_supplier_setops,
+        "orders_upsert_merge": _orders_upsert_merge,
+        "purchase_attribution": _purchase_attribution,
+        "event_session_assignment": _event_session_assignment,
+        "orders_with_returns": _orders_with_returns,
+        "dedup_exact": _dedup_exact,
+        "dedup_ngram_jaccard": _dedup_ngram_jaccard,
+        "corpus_clean": _corpus_clean,
+        "corpus_sample": _corpus_sample,
+        "doc_heavy_hitters": _doc_heavy_hitters,
+        "gazetteer_mentions": _gazetteer_mentions,
+        "gazetteer_topk_entities": _gazetteer_topk_entities,
+        "ann_cosine_topk": _ann_cosine_topk,
+        "kg_extract_triples": _kg_extract_triples,
+        # -- tail: r4-driver-green, code unchanged this round; every one
+        # still oracle-checked per-session by tests/test_oracle_parity.py
+        "kg_pagerank": _kg_pagerank,
+        "kg_similarity_edges": _kg_similarity_edges,
+        "kg_canonicalize": _kg_canonicalize,
+        "kg_degree_stats": _kg_degree_stats,
+        "kg_negative_samples": _kg_negative_samples,
+        "dedup_minhash": _dedup_minhash,
+        "dedup_simhash": _dedup_simhash,
+        "dedup_embedding": _dedup_embedding,
+        "emb_neardup_exact": _emb_neardup_exact,
+        "entity_link_topk": _entity_link_topk,
+        "ann_pq_topk": _ann_pq_topk,
+        "part_coorder_triangles": _part_coorder_triangles,
+        "corpus_decontaminate": _corpus_decontaminate,
+        "streaming_session_windows": _streaming_session_windows,
+        "streaming_events_by_minute": _streaming_events_by_minute,
+        "inverted_index": _inverted_index,
+        "kg_editdist_edges": _kg_editdist_edges,
+        "events_resample_locf": _events_resample_locf,
+        "customer_order_full_outer": _customer_order_full_outer,
+        "chunk_boilerplate": _chunk_boilerplate,
+        "corpus_pack": _corpus_pack,
     }
 
 
@@ -3035,6 +3208,8 @@ def oracle_sql() -> dict[str, str]:
         "corpus_decontaminate": _decontaminate_sql(),
         "streaming_session_windows": _STREAM_SESSIONS_SQL,
         "streaming_events_by_minute": _STREAM_MINUTES_SQL,
+        "streaming_extract": _streaming_extract_sql(),
+        "paragraph_boilerplate": _PARAGRAPH_BOILERPLATE_SQL,
         "inverted_index": _INVERTED_INDEX_SQL,
         "index_phrase_search": _PHRASE_SEARCH_SQL,
         "kg_editdist_edges": _KG_EDITDIST_SQL,

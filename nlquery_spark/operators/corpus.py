@@ -370,3 +370,96 @@ def pack_documents(
         F.col(id_col), F.col(count_col).cast("long").alias(count_col)
     ).withColumn("_g", F.pmod(F.col(id_col), F.lit(n_groups)))
     return grouped.groupBy("_g").applyInPandas(lambda pdf: pack(pdf), PACKING_SCHEMA)
+
+
+def paragraph_chunks(
+    docs: DataFrame,
+    sep_regex: str = r"\n{2,}",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, chunk_idx, chunk_text) — literal paragraph splitting
+    (CCNet semantics: repeated-paragraph detection digests ``\\n\\n``
+    splits, not fixed token windows, so a header/footer repeated at
+    DIFFERENT offsets in different documents still digests identically).
+    ``chunk_idx`` is the split position (gaps where empty paragraphs
+    were dropped — a re-index would cost a per-doc window for a column
+    boilerplate detection never reads). Shuffle-free codegen:
+    split + posexplode, nothing leaves the JVM.
+    """
+    return (
+        docs.select(
+            "doc_id",
+            F.posexplode(F.split(F.col(text_col), sep_regex)).alias(
+                "chunk_idx", "_raw"
+            ),
+        )
+        .select(
+            "doc_id",
+            F.col("chunk_idx").cast("long").alias("chunk_idx"),
+            F.trim(F.col("_raw")).alias("chunk_text"),
+        )
+        .filter(F.length("chunk_text") > 0)
+    )
+
+
+def content_defined_chunks(
+    docs: DataFrame,
+    avg_tokens: int = 16,
+    text_col: str = "text",
+    salt: str = "cdc",
+) -> DataFrame:
+    """(doc_id, chunk_idx, n_tokens, chunk_text) — content-defined
+    chunking: a boundary falls AFTER every token t with
+    md5(salt:t) % avg_tokens == 0, giving ~``avg_tokens``-token chunks
+    whose edges depend on CONTENT, not offset (the Rabin-fingerprint
+    boundary idea from dedup storage systems, with the repo's portable
+    md5-u64 convention as the boundary test so any engine reproduces
+    it). This is the delimiter-free generalization of
+    :func:`paragraph_chunks`: a passage repeated at different token
+    offsets in different documents produces identical interior chunks —
+    exactly what fixed-stride windows (chunk_documents) can't see —
+    even on crawl-normalized text with no newlines left to split on.
+
+    Plan: one corpus tokenization, a per-doc running sum of boundary
+    flags (window keyed by doc — partitions are bounded by document
+    length), and one (doc, chunk) aggregation rebuilding chunk text in
+    position order (numeric struct sort, the inverted_index convention).
+    Both exchanges are doc-keyed; nothing corpus-quadratic exists.
+    """
+    from pyspark.sql import Window
+
+    from ..functions.hashing import md5_u64
+
+    if avg_tokens < 2:
+        raise ValueError("content_defined_chunks needs avg_tokens >= 2")
+    toks = docs.select(
+        "doc_id",
+        F.posexplode(tokens_col(F.col(text_col))).alias("pos", "token"),
+    )
+    boundary = F.when(
+        md5_u64(F.concat_ws(":", F.lit(salt), F.col("token")))
+        % avg_tokens
+        == 0,
+        1,
+    ).otherwise(0)
+    # token at pos p belongs to chunk = count of boundaries strictly
+    # BEFORE p (boundary falls after its token)
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    chunked = toks.withColumn(
+        "chunk_idx", F.coalesce(F.sum(boundary).over(w), F.lit(0)).cast("long")
+    )
+    text = F.array_join(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct(F.col("pos"), F.col("token")))),
+            lambda s: s["token"],
+        ),
+        " ",
+    )
+    return chunked.groupBy("doc_id", "chunk_idx").agg(
+        F.count(F.lit(1)).cast("long").alias("n_tokens"),
+        text.alias("chunk_text"),
+    )

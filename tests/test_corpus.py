@@ -269,3 +269,101 @@ def test_decontaminate_flags_ngram_overlap(spark):
     # doc 10: 9 tokens -> 6 distinct 4-grams; shared: 'quick brown fox jumps'
     assert (out[10].n_ngrams, out[10].n_overlap) == (6, 1)
     assert out[10].contamination == round(1 / 6, 6)
+
+
+# ------------------------------------------ boilerplate chunkers (r5) --
+
+
+def _is_cdc_boundary(token: str, avg: int = 16, salt: str = "cdc") -> bool:
+    h = hashlib.md5(f"{salt}:{token}".encode()).hexdigest()[:16]
+    return int(h, 16) % avg == 0
+
+
+def test_paragraph_chunks_catch_unaligned_header(spark):
+    """CCNet semantics: the same header paragraph at DIFFERENT token
+    offsets must digest identically under paragraph splitting, while
+    fixed-stride windows miss it."""
+    from nlquery_spark.operators.corpus import paragraph_chunks
+
+    header = "subscribe to our newsletter for updates"
+    d1 = f"{header}\n\nalpha beta gamma delta"
+    d2 = f"one two three\n\n{header}\n\nepsilon zeta"
+    df = spark.createDataFrame([(1, d1), (2, d2)], "doc_id long, text string")
+    ch = paragraph_chunks(df).collect()
+    by_doc = {}
+    for r in ch:
+        by_doc.setdefault(r.doc_id, set()).add(r.chunk_text)
+    assert header in by_doc[1] and header in by_doc[2]
+    # empty paragraphs never emitted
+    assert all(r.chunk_text.strip() == r.chunk_text and r.chunk_text for r in ch)
+
+
+def test_content_defined_chunks_catch_unaligned_repeat(spark):
+    """The delimiter-free generalization: a shared passage at different
+    token offsets yields identical INTERIOR chunks under content-defined
+    boundaries, while chunk_documents' fixed windows hash differently."""
+    from nlquery_spark.operators.corpus import (
+        chunk_documents,
+        content_defined_chunks,
+    )
+
+    # find two boundary tokens so the passage has a fully interior
+    # chunk, and enough non-boundary words for passage body + filler
+    pool = [f"tok{i}" for i in range(3000)]
+    bounds = [w for w in pool if _is_cdc_boundary(w)][:2]
+    plain = [w for w in pool if not _is_cdc_boundary(w)]
+    assert len(bounds) == 2 and len(plain) >= 14
+    body, tail = plain[:4], plain[4]
+    passage = f"{bounds[0]} {' '.join(body)} {bounds[1]} {tail}"
+    d1 = f"{passage} {' '.join(plain[5:8])}"
+    d2 = f"{' '.join(plain[8:13])} {passage} {plain[13]}"
+    df = spark.createDataFrame([(1, d1), (2, d2)], "doc_id long, text string")
+    cdc = content_defined_chunks(df, avg_tokens=16)
+    by_doc = {}
+    for r in cdc.collect():
+        by_doc.setdefault(r.doc_id, set()).add(r.chunk_text)
+    interior = f"{' '.join(body)} {bounds[1]}"
+    assert interior in by_doc[1] and interior in by_doc[2]
+    # fixed-stride windows (64/48) on these short docs = one window per
+    # doc covering the whole text -> no shared digest despite the repeat
+    fixed = chunk_documents(df, chunk_tokens=8, stride=6)
+    texts1 = {r.chunk_text for r in fixed.filter(F.col("doc_id") == 1).collect()}
+    texts2 = {r.chunk_text for r in fixed.filter(F.col("doc_id") == 2).collect()}
+    assert not (texts1 & texts2)
+    # determinism under repartitioning
+    again = {(r.doc_id, r.chunk_idx, r.chunk_text)
+             for r in content_defined_chunks(df.repartition(5),
+                                             avg_tokens=16).collect()}
+    first = {(r.doc_id, r.chunk_idx, r.chunk_text) for r in cdc.collect()}
+    assert again == first
+
+
+def test_content_defined_chunks_partition_tokens_exactly(spark):
+    """Chunks are a partition of the token stream: concatenating chunk
+    texts in chunk_idx order reconstructs the tokenized document."""
+    from nlquery_spark.operators.corpus import content_defined_chunks
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    ch = content_defined_chunks(docs, avg_tokens=16)
+    rebuilt = {
+        r.doc_id: r.txt
+        for r in ch.groupBy("doc_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.sort_array(
+                        F.collect_list(F.struct("chunk_idx", "chunk_text"))
+                    ),
+                    lambda s: s["chunk_text"],
+                ),
+                " ",
+            ).alias("txt")
+        )
+        .collect()
+    }
+    orig = {
+        r.doc_id: " ".join(r.text.split())
+        for r in docs.select("doc_id", "text").collect()
+        if r.text.strip()
+    }
+    assert rebuilt == orig

@@ -221,6 +221,83 @@ def test_oracle_support_path_is_run_scoped():
     ) != entry_mod._link_mentions_path("/root/testdata/sf0.01")
 
 
+def test_oracle_path_tracks_input_mtime(tmp_path):
+    """ADVICE r4: size-identical but byte-different regenerated input
+    must move the fingerprint — mtime_ns is folded in."""
+    d = tmp_path / "sfX"
+    root = d / "documents.parquet"
+    root.mkdir(parents=True)
+    f = root / "part-0.parquet"
+    f.write_bytes(b"aaaa")
+    p1 = entry_mod._oracle_path("t", str(d))
+    os.utime(f, ns=(1_000_000_000_000, 1_000_000_000_000))
+    p2 = entry_mod._oracle_path("t", str(d))
+    assert p1 != p2  # same size, different mtime -> different path
+    assert entry_mod._oracle_path("t", str(d)) == p2  # stable
+
+
+def test_materialize_once_raises_on_non_race_failure(tmp_path):
+    """ADVICE r4: a rename failure that is NOT a lost race (no complete
+    artifact at the destination) must raise, not hand the consumer a
+    missing/partial path."""
+    # a non-empty FILE at the destination: rename(dir -> existing file)
+    # fails, and there is no _SUCCESS — the old code returned path anyway
+    dest = tmp_path / "artifact"
+    dest.write_text("stale foreign junk")
+
+    def writer(p):
+        os.makedirs(p)
+        open(os.path.join(p, "_SUCCESS"), "w").close()
+
+    with pytest.raises(RuntimeError, match="no complete artifact"):
+        entry_mod._materialize_once(str(dest), writer)
+    # and the genuine lost-race path still returns cleanly: a complete
+    # artifact already present, rename loses, no error
+    done = tmp_path / "done"
+    writer(str(done))
+    got = entry_mod._materialize_once(str(done), writer)
+    assert got == str(done)
+
+
+def test_code_digest_zip_fallback(monkeypatch, tmp_path):
+    """ADVICE r4: when the package is imported from a --py-files zip,
+    os.walk of the in-archive path yields nothing — the digest must fall
+    back to hashing the zip bytes, never collapse to the empty md5."""
+    import nlquery_spark
+
+    zip_path = os.path.join(os.path.dirname(entry_mod.__file__),
+                            "dist", "nlquery_spark.zip")
+    real = entry_mod._code_digest()  # source-tree digest (cached)
+    monkeypatch.setattr(entry_mod, "_CODE_DIGEST_CACHE", None)
+    monkeypatch.setattr(
+        nlquery_spark, "__file__",
+        zip_path + "/nlquery_spark/__init__.py",
+    )
+    import hashlib
+    empty = hashlib.md5().hexdigest()[:10]
+    got = entry_mod._code_digest()
+    assert got != empty and len(got) == 10
+    monkeypatch.setattr(entry_mod, "_CODE_DIGEST_CACHE", None)
+    # and a walkable-but-empty non-zip path refuses loudly
+    monkeypatch.setattr(
+        nlquery_spark, "__file__", str(tmp_path / "pkg" / "__init__.py")
+    )
+    (tmp_path / "pkg").mkdir()
+    with pytest.raises(RuntimeError, match="refusing"):
+        entry_mod._code_digest()
+    monkeypatch.setattr(entry_mod, "_CODE_DIGEST_CACHE", real)
+
+
+def test_parallelize_skips_in_memory_sources(spark):
+    """ADVICE r4: a createDataFrame source has no input files; its
+    partitioning is how it was built — no blind repartition shuffle."""
+    df = spark.createDataFrame([(i,) for i in range(10)], "x long")
+    out = entry_mod._parallelize(df)
+    assert out is df
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
 def test_kg_pagerank_oracle_reads_what_query_wrote(spark):
     """The pagerank query persists its edge set for the oracle; the
     parquet at the run-scoped path must hold exactly the distinct
@@ -240,27 +317,44 @@ def test_kg_pagerank_oracle_reads_what_query_wrote(spark):
 
 
 def test_correctness_window_holds_all_active_queries():
-    """ORDERING CONTRACT (VERDICT r3 item 1): the driver's correctness
-    harness checks the FIRST 50 queries() entries. Everything past
-    position 50 must belong to the documented long-stable tail —
-    adding a new query at the tail would silently exempt it from the
-    driver's hard gate."""
+    """ORDERING CONTRACT (VERDICT r3 item 1, rotated per r4 item 1):
+    the driver's correctness harness checks the FIRST 50 queries()
+    entries. Everything past position 50 must belong to the documented
+    r4-driver-green tail — adding a new query at the tail would
+    silently exempt it from the driver's hard gate. UPDATE this set
+    when rotating the window between rounds."""
     qs = list(entry_mod.queries())
     stable_tail = {
-        "q3_shipping_priority",
-        "ship_lag_by_month", "promo_revenue_share", "customers_without_orders",
-        "events_sessionize", "daily_active_users", "topk_orders_per_customer",
-        "events_time_rollup", "events_by_minute", "doc_token_stats",
-        "doc_subword_stats", "doc_quality", "doc_lang_id", "doc_fingerprint",
-        "doc_repetition", "doc_pii_scrub", "doc_chunks", "nl_filter_stemmed",
-        "nl_filter_culture", "nl_filter_inferred",
+        # every entry here has a green row in CORRECTNESS_r04.json and
+        # unchanged query code in round 5
+        "kg_pagerank", "kg_similarity_edges", "kg_canonicalize",
+        "kg_degree_stats", "kg_negative_samples", "dedup_minhash",
+        "dedup_simhash", "dedup_embedding", "emb_neardup_exact",
+        "entity_link_topk", "ann_pq_topk", "part_coorder_triangles",
+        "corpus_decontaminate", "streaming_session_windows",
+        "streaming_events_by_minute", "inverted_index",
+        "kg_editdist_edges", "events_resample_locf",
+        "customer_order_full_outer", "chunk_boilerplate", "corpus_pack",
     }
     assert set(qs[50:]) <= stable_tail, (
         f"non-stable queries past the 50-entry driver window: "
         f"{set(qs[50:]) - stable_tail}"
     )
-    # and every tail query still has its oracle run per-session here
-    assert set(qs[50:]) <= set(entry_mod.oracle_sql())
+    # the rotated-out r3-checked set must all be INSIDE the window now
+    rotated_in = {
+        "q3_shipping_priority", "ship_lag_by_month", "promo_revenue_share",
+        "customers_without_orders", "events_sessionize",
+        "daily_active_users", "topk_orders_per_customer",
+        "events_time_rollup", "events_by_minute", "doc_token_stats",
+        "doc_subword_stats", "doc_quality", "doc_lang_id",
+        "doc_fingerprint", "doc_repetition", "doc_pii_scrub", "doc_chunks",
+        "nl_filter_stemmed", "nl_filter_culture", "nl_filter_inferred",
+    }
+    assert rotated_in <= set(qs[:50])
+    # rows-only-by-nature queries (no oracle possible) excepted; every
+    # other tail query still has its oracle run per-session here
+    rows_only = {"dedup_embedding", "ann_pq_topk", "corpus_pack"}
+    assert set(qs[50:]) - rows_only <= set(entry_mod.oracle_sql())
 
 
 # ------------------------------------------------ seeded fuzz corpus --

@@ -191,6 +191,21 @@ def test_phrase_search_no_fanout_joins(spark, sf_dir):
     assert "CartesianProduct" not in plan
 
 
+def test_phrase_search_single_corpus_scan(spark, sf_dir):
+    """VERDICT r4 item 2: a k-term phrase must cost ONE corpus
+    tokenization, not k. The isin-prefiltered exploded stream is
+    localCheckpointed, so the final plan's per-term streams read the
+    checkpoint — zero parquet scans survive in the query plan."""
+    plan = (
+        em.queries()["index_phrase_search"](spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Scan parquet" not in plan
+    assert "Scan ExistingRDD" in plan
+
+
 def test_cooccurrence_single_corpus_scan(spark, sf_dir):
     """The localCheckpoint means the four consumers of the filtered
     (group, item) projection read materialized blocks — the final plan
