@@ -2764,6 +2764,29 @@ GROUP BY doc_id
 """
 
 
+def _index_phrase_postings(spark, sf_dir):
+    """The INDEX-SERVING phrase path (round 5): build the sharded
+    inverted index once, then answer the same 'table hash' phrase query
+    purely by postings intersection — zero corpus access at query time
+    (operators/index.py::phrase_search_postings; the compiled-index
+    posture of the reference's ExactPhraseMatcher.cs:66-118). Must
+    produce byte-identical results to index_phrase_search's direct
+    corpus pass, so both share one oracle SQL — the driver hash-checks
+    build+serve end-to-end. Postings round-trip doc ids as strings;
+    cast back for schema parity."""
+    from nlquery_spark.operators.index import (
+        inverted_index,
+        phrase_search_postings,
+    )
+
+    docs = _load(spark, sf_dir, "documents")["documents"]
+    idx = inverted_index(docs, n_shards=4).localCheckpoint(eager=True)
+    out = phrase_search_postings(idx, "table hash")
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"), "n_occurrences"
+    )
+
+
 # ------------------------------------- streaming session windows (r4) --
 
 
@@ -3094,6 +3117,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "paragraph_boilerplate": _paragraph_boilerplate,
         "streaming_extract": _streaming_extract,
         "index_phrase_search": _index_phrase_search,
+        "index_phrase_postings": _index_phrase_postings,
         "token_cooccurrence_lift": _token_cooccurrence,
         # -- (c) r4-green fill --------------------------------------------
         "q1_pricing_summary": _q1_pricing_summary,
@@ -3120,10 +3144,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_heavy_hitters": _doc_heavy_hitters,
         "gazetteer_mentions": _gazetteer_mentions,
         "gazetteer_topk_entities": _gazetteer_topk_entities,
-        "ann_cosine_topk": _ann_cosine_topk,
         "kg_extract_triples": _kg_extract_triples,
         # -- tail: r4-driver-green, code unchanged this round; every one
         # still oracle-checked per-session by tests/test_oracle_parity.py
+        "ann_cosine_topk": _ann_cosine_topk,
         "kg_pagerank": _kg_pagerank,
         "kg_similarity_edges": _kg_similarity_edges,
         "kg_canonicalize": _kg_canonicalize,
@@ -3212,6 +3236,7 @@ def oracle_sql() -> dict[str, str]:
         "paragraph_boilerplate": _PARAGRAPH_BOILERPLATE_SQL,
         "inverted_index": _INVERTED_INDEX_SQL,
         "index_phrase_search": _PHRASE_SEARCH_SQL,
+        "index_phrase_postings": _PHRASE_SEARCH_SQL,
         "kg_editdist_edges": _KG_EDITDIST_SQL,
         "events_resample_locf": _LOCF_SQL,
         "customer_order_full_outer": _FULL_OUTER_SQL,

@@ -130,3 +130,53 @@ def phrase_search(
         .agg(F.count(F.lit(1)).cast("long").alias("n_occurrences"))
         .select(F.col("doc").alias(id_col), "n_occurrences")
     )
+
+
+def phrase_search_postings(
+    index: DataFrame,
+    phrase: str,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Phrase search served from the MATERIALIZED index — the true
+    index-serving path (reference analog: ExactPhraseMatcher.cs:66-118
+    runs over the compiled in-memory index; this is its corpus-scale
+    twin over :func:`inverted_index` output). :func:`phrase_search`
+    re-derives positions from raw text in one pass — right for ad-hoc
+    queries; this variant intersects PRE-BUILT posting lists — right
+    when an index artifact is already maintained and the corpus itself
+    need never be touched at query time.
+
+    Input is the (token, shard, n_docs, n_positions, postings)
+    DataFrame produced by :func:`inverted_index` (any shard count:
+    shards of a term are unioned back transparently). Plan: filter the
+    index to the phrase's terms (a k-row-ish selective read — on a
+    parquet-materialized index the token predicate pushes into the
+    scan), explode each term's postings string back to (doc, pos),
+    shift to anchors, and run the same 1:1 (doc, anchor) equi-join
+    intersection as phrase_search. Zero corpus access, zero
+    re-tokenization; cost scales with the PHRASE TERMS' posting sizes
+    only.
+    """
+    terms = [t for t in phrase.lower().split() if t]
+    if not terms:
+        raise ValueError("phrase_search_postings needs a non-empty phrase")
+    hits = index.filter(F.col("token").isin(list(set(terms)))).select(
+        "token",
+        F.explode(F.split(F.col("postings"), ",")).alias("p"),
+    )
+    positions = hits.select(
+        "token",
+        F.split(F.col("p"), ":")[0].alias("doc"),
+        F.split(F.col("p"), ":")[1].cast("long").alias("pos"),
+    )
+    out = None
+    for i, term in enumerate(terms):
+        t = positions.filter(F.col("token") == term).select(
+            "doc", (F.col("pos") - i).alias("anchor")
+        )
+        out = t if out is None else out.join(t, ["doc", "anchor"])
+    return (
+        out.groupBy("doc")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_occurrences"))
+        .select(F.col("doc").alias(id_col), "n_occurrences")
+    )

@@ -582,3 +582,54 @@ def test_phrase_search_adjacency_and_order(spark):
         for r in phrase_search(df, "big data big").collect()
     }
     assert out3 == {1: 2}
+
+
+def test_phrase_search_postings_equals_direct(spark):
+    """The index-serving path (postings intersection over the
+    materialized inverted_index) must return exactly what the direct
+    one-pass corpus search returns — same docs, same occurrence counts
+    — for single- and multi-term phrases, at any shard count. Postings
+    round-trip doc ids as strings; compare after casting."""
+    from nlquery_spark.operators.index import (
+        inverted_index,
+        phrase_search,
+        phrase_search_postings,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    for shards in (1, 4):
+        idx = inverted_index(docs, n_shards=shards).localCheckpoint()
+        for phrase in ("table hash", "value", "big order scan"):
+            direct = {
+                (r.doc_id, r.n_occurrences)
+                for r in phrase_search(docs, phrase).collect()
+            }
+            served = {
+                (int(r.doc_id), r.n_occurrences)
+                for r in phrase_search_postings(idx, phrase).collect()
+            }
+            assert served == direct and direct, (shards, phrase)
+
+
+def test_phrase_search_postings_never_touches_corpus(spark, tmp_path):
+    """Query-time plan over a parquet-materialized index reads the
+    index only: the token predicate pushes into the index scan and no
+    corpus relation appears anywhere in the plan."""
+    from nlquery_spark.operators.index import (
+        inverted_index,
+        phrase_search_postings,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    p = str(tmp_path / "idx.parquet")
+    inverted_index(docs, n_shards=4).write.parquet(p)
+    idx = spark.read.parquet(p)
+    plan = (
+        phrase_search_postings(idx, "table hash")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Scan parquet") == 2  # the two term streams, both index reads
+    assert "documents.parquet" not in plan
+    assert "In(token" in plan or "isin" in plan.lower() or "token#" in plan

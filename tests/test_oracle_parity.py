@@ -335,6 +335,7 @@ def test_correctness_window_holds_all_active_queries():
         "streaming_events_by_minute", "inverted_index",
         "kg_editdist_edges", "events_resample_locf",
         "customer_order_full_outer", "chunk_boilerplate", "corpus_pack",
+        "ann_cosine_topk",
     }
     assert set(qs[50:]) <= stable_tail, (
         f"non-stable queries past the 50-entry driver window: "
