@@ -416,13 +416,14 @@ def _streaming_extract(spark, sf_dir):
     )
     # batch reference triples over the SAME staged files — the oracle's
     # input; skip-if-exists via the fingerprinted path
-    batch_path = _materialize_once(
+    # written for its side effect: _streaming_extract_sql re-derives the
+    # same fingerprinted path and aggregates this parquet as the oracle
+    _materialize_once(
         _stream_batch_triples_path(sf_dir),
         lambda p: extract_triples(
             spark.read.parquet(src), [DOCS_SCHEMA_SPEC], lang_filter=None
         ).write.mode("overwrite").parquet(p),
     )
-    assert batch_path  # consumed by _streaming_extract_sql
     work = tempfile.mkdtemp(prefix="nlq_stream_")
     out, ckpt = f"{work}/out", f"{work}/ckpt"
     stream = read_pages_stream(spark, src, max_files_per_trigger=4)
@@ -448,6 +449,11 @@ def _streaming_extract(spark, sf_dir):
 
 
 def _streaming_extract_sql() -> str:
+    # same env convention as _kg_pagerank_sql / the entity-link oracle:
+    # oracle_sql() has no sf_dir argument, so the artifact path comes
+    # from $SPARK_GRAFT_ORACLE_SF — the driver and tests/test_oracle_
+    # parity.py both evaluate queries and oracles at that same sf;
+    # bench runs at other sfs never invoke oracles
     import os
 
     sf_dir = os.environ.get("SPARK_GRAFT_ORACLE_SF", "/root/testdata/sf0.01")
@@ -1772,10 +1778,13 @@ _CODE_DIGEST_CACHE = None
 
 
 def _code_digest() -> str:
-    """md5 over every .py in the nlquery_spark package — folded into
-    artifact fingerprints so ANY library change moves the paths and the
-    skip-if-exists reuse can never serve output of older code (the
-    manual tag alone relied on remembering to bump it)."""
+    """md5 over every .py in the nlquery_spark package PLUS this entry
+    module itself — folded into artifact fingerprints so ANY change to
+    the deriving code moves the paths and the skip-if-exists reuse can
+    never serve output of older code (the manual tag alone relied on
+    remembering to bump it; package-only hashing missed edits to the
+    query-side derivations in this file, e.g. the staged-pages
+    projection — review round 5)."""
     global _CODE_DIGEST_CACHE
     if _CODE_DIGEST_CACHE is None:
         import hashlib
@@ -1813,6 +1822,10 @@ def _code_digest() -> str:
                 )
             with open(zip_path, "rb") as fh:
                 h.update(fh.read())
+        entry_file = os.path.abspath(__file__)
+        if os.path.isfile(entry_file):
+            with open(entry_file, "rb") as fh:
+                h.update(fh.read())
         _CODE_DIGEST_CACHE = h.hexdigest()[:10]
     return _CODE_DIGEST_CACHE
 
@@ -1838,10 +1851,18 @@ def _materialize_once(path: str, write_fn) -> str:
         shutil.rmtree(tmp, ignore_errors=True)
         # rename fails either because another writer won the race (fine:
         # their artifact is equivalent by fingerprint construction) or
-        # for a non-race reason (permissions, stale foreign dir at
-        # path). Only the first leaves a complete artifact — verify,
-        # don't let the consumer read a missing/partial path.
-        if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        # for a non-race reason (permissions, a stale foreign FILE at
+        # path). Anything that IS at the destination arrived via this
+        # same stage-then-rename protocol, and write_fn completes before
+        # any rename — so a non-empty directory there is a complete
+        # artifact even without _SUCCESS (committers configured with
+        # marksuccessfuljobs=false never write the marker). Only a
+        # missing/empty/non-directory destination means the consumer
+        # would read garbage: fail loudly for those.
+        complete = os.path.exists(os.path.join(path, "_SUCCESS")) or (
+            os.path.isdir(path) and len(os.listdir(path)) > 0
+        )
+        if not complete:
             raise RuntimeError(
                 f"_materialize_once: rename {tmp!r} -> {path!r} failed "
                 f"and no complete artifact exists at the destination"
@@ -2999,13 +3020,20 @@ def _token_cooccurrence(spark, sf_dir):
 
 
 def _cooccurrence_sql() -> str:
+    # toks mirrors cooccurrence_lift EXACTLY, including its per-group
+    # distinct-item cap (10k default, row_number item-ordered): without
+    # the QUALIFY mirror, a group exceeding the cap would diverge from
+    # the Spark side at scale even though both are individually correct
+    # (review round 5; a no-op on this corpus's 31-token vocabulary)
     lst = ", ".join(f"'{w}'" for w in GAZETTEER)
     return rf"""
 WITH toks AS (
-  SELECT DISTINCT doc_id, t AS token FROM (
-    SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '[ \t\n\x0B\f\r]+')) AS t
-    FROM documents
-  ) WHERE t IN ({lst})
+  SELECT doc_id, token FROM (
+    SELECT DISTINCT doc_id, t AS token FROM (
+      SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '[ \t\n\x0B\f\r]+')) AS t
+      FROM documents
+    ) WHERE t IN ({lst})
+  ) QUALIFY ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY token) <= 10000
 ), c AS (SELECT token, COUNT(*) AS n FROM toks GROUP BY token),
 nd AS (SELECT COUNT(DISTINCT doc_id) AS n FROM documents),
 p AS (

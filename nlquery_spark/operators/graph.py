@@ -138,6 +138,12 @@ def cooccurrence_lift(
         .filter(F.col("item").isNotNull())
         .distinct()
     )
+    if metrics is not None:
+        # the metrics pass is an EAGER aggregation: run it (and the cap
+        # window) over a materialized projection, or it re-scans and
+        # re-distincts the whole corpus a second time before the main
+        # checkpoint below (review round 5)
+        p = p.localCheckpoint(eager=True)
     p = _cap_blocks(
         p, max_group_items, metrics, key_col="grp", ord_col="item"
     )

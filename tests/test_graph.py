@@ -121,3 +121,43 @@ def test_cooccurrence_lift_cap_noop_below_threshold(spark):
                            metrics=m).collect()}
     assert a == b
     assert m == {"blocks_capped": 0, "block_rows_dropped": 0}
+
+
+def test_cooccurrence_lift_cap_matches_sql_mirror(spark):
+    """The oracle mirrors the cap with QUALIFY row_number <= k; when the
+    cap BINDS, Spark and DuckDB must still agree value-for-value (the
+    driver query's corpus never trips the 10k default, so this pins the
+    mirror semantics directly)."""
+    import duckdb
+
+    rows = [(g, f"i{j:02d}") for g in ("g1", "g2") for j in range(6)]
+    rows += [("g3", "i00"), ("g3", "i01")]
+    df = spark.createDataFrame(rows, "grp string, item string")
+    got = {
+        (r.item_a, r.item_b, r.n_a, r.n_b, r.n_both, r.lift)
+        for r in cooccurrence_lift(
+            df, "grp", "item", n_groups=3, max_group_items=4
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TABLE occ (grp VARCHAR, item VARCHAR)")
+    con.executemany("INSERT INTO occ VALUES (?, ?)", rows)
+    want = {
+        tuple(r)
+        for r in con.execute("""
+WITH toks AS (
+  SELECT grp, item FROM (SELECT DISTINCT grp, item FROM occ)
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY grp ORDER BY item) <= 4
+), c AS (SELECT item, COUNT(*) AS n FROM toks GROUP BY item),
+p AS (
+  SELECT a.item AS item_a, b.item AS item_b, COUNT(*) AS n_both
+  FROM toks a JOIN toks b ON a.grp = b.grp AND a.item < b.item
+  GROUP BY 1, 2
+)
+SELECT p.item_a, p.item_b, CAST(ca.n AS BIGINT), CAST(cb.n AS BIGINT),
+  CAST(p.n_both AS BIGINT),
+  ROUND((3.0 * p.n_both) / (CAST(ca.n AS DOUBLE) * cb.n), 6)
+FROM p JOIN c ca ON p.item_a = ca.item JOIN c cb ON p.item_b = cb.item
+""").fetchall()
+    }
+    assert got == want and got

@@ -394,6 +394,8 @@ def fuzz_sf(spark, tmp_path_factory):
 _FUZZ_QUERIES = [
     "inverted_index",
     "index_phrase_search",
+    "index_phrase_postings",
+    "paragraph_boilerplate",
     "token_cooccurrence_lift",
     "corpus_decontaminate",
     "chunk_boilerplate",
