@@ -219,3 +219,33 @@ def test_cooccurrence_single_corpus_scan(spark, sf_dir):
     )
     assert "Scan parquet" not in plan  # all inputs come from the checkpoint
     assert "Scan ExistingRDD" in plan
+
+
+def test_content_defined_chunks_shuffle_free(spark, sf_dir):
+    """Chunking is per-document: the chunker itself must plan with ZERO
+    exchanges (one Arrow mapInPandas pass), and the paragraph_boilerplate
+    query's only corpus-wide shuffle is the final digest aggregation."""
+    from nlquery_spark.operators.corpus import content_defined_chunks
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    chunk_plan = (
+        content_defined_chunks(docs, avg_tokens=16)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in chunk_plan
+    assert "MapInPandas" in chunk_plan
+    q_plan = (
+        em.queries()["paragraph_boilerplate"](spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # the digest agg's count_distinct(doc_id) plans as the standard
+    # two-phase distinct aggregate: partial agg map-side, then an
+    # exchange keyed (chunk_hash, doc_id) and one keyed chunk_hash —
+    # BOTH carry 32-byte-digest rows; chunk text and tokens never
+    # shuffle (the partial agg reduces them before any exchange)
+    assert q_plan.count("Exchange hashpartitioning") <= 2
+    assert q_plan.index("MapInPandas") > q_plan.index("Exchange")  # text stays below
