@@ -3100,6 +3100,199 @@ FROM corners GROUP BY node
 """
 
 
+def _index_bm25_topk(spark, sf_dir):
+    """Search-serving surface: BM25 top-20 documents for a free-text
+    query — the ranking layer over the inverted index (generalizes the
+    reference's per-matcher score weighting, Recognizer.cs candidate
+    ranking, into corpus-statistics ranking). One corpus scan: per-doc
+    (length, query-term tfs) aggregate; corpus stats (N, avgdl, dfs)
+    reduce from that same relation and broadcast back for map-only
+    scoring (operators/index.py::bm25_topk)."""
+    from nlquery_spark.operators.index import bm25_topk
+
+    docs = _load(spark, sf_dir, "documents")["documents"]
+    return bm25_topk(docs, "table hash spark", k=20)
+
+
+# same Lucene/ATIRE BM25 formula, term by term (the query is a literal,
+# so the oracle unrolls the three terms the Spark side sums). ln() is
+# bit-safe here after ROUND 6: scores are O(1), so a 1-ulp libm
+# difference sits ~1e10 ulps from the rounding boundary (unlike PMI,
+# where cooccurrence_lift deliberately stays a pure ratio).
+_BM25_SQL = r"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(string_split_regex(trim(lower(text)), '[ \t\n\x0B\f\r]+')) AS token
+  FROM documents
+), per AS (
+  SELECT doc_id, COUNT(*) AS dl,
+    SUM(CASE WHEN token='table' THEN 1 ELSE 0 END) AS tf_0,
+    SUM(CASE WHEN token='hash' THEN 1 ELSE 0 END) AS tf_1,
+    SUM(CASE WHEN token='spark' THEN 1 ELSE 0 END) AS tf_2
+  FROM toks GROUP BY doc_id
+), st AS (
+  SELECT COUNT(*) AS n_corpus, AVG(dl) AS avgdl,
+    SUM(CASE WHEN tf_0>0 THEN 1 ELSE 0 END) AS df_0,
+    SUM(CASE WHEN tf_1>0 THEN 1 ELSE 0 END) AS df_1,
+    SUM(CASE WHEN tf_2>0 THEN 1 ELSE 0 END) AS df_2
+  FROM per
+)
+SELECT doc_id, ROUND(
+  ln((n_corpus-df_0+0.5)/(df_0+0.5)+1.0)*(CAST(tf_0 AS DOUBLE)*2.2)/(tf_0+1.2*(0.25+0.75*dl/avgdl)) +
+  ln((n_corpus-df_1+0.5)/(df_1+0.5)+1.0)*(CAST(tf_1 AS DOUBLE)*2.2)/(tf_1+1.2*(0.25+0.75*dl/avgdl)) +
+  ln((n_corpus-df_2+0.5)/(df_2+0.5)+1.0)*(CAST(tf_2 AS DOUBLE)*2.2)/(tf_2+1.2*(0.25+0.75*dl/avgdl)), 6) AS bm25
+FROM per, st
+WHERE bm25 > 0
+ORDER BY bm25 DESC, doc_id ASC LIMIT 20
+"""
+
+
+def _part_khop_neighbors(spark, sf_dir):
+    """KG-serving surface: every part within 3 hops of part 1 on the
+    co-ordered-parts graph (the part_coorder_triangles edge set), with
+    its minimum hop distance — "entities related to X within n hops",
+    the subgraph-extraction primitive around a query entity. Level-
+    synchronous frontier BFS with per-round broadcast frontiers and
+    checkpointed iteration state (operators/graph.py::khop_neighbors)."""
+    from nlquery_spark.operators.graph import khop_neighbors
+
+    li = _load(spark, sf_dir, "lineitem")["lineitem"].select(
+        "l_orderkey", "l_partkey"
+    )
+    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pa"))
+    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pb"))
+    edges = (
+        a.join(b, "ok")
+        .filter(F.col("pa") < F.col("pb"))
+        .groupBy("pa", "pb")
+        .agg(F.count(F.lit(1)).alias("sup"))
+        .filter(F.col("sup") >= 2)
+        .select(F.col("pa").alias("src"), F.col("pb").alias("dst"))
+    )
+    seeds = spark.createDataFrame([(1,)], "node bigint")
+    return khop_neighbors(edges, seeds, k=3).select(
+        F.col("node").alias("part"), "depth"
+    )
+
+
+# bounded-depth BFS as a recursive CTE: UNION ALL enumerates walks up
+# to depth 3 (the WHERE bounds recursion), MIN(depth) collapses walks
+# to shortest-path distance — identical min-depth semantics to the
+# frontier BFS (which never revisits: the anti-join IS the MIN).
+_KHOP_SQL = """
+WITH RECURSIVE e0 AS (
+  SELECT a.l_partkey AS pa, b.l_partkey AS pb
+  FROM lineitem a
+  JOIN lineitem b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2 HAVING COUNT(*) >= 2
+), und AS (
+  SELECT pa, pb FROM e0 UNION ALL SELECT pb, pa FROM e0
+), bfs AS (
+  SELECT CAST(1 AS BIGINT) AS node, 0 AS depth
+  UNION ALL
+  SELECT und.pb AS node, bfs.depth + 1
+  FROM bfs JOIN und ON und.pa = bfs.node
+  WHERE bfs.depth < 3
+)
+SELECT node AS part, CAST(MIN(depth) AS INT) AS depth
+FROM bfs GROUP BY node
+"""
+
+
+def _event_funnel(spark, sf_dir):
+    """Product-analytics surface: strict-order funnel view -> click ->
+    purchase over the event stream (first qualifying occurrence per
+    user at each stage), with step-over-step conversion. User-keyed
+    join chain with a shrinking reach set — AQE broadcasts it as soon
+    as it fits (operators/events.py::funnel_stages)."""
+    from nlquery_spark.operators.events import funnel_stages
+
+    ev = _load(spark, sf_dir, "events")["events"]
+    return funnel_stages(ev, ["view", "click", "purchase"])
+
+
+_FUNNEL_SQL = """
+WITH v AS (
+  SELECT user_id, MIN(ts) AS t1 FROM events WHERE event_type='view' GROUP BY user_id
+), c AS (
+  SELECT e.user_id, MIN(e.ts) AS t2 FROM events e JOIN v ON e.user_id = v.user_id
+  WHERE e.event_type='click' AND e.ts > v.t1 GROUP BY e.user_id
+), p AS (
+  SELECT e.user_id, MIN(e.ts) AS t3 FROM events e JOIN c ON e.user_id = c.user_id
+  WHERE e.event_type='purchase' AND e.ts > c.t2 GROUP BY e.user_id
+), n AS (
+  SELECT (SELECT COUNT(*) FROM v) AS n1,
+         (SELECT COUNT(*) FROM c) AS n2,
+         (SELECT COUNT(*) FROM p) AS n3
+)
+SELECT 1 AS stage, 'view' AS event_type, CAST(n1 AS BIGINT) AS users, 1.0 AS conversion FROM n
+UNION ALL
+SELECT 2, 'click', CAST(n2 AS BIGINT), ROUND(CAST(n2 AS DOUBLE)/n1, 6) FROM n
+UNION ALL
+SELECT 3, 'purchase', CAST(n3 AS BIGINT), ROUND(CAST(n3 AS DOUBLE)/n2, 6) FROM n
+"""
+
+
+def _event_type_transitions(spark, sf_dir):
+    """First-order Markov transition matrix over per-user event
+    sequences — (src, dst, n, prob) with (ts, event_id) total order so
+    lead() is deterministic. One user-keyed exchange; row totals come
+    from a window over the tiny matrix itself
+    (operators/events.py::type_transitions)."""
+    from nlquery_spark.operators.events import type_transitions
+
+    ev = _load(spark, sf_dir, "events")["events"]
+    return type_transitions(ev)
+
+
+_TRANSITIONS_SQL = """
+WITH s AS (
+  SELECT event_type AS src,
+         LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS dst
+  FROM events
+), b AS (
+  SELECT src, dst, COUNT(*) AS n FROM s WHERE dst IS NOT NULL GROUP BY 1, 2
+)
+SELECT src, dst, CAST(n AS BIGINT) AS n,
+  ROUND(CAST(n AS DOUBLE) / SUM(n) OVER (PARTITION BY src), 6) AS prob
+FROM b
+"""
+
+
+def _events_daily_anomaly(spark, sf_dir):
+    """Monitoring surface: per-(event_type, day) volumes z-scored
+    against the type's own daily history — the basic pipeline-health
+    anomaly detector (|z| >= 3 = investigate). Day cast to string for
+    the cross-engine hash (repo date convention); NULL z for
+    single-day/constant types, never NaN/Inf
+    (operators/events.py::daily_volume_zscore)."""
+    from nlquery_spark.operators.events import daily_volume_zscore
+
+    ev = _load(spark, sf_dir, "events")["events"]
+    return daily_volume_zscore(ev).select(
+        "event_type",
+        F.col("day").cast("string").alias("day"),
+        "n",
+        "zscore",
+    )
+
+
+_DAILY_ANOMALY_SQL = """
+WITH c AS (
+  SELECT event_type, CAST(ts AS DATE) AS d, COUNT(*) AS n
+  FROM events GROUP BY 1, 2
+)
+SELECT event_type, strftime(d, '%Y-%m-%d') AS day, CAST(n AS BIGINT) AS n,
+  CASE WHEN stddev_samp(CAST(n AS DOUBLE)) OVER (PARTITION BY event_type) IS NULL
+         OR stddev_samp(CAST(n AS DOUBLE)) OVER (PARTITION BY event_type) = 0
+       THEN NULL
+       ELSE ROUND((n - AVG(CAST(n AS DOUBLE)) OVER (PARTITION BY event_type))
+            / stddev_samp(CAST(n AS DOUBLE)) OVER (PARTITION BY event_type), 6)
+  END AS zscore
+FROM c
+"""
+
+
 # ----------------------------------------------------------------- driver --
 
 
@@ -3147,6 +3340,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "index_phrase_search": _index_phrase_search,
         "index_phrase_postings": _index_phrase_postings,
         "token_cooccurrence_lift": _token_cooccurrence,
+        "index_bm25_topk": _index_bm25_topk,
+        "part_khop_neighbors": _part_khop_neighbors,
+        "event_funnel": _event_funnel,
+        "event_type_transitions": _event_type_transitions,
+        "events_daily_anomaly": _events_daily_anomaly,
         # -- (c) r4-green fill --------------------------------------------
         "q1_pricing_summary": _q1_pricing_summary,
         "q5_local_supplier": _q5_local_supplier,
@@ -3167,14 +3365,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_with_returns": _orders_with_returns,
         "dedup_exact": _dedup_exact,
         "dedup_ngram_jaccard": _dedup_ngram_jaccard,
+        "kg_extract_triples": _kg_extract_triples,
+        # -- tail: r4-driver-green, code unchanged this round; every one
+        # still oracle-checked per-session by tests/test_oracle_parity.py
         "corpus_clean": _corpus_clean,
         "corpus_sample": _corpus_sample,
         "doc_heavy_hitters": _doc_heavy_hitters,
         "gazetteer_mentions": _gazetteer_mentions,
         "gazetteer_topk_entities": _gazetteer_topk_entities,
-        "kg_extract_triples": _kg_extract_triples,
-        # -- tail: r4-driver-green, code unchanged this round; every one
-        # still oracle-checked per-session by tests/test_oracle_parity.py
         "ann_cosine_topk": _ann_cosine_topk,
         "kg_pagerank": _kg_pagerank,
         "kg_similarity_edges": _kg_similarity_edges,
@@ -3256,6 +3454,11 @@ def oracle_sql() -> dict[str, str]:
         "kg_pagerank": _kg_pagerank_sql(),
         "entity_link_topk": _entity_link_sql(),
         "token_cooccurrence_lift": _cooccurrence_sql(),
+        "index_bm25_topk": _BM25_SQL,
+        "part_khop_neighbors": _KHOP_SQL,
+        "event_funnel": _FUNNEL_SQL,
+        "event_type_transitions": _TRANSITIONS_SQL,
+        "events_daily_anomaly": _DAILY_ANOMALY_SQL,
         "part_coorder_triangles": _TRIANGLES_SQL,
         "corpus_decontaminate": _decontaminate_sql(),
         "streaming_session_windows": _STREAM_SESSIONS_SQL,

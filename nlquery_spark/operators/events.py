@@ -1,0 +1,168 @@
+"""Event-stream product analytics: funnels, transition matrices,
+volume anomalies.
+
+The operators a training-data/metrics pipeline runs over its event or
+telemetry tables next to the corpus ops (reference analog: none —
+nlquery is a query-parsing library with no event layer; this module is
+mission-added Spark-native design, same status as operators/graph.py).
+All three are pure DataFrame compositions — no UDFs, no driver-side
+loops — and every score is either an integer count or a plain IEEE
+ratio ROUNDed to 6, so each has an exact ANSI-SQL oracle.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def funnel_stages(
+    events: DataFrame,
+    steps: Sequence[str],
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    within_seconds: int | None = None,
+) -> DataFrame:
+    """Ordered-funnel analysis: for each step i, how many users reached
+    it via a STRICTLY time-ordered chain step_1 < step_2 < ... < step_i
+    (first qualifying occurrence each time), plus step-over-step
+    conversion. Output: (stage, event_type, users, conversion) with
+    stage 1-based and conversion = users_i / users_{i-1} (1.0 at stage
+    1), ROUNDed to 6.
+
+    ``within_seconds`` optionally bounds each hop: step i+1 must occur
+    within that many seconds of the step-i timestamp (the "converted
+    within an hour" product question). None = unbounded.
+
+    Plan: stage i is a user-keyed min-timestamp aggregation of the
+    step-i events JOINED to the stage-(i-1) reach set — each join is on
+    the user key, and the reach set only shrinks, so AQE broadcasts it
+    as soon as it fits (at web scale the step-1 set is the big one and
+    that join is a plain user-keyed shuffle; everything downstream is
+    broadcast-sized). The per-stage user COUNTS are three 1-row
+    aggregates unioned JVM-side and joined to their predecessor by
+    stage index — no driver-side .collect() anywhere, so the funnel
+    composes into larger plans and the counts stay in the JVM.
+    """
+    steps = list(steps)
+    if not steps:
+        raise ValueError("funnel_stages needs at least one step")
+    reach = (
+        events.filter(F.col(type_col) == steps[0])
+        .groupBy(user_col)
+        .agg(F.min(ts_col).alias("t"))
+    )
+    counts = reach.agg(F.count(F.lit(1)).alias("users")).select(
+        F.lit(1).alias("stage"), F.lit(steps[0]).alias("event_type"), "users"
+    )
+    for i, step in enumerate(steps[1:], start=2):
+        nxt = events.filter(F.col(type_col) == step).select(
+            user_col, F.col(ts_col).alias("ts_i")
+        )
+        cond = F.col("ts_i") > F.col("t")
+        if within_seconds is not None:
+            cond = cond & (
+                F.col("ts_i")
+                <= F.col("t") + F.expr(f"INTERVAL {int(within_seconds)} SECOND")
+            )
+        reach = (
+            nxt.join(reach, user_col)
+            .filter(cond)
+            .groupBy(user_col)
+            .agg(F.min("ts_i").alias("t"))
+        )
+        counts = counts.unionAll(
+            reach.agg(F.count(F.lit(1)).alias("users")).select(
+                F.lit(i).alias("stage"), F.lit(step).alias("event_type"), "users"
+            )
+        )
+    w = Window.orderBy("stage")
+    prev = F.lag("users").over(w)
+    return counts.select(
+        "stage",
+        "event_type",
+        F.col("users").cast("long").alias("users"),
+        F.when(prev.isNull(), F.lit(1.0))
+        .otherwise(F.round(F.col("users") / prev.cast("double"), 6))
+        .alias("conversion"),
+    )
+
+
+def type_transitions(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    order_cols: Sequence[str] = ("event_id",),
+) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences: (src, dst, n, prob) where n counts consecutive
+    (src -> dst) pairs in each user's timeline and prob is the
+    row-normalized transition probability (pure ratio, ROUND 6).
+
+    ``order_cols`` break timestamp ties deterministically (event id by
+    default) — without a total order the lead() below is
+    partition-order dependent and the result non-reproducible.
+
+    Plan: ONE user-keyed exchange for the sequence window (lead over
+    (ts, *order_cols) within user), then a (src, dst)-keyed count agg —
+    5x5-ish output for a bounded event-type vocabulary. Row totals come
+    from a window over the tiny transition matrix itself, not a second
+    pass over the events.
+    """
+    w = Window.partitionBy(user_col).orderBy(ts_col, *order_cols)
+    pairs = (
+        events.withColumn("dst", F.lead(type_col).over(w))
+        .filter(F.col("dst").isNotNull())
+        .groupBy(F.col(type_col).alias("src"), "dst")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    wt = Window.partitionBy("src")
+    return pairs.select(
+        "src",
+        "dst",
+        F.col("n").cast("long").alias("n"),
+        F.round(F.col("n") / F.sum("n").over(wt).cast("double"), 6).alias(
+            "prob"
+        ),
+    )
+
+
+def daily_volume_zscore(
+    events: DataFrame,
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Per-(event_type, day) volume with a z-score against that type's
+    own daily history: (event_type, day, n, zscore). The basic volume
+    anomaly detector — |z| >= 3 flags a day whose event count departs
+    from the type's mean by 3 sample standard deviations.
+
+    z = (n - avg_type(n)) / stddev_samp_type(n), ROUND 6; types with a
+    single day (stddev NULL) or constant volume (stddev 0) emit NULL —
+    explicitly, rather than Inf/NaN, since NaN ordering differs across
+    engines.
+
+    Plan: one (type, day)-keyed count agg over the events (map-side
+    combine does the heavy lifting — days x types is tiny), then the
+    mean/stddev window over that tiny aggregate. The raw event stream
+    is touched exactly once.
+    """
+    day = F.to_date(F.col(ts_col)).alias("day")
+    counts = events.groupBy(F.col(type_col).alias("event_type"), day).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w = Window.partitionBy("event_type")
+    sd = F.stddev_samp(F.col("n").cast("double")).over(w)
+    mu = F.avg(F.col("n").cast("double")).over(w)
+    z = F.when(
+        sd.isNull() | (sd == 0), F.lit(None).cast("double")
+    ).otherwise(F.round((F.col("n") - mu) / sd, 6))
+    return counts.select(
+        "event_type",
+        "day",
+        F.col("n").cast("long").alias("n"),
+        z.alias("zscore"),
+    )

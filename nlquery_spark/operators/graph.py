@@ -93,6 +93,76 @@ def triangle_counts(edges: DataFrame, src: str = "src", dst: str = "dst") -> Dat
     )
 
 
+def khop_neighbors(
+    edges: DataFrame,
+    seeds: DataFrame,
+    k: int = 3,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Minimum-hop distance (<= k) from a seed set over an undirected
+    graph: (node, depth) for every node reachable within k hops,
+    depth = LENGTH OF THE SHORTEST PATH from any seed (seeds at 0).
+
+    The KG-serving primitive behind "entities related to X within n
+    hops" — subgraph extraction around a query entity after
+    canonicalization (reference analog: none; nlquery ranks flat match
+    combinations, Recognizer.cs, and has no graph traversal — this is
+    mission-added Spark-native design).
+
+    Scale design — level-synchronous frontier BFS, the textbook Pregel
+    schedule expressed as k DataFrame joins: each round expands only
+    the CURRENT frontier (nodes first reached last round), distincts
+    the neighbor set, and anti-joins the visited set so a node is
+    labeled with its minimum depth exactly once. The frontier is
+    broadcast onto the edge relation while it is small (AQE decides;
+    k-hop frontiers around one entity are tiny relative to the edge
+    set), so a round is typically map-side — the edge relation is never
+    shuffled per round. Both the frontier and the visited accumulator
+    are localCheckpointed each round: iterative lineage otherwise grows
+    exponentially and replays every prior round's joins (the standard
+    iterative-DataFrame trap; same discipline as canonicalize's CC
+    loop). Rounds are exactly k — bounded depth, no convergence test —
+    so the job graph is static and resumable.
+
+    Input edges may be duplicated / either orientation; they are
+    canonicalized + symmetrized once up front (one distinct), then
+    reused across all k rounds via an eager localCheckpoint.
+    """
+    if k < 0:
+        raise ValueError("khop_neighbors needs k >= 0")
+    e = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .filter(
+            F.col("a").isNotNull()
+            & F.col("b").isNotNull()
+            & (F.col("a") != F.col("b"))
+        )
+        .distinct()
+    )
+    und = (
+        e.unionAll(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        # consumed once per BFS round: materialize the symmetrized edge
+        # set (and the whole pair-generation lineage behind it) once
+        .localCheckpoint(eager=True)
+    )
+    visited = seeds.select(F.col(seeds.columns[0]).alias("node")).distinct()
+    visited = visited.withColumn("depth", F.lit(0)).localCheckpoint(eager=True)
+    frontier = visited.select("node")
+    for d in range(1, k + 1):
+        nxt = (
+            und.join(F.broadcast(frontier), und.a == frontier.node)
+            .select(F.col("b").alias("node"))
+            .distinct()
+            .join(visited.select("node"), "node", "left_anti")
+            .withColumn("depth", F.lit(d))
+            .localCheckpoint(eager=True)
+        )
+        visited = visited.unionAll(nxt).localCheckpoint(eager=True)
+        frontier = nxt.select("node")
+    return visited.select("node", F.col("depth").cast("int").alias("depth"))
+
+
 def cooccurrence_lift(
     occurrences: DataFrame,
     group_col: str,

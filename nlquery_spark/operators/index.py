@@ -132,6 +132,99 @@ def phrase_search(
     )
 
 
+def bm25_topk(
+    docs: DataFrame,
+    query: str,
+    k: int = 20,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Top-k documents for a free-text query ranked by BM25 — the
+    ranking layer a search/match service puts on top of
+    :func:`inverted_index` (reference analog: the reference ranks
+    candidate matches by per-matcher score weights,
+    src/NReco.NLQuery/Recognizer.cs + Matchers/ExactPhraseMatcher.cs
+    score properties; BM25 is the corpus-statistics generalization of
+    that idea — rarity-weighted, length-normalized term scoring).
+
+    Uses the Lucene/ATIRE BM25 variant whose idf is always positive:
+        idf(t)  = ln((N - df + 0.5) / (df + 0.5) + 1)
+        s(d, t) = idf * tf * (k1 + 1) / (tf + k1 * (1 - b + b * dl/avgdl))
+    Output: (doc_id, bm25) — score ROUNDed to 6 so an ANSI-SQL oracle
+    is value-hash comparable (ln() here is safe cross-engine: the
+    rounding boundary is ~1e10 ulps away for O(1) scores, unlike the
+    pure-ratio-only contract cooccurrence_lift needs for PMI — and the
+    parity suite pins it empirically). Ties broken by ascending doc id,
+    so top-k is a total order and deterministic.
+
+    Plan — ONE corpus scan (the phrase_search discipline): a single
+    tokenization pass aggregates, per document, its LENGTH and its
+    per-query-term frequencies (conditional sums — the term list is a
+    query, i.e. tiny). Corpus statistics (N, avgdl, per-term df) reduce
+    from that same per-doc relation — no second pass — into a 1-row
+    DataFrame that is BROADCAST back onto the per-doc side, so scoring
+    is a map-only stage; the only corpus-wide exchange is the per-doc
+    aggregation itself (doc-keyed), and the final top-k is a global
+    sort of the matching docs only (rows with score 0 — no query term —
+    are dropped before the sort).
+    """
+    terms = list(dict.fromkeys(t for t in query.lower().split() if t))
+    if not terms:
+        raise ValueError("bm25_topk needs a non-empty query")
+    toks = docs.select(
+        F.col(id_col).alias("doc"),
+        F.explode(F.split(F.trim(F.lower(F.col(text_col))), r"\s+")).alias(
+            "token"
+        ),
+    )
+    per = toks.groupBy("doc").agg(
+        F.count(F.lit(1)).alias("dl"),
+        *[
+            F.sum(F.when(F.col("token") == t, 1).otherwise(0)).alias(f"tf_{i}")
+            for i in range(len(terms))
+            for t in [terms[i]]
+        ],
+    )
+    # two consumers (the corpus-stats reduction and the scoring side):
+    # materialize the per-doc aggregate once — it is 1 short row per
+    # document, tiny next to the token stream — or Catalyst replays the
+    # whole corpus tokenization+aggregation for each (plan-verified:
+    # un-checkpointed, the physical plan scans the parquet twice)
+    per = per.localCheckpoint(eager=True)
+    stats = per.agg(
+        F.count(F.lit(1)).alias("n_corpus"),
+        F.avg("dl").alias("avgdl"),
+        *[
+            F.sum(F.when(F.col(f"tf_{i}") > 0, 1).otherwise(0)).alias(f"df_{i}")
+            for i in range(len(terms))
+        ],
+    )
+    scored = per.crossJoin(F.broadcast(stats))
+    score = None
+    for i in range(len(terms)):
+        idf = F.log(
+            (F.col("n_corpus") - F.col(f"df_{i}") + F.lit(0.5))
+            / (F.col(f"df_{i}") + F.lit(0.5))
+            + F.lit(1.0)
+        )
+        tf = F.col(f"tf_{i}").cast("double")
+        norm = tf + F.lit(k1) * (
+            F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.col("avgdl")
+        )
+        s = idf * tf * F.lit(k1 + 1.0) / norm
+        score = s if score is None else score + s
+    return (
+        scored.select(
+            F.col("doc").alias(id_col), F.round(score, 6).alias("bm25")
+        )
+        .filter(F.col("bm25") > 0)
+        .orderBy(F.desc("bm25"), F.asc(id_col))
+        .limit(k)
+    )
+
+
 def phrase_search_postings(
     index: DataFrame,
     phrase: str,

@@ -161,3 +161,68 @@ FROM p JOIN c ca ON p.item_a = ca.item JOIN c cb ON p.item_b = cb.item
 """).fetchall()
     }
     assert got == want and got
+
+
+def _brute_khop(edge_set, seeds, k):
+    adj = {}
+    for a, b in edge_set:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    depth = {s: 0 for s in seeds}
+    frontier = set(seeds)
+    for d in range(1, k + 1):
+        frontier = {
+            n for f in frontier for n in adj.get(f, ()) if n not in depth
+        }
+        for n in frontier:
+            depth[n] = d
+    return depth
+
+
+def test_khop_path_graph(spark):
+    from nlquery_spark.operators.graph import khop_neighbors
+
+    # 0-1-2-3-4-5 path: depth == distance, truncated at k
+    edges = [(i, i + 1) for i in range(5)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    seeds = spark.createDataFrame([(0,)], "node long")
+    got = {r.node: r.depth for r in khop_neighbors(df, seeds, k=3).collect()}
+    assert got == {0: 0, 1: 1, 2: 2, 3: 3}
+
+
+def test_khop_min_depth_over_multiple_paths(spark):
+    from nlquery_spark.operators.graph import khop_neighbors
+
+    # node 3 reachable at depth 1 (0-3) AND depth 2 (0-1-3): min wins.
+    # duplicates + reversed orientation + self-loop must not matter.
+    edges = [(0, 1), (1, 0), (1, 3), (0, 3), (3, 3), (3, 4)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    seeds = spark.createDataFrame([(0,)], "node long")
+    got = {r.node: r.depth for r in khop_neighbors(df, seeds, k=2).collect()}
+    assert got == {0: 0, 1: 1, 3: 1, 4: 2}
+
+
+def test_khop_multi_seed_and_k0(spark):
+    from nlquery_spark.operators.graph import khop_neighbors
+
+    edges = [(0, 1), (1, 2), (10, 11)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    seeds = spark.createDataFrame([(0,), (10,), (10,)], "node long")
+    got = {r.node: r.depth for r in khop_neighbors(df, seeds, k=1).collect()}
+    assert got == {0: 0, 10: 0, 1: 1, 11: 1}
+    got0 = {r.node: r.depth for r in khop_neighbors(df, seeds, k=0).collect()}
+    assert got0 == {0: 0, 10: 0}  # seeds only, deduped
+
+
+def test_khop_random_graph_matches_bruteforce(spark):
+    from nlquery_spark.operators.graph import khop_neighbors
+
+    rng = random.Random(11)
+    edges = {
+        (rng.randrange(30), rng.randrange(30)) for _ in range(70)
+    }
+    edges = [(a, b) for a, b in edges if a != b]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    seeds = spark.createDataFrame([(0,), (7,)], "node long")
+    got = {r.node: r.depth for r in khop_neighbors(df, seeds, k=4).collect()}
+    assert got == _brute_khop(edges, [0, 7], 4)

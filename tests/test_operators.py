@@ -633,3 +633,64 @@ def test_phrase_search_postings_never_touches_corpus(spark, tmp_path):
     assert plan.count("Scan parquet") == 2  # the two term streams, both index reads
     assert "documents.parquet" not in plan
     assert "In(token" in plan or "isin" in plan.lower() or "token#" in plan
+
+
+def test_bm25_hand_computed(spark):
+    """BM25 scores against a by-hand computation on a 3-doc corpus."""
+    import math
+
+    from nlquery_spark.operators.index import bm25_topk
+
+    docs = spark.createDataFrame(
+        [
+            (1, "cat dog cat"),
+            (2, "dog dog dog"),
+            (3, "bird bird bird bird"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r.bm25 for r in bm25_topk(docs, "cat dog", k=10).collect()}
+
+    def score(tf, df, dl, n=3, avgdl=10 / 3, k1=1.2, b=0.75):
+        idf = math.log((n - df + 0.5) / (df + 0.5) + 1)
+        return idf * tf * (k1 + 1) / (tf + k1 * (1 - b + b * dl / avgdl))
+
+    want1 = round(score(2, 1, 3) + score(1, 2, 3), 6)  # cat x2, dog x1
+    want2 = round(score(3, 2, 3), 6)                   # dog x3
+    assert out.keys() == {1, 2}                        # doc 3: no query term
+    assert out[1] == pytest.approx(want1, abs=1e-6)
+    assert out[2] == pytest.approx(want2, abs=1e-6)
+    # the rare term ("cat", df=1) outweighs the common one: doc 1 wins
+    assert out[1] > out[2]
+
+
+def test_bm25_topk_total_order_and_k(spark):
+    """Equal-score ties break by ascending doc id and k truncates."""
+    from nlquery_spark.operators.index import bm25_topk
+
+    docs = spark.createDataFrame(
+        [(i, "same text here") for i in range(10, 0, -1)],
+        "doc_id long, text string",
+    )
+    rows = bm25_topk(docs, "same", k=4).collect()
+    assert [r.doc_id for r in rows] == [1, 2, 3, 4]
+    assert len({r.bm25 for r in rows}) == 1
+
+
+def test_bm25_single_corpus_scan(spark):
+    """One tokenization pass: corpus stats reduce from the per-doc
+    aggregate and broadcast back — the plan reads the parquet once."""
+    from nlquery_spark.operators.index import bm25_topk
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = (
+        bm25_topk(docs, "table hash spark", k=20)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # the corpus is read once, during the per-doc aggregate's eager
+    # checkpoint; the query plan itself reads only the checkpoint
+    assert "Scan parquet" not in plan
+    assert "Scan ExistingRDD" in plan
+    assert "BroadcastExchange" in plan or "BroadcastNestedLoopJoin" in plan

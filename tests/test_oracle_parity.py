@@ -327,6 +327,8 @@ def test_correctness_window_holds_all_active_queries():
     stable_tail = {
         # every entry here has a green row in CORRECTNESS_r04.json and
         # unchanged query code in round 5
+        "corpus_clean", "corpus_sample", "doc_heavy_hitters",
+        "gazetteer_mentions", "gazetteer_topk_entities",
         "kg_pagerank", "kg_similarity_edges", "kg_canonicalize",
         "kg_degree_stats", "kg_negative_samples", "dedup_minhash",
         "dedup_simhash", "dedup_embedding", "emb_neardup_exact",
