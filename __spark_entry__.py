@@ -1227,8 +1227,8 @@ WITH t AS (
   SELECT doc_id,
     -- empty-text guard mirrors tokens() (blank -> [] not ['']); the
     -- numerator strips EVERY whitespace char = sum of token lengths
-    CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
-         ELSE string_split_regex(trim(text), '[ \t\n\x0B\f\r]+') END AS w,
+    CASE WHEN length(trim(text, ' ')) = 0 THEN CAST([] AS VARCHAR[])
+         ELSE string_split_regex(trim(text, ' '), '[ \t\n\x0B\f\r]+') END AS w,
     length(regexp_replace(text, '[ \t\n\x0B\f\r]', '', 'g')) AS n_chars
   FROM documents
 )
@@ -1259,8 +1259,8 @@ def _quality_sql() -> str:
     return rf"""
 WITH t AS (
   SELECT doc_id, text,
-    CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
-         ELSE string_split_regex(trim(text), '[ \t\n\x0B\f\r]+') END AS w
+    CASE WHEN length(trim(text, ' ')) = 0 THEN CAST([] AS VARCHAR[])
+         ELSE string_split_regex(trim(text, ' '), '[ \t\n\x0B\f\r]+') END AS w
   FROM documents
 ), m AS (
   SELECT doc_id,
@@ -1296,7 +1296,7 @@ def _lang_sql() -> str:
     return rf"""
 WITH t AS (
   SELECT doc_id,
-    list_transform(string_split_regex(trim(text), '[ \t\n\x0B\f\r]+'), x -> lower(x)) AS w
+    list_transform(string_split_regex(trim(text, ' '), '[ \t\n\x0B\f\r]+'), x -> lower(x)) AS w
   FROM documents
 ), h AS (
   SELECT doc_id,
@@ -1324,7 +1324,7 @@ def _doc_fingerprint(spark, sf_dir):
 _FINGERPRINT_SQL = r"""
 SELECT doc_id,
   md5(array_to_string(list_sort(list_distinct(
-    list_transform(string_split_regex(trim(text), '[ \t\n\x0B\f\r]+'), x -> lower(x)))), ' ')) AS fingerprint
+    list_transform(string_split_regex(trim(text, ' '), '[ \t\n\x0B\f\r]+'), x -> lower(x)))), ' ')) AS fingerprint
 FROM documents
 """
 
@@ -1361,7 +1361,7 @@ def _dedup_ngram_jaccard(spark, sf_dir):
 
 _JACCARD_SQL = r"""
 WITH t AS (
-  SELECT doc_id, string_split_regex(trim(lower(text)), '[ \t\n\x0B\f\r]+') AS w
+  SELECT doc_id, string_split_regex(trim(lower(text), ' '), '[ \t\n\x0B\f\r]+') AS w
   FROM documents WHERE doc_id < 120
 ), sh0 AS (
   SELECT DISTINCT doc_id, s FROM (
@@ -1416,8 +1416,8 @@ def _subword_sql() -> str:
 WITH t AS (
   SELECT doc_id,
     len(regexp_extract_all(text, '{pat}')) AS n_subwords,
-    CASE WHEN length(trim(text)) = 0 THEN 0
-         ELSE len(string_split_regex(trim(text), '[ \t\n\x0B\f\r]+')) END AS n_words
+    CASE WHEN length(trim(text, ' ')) = 0 THEN 0
+         ELSE len(string_split_regex(trim(text, ' '), '[ \t\n\x0B\f\r]+')) END AS n_words
   FROM documents
 )
 SELECT doc_id, CAST(n_subwords AS BIGINT) AS n_subwords,
@@ -1466,15 +1466,15 @@ WITH ql AS (
              THEN CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) / length(text)
              ELSE 0.0 END * 0.3, 6) AS quality
   FROM (SELECT doc_id, text,
-          CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
-               ELSE string_split_regex(trim(text), '[ \t\n\x0B\f\r]+') END AS w
+          CASE WHEN length(trim(text, ' ')) = 0 THEN CAST([] AS VARCHAR[])
+               ELSE string_split_regex(trim(text, ' '), '[ \t\n\x0B\f\r]+') END AS w
         FROM documents WHERE doc_id < 120)
 ), base AS (
   SELECT doc_id, text, n_tokens, quality FROM ql
   WHERE quality >= 0.75
   QUALIFY ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1
 ), t AS (
-  SELECT doc_id, string_split_regex(trim(lower(text)), '[ \t\n\x0B\f\r]+') AS w FROM base
+  SELECT doc_id, string_split_regex(trim(lower(text), ' '), '[ \t\n\x0B\f\r]+') AS w FROM base
 ), sh0 AS (
   SELECT DISTINCT doc_id, s FROM (
     SELECT doc_id,
@@ -1517,8 +1517,8 @@ def _doc_repetition(spark, sf_dir):
 _REPETITION_SQL = r"""
 WITH t AS (
   SELECT doc_id,
-    CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
-         ELSE string_split_regex(trim(lower(text)), '[ \t\n\x0B\f\r]+') END AS w
+    CASE WHEN length(trim(text, ' ')) = 0 THEN CAST([] AS VARCHAR[])
+         ELSE string_split_regex(trim(lower(text), ' '), '[ \t\n\x0B\f\r]+') END AS w
   FROM documents
 ), bg AS (
   SELECT doc_id, bigram, COUNT(*) AS n FROM (
@@ -1640,8 +1640,8 @@ def _doc_chunks(spark, sf_dir):
 _CHUNKS_SQL = r"""
 WITH t AS (
   SELECT doc_id,
-    CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
-         ELSE string_split_regex(trim(text), '[ \t\n\x0B\f\r]+') END AS w
+    CASE WHEN length(trim(text, ' ')) = 0 THEN CAST([] AS VARCHAR[])
+         ELSE string_split_regex(trim(text, ' '), '[ \t\n\x0B\f\r]+') END AS w
   FROM documents
 ), sized AS (
   SELECT doc_id, w, len(w) AS n,
@@ -1692,7 +1692,7 @@ def _doc_heavy_hitters(spark, sf_dir):
 
 _HEAVY_HITTERS_SQL = r"""
 SELECT t AS token, COUNT(*) AS n FROM (
-  SELECT unnest(string_split_regex(trim(lower(text)), '[ \t\n\x0B\f\r]+')) AS t
+  SELECT unnest(string_split_regex(trim(lower(text), ' '), '[ \t\n\x0B\f\r]+')) AS t
   FROM documents
 ) GROUP BY t HAVING COUNT(*) >= 400
 """
@@ -1712,7 +1712,7 @@ def _gazetteer_sql() -> str:
     lst = ", ".join(f"'{w}'" for w in GAZETTEER)
     return rf"""
 SELECT doc_id, t AS token, COUNT(*) AS n_mentions FROM (
-  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '[ \t\n\x0B\f\r]+')) AS t
+  SELECT doc_id, unnest(string_split_regex(trim(lower(text), ' '), '[ \t\n\x0B\f\r]+')) AS t
   FROM documents
 ) WHERE t IN ({lst})
 GROUP BY doc_id, t
@@ -1743,7 +1743,7 @@ def _gazetteer_topk_sql() -> str:
     return rf"""
 WITH counts AS (
   SELECT doc_id, t AS token, COUNT(*) AS n_mentions FROM (
-    SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '[ \t\n\x0B\f\r]+')) AS t
+    SELECT doc_id, unnest(string_split_regex(trim(lower(text), ' '), '[ \t\n\x0B\f\r]+')) AS t
     FROM documents
   ) WHERE t IN ({lst})
   GROUP BY doc_id, t
@@ -2343,7 +2343,7 @@ def _minhash_sql() -> str:
     )
     return rf"""
 WITH t AS (
-  SELECT doc_id, string_split_regex(trim(lower(text)), '[ \t\n\x0B\f\r]+') AS w
+  SELECT doc_id, string_split_regex(trim(lower(text), ' '), '[ \t\n\x0B\f\r]+') AS w
   FROM documents WHERE doc_id < 200
 ), tf AS (
   -- python side filters empty tokens (ws.split + truthy filter)
@@ -2407,7 +2407,7 @@ def _dedup_simhash(spark, sf_dir):
 _SIMHASH_SQL = r"""
 WITH toks AS (
   SELECT doc_id,
-    unnest(list_filter(string_split_regex(trim(lower(text)), '[ \t\n\x0B\f\r]+'),
+    unnest(list_filter(string_split_regex(trim(lower(text), ' '), '[ \t\n\x0B\f\r]+'),
                        x -> x <> '')) AS tok
   FROM documents WHERE doc_id < 200
 ), th AS (
@@ -2602,8 +2602,8 @@ def _chunk_boilerplate(spark, sf_dir):
 _BOILERPLATE_SQL = r"""
 WITH t AS (
   SELECT doc_id,
-    CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
-         ELSE string_split_regex(trim(text), '[ \t\n\x0B\f\r]+') END AS w
+    CASE WHEN length(trim(text, ' ')) = 0 THEN CAST([] AS VARCHAR[])
+         ELSE string_split_regex(trim(text, ' '), '[ \t\n\x0B\f\r]+') END AS w
   FROM documents
 ), sized AS (
   SELECT doc_id, w, len(w) AS n,
@@ -2659,8 +2659,8 @@ def _paragraph_boilerplate(spark, sf_dir):
 _PARAGRAPH_BOILERPLATE_SQL = r"""
 WITH t AS (
   SELECT doc_id,
-    CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
-         ELSE string_split_regex(trim(text), '[ \t\n\x0B\f\r]+') END AS w
+    CASE WHEN length(trim(text, ' ')) = 0 THEN CAST([] AS VARCHAR[])
+         ELSE string_split_regex(trim(text, ' '), '[ \t\n\x0B\f\r]+') END AS w
   FROM documents
 ), p AS (
   SELECT doc_id, i - 1 AS pos, w[i] AS token,
@@ -2746,7 +2746,7 @@ _INVERTED_INDEX_SQL = r"""
 WITH t AS (
   SELECT doc_id,
     (('0x' || substr(md5('shard:' || doc_id), 1, 16))::UBIGINT % 4)::BIGINT AS shard,
-    string_split_regex(trim(lower(text)), '[ \t\n\x0B\f\r]+') AS w
+    string_split_regex(trim(lower(text), ' '), '[ \t\n\x0B\f\r]+') AS w
   FROM documents
 ), p AS (
   SELECT doc_id, shard, w[i] AS token, i - 1 AS pos
@@ -2773,7 +2773,7 @@ def _index_phrase_search(spark, sf_dir):
 
 _PHRASE_SEARCH_SQL = r"""
 WITH t AS (
-  SELECT doc_id, string_split_regex(trim(lower(text)), '[ \t\n\x0B\f\r]+') AS w
+  SELECT doc_id, string_split_regex(trim(lower(text), ' '), '[ \t\n\x0B\f\r]+') AS w
   FROM documents
 ), p AS (
   SELECT doc_id, w[i] AS a, w[i + 1] AS b
@@ -2972,7 +2972,7 @@ def _decontaminate_sql() -> str:
     gram = " || ' ' || ".join(f"w[i+{j}]" if j else "w[i]" for j in range(n))
     return rf"""
 WITH t AS (
-  SELECT doc_id, string_split_regex(trim(lower(text)), '[ \t\n\x0B\f\r]+') AS w
+  SELECT doc_id, string_split_regex(trim(lower(text), ' '), '[ \t\n\x0B\f\r]+') AS w
   FROM documents
 ), g AS (
   SELECT DISTINCT doc_id, s FROM (
@@ -3030,7 +3030,7 @@ def _cooccurrence_sql() -> str:
 WITH toks AS (
   SELECT doc_id, token FROM (
     SELECT DISTINCT doc_id, t AS token FROM (
-      SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '[ \t\n\x0B\f\r]+')) AS t
+      SELECT doc_id, unnest(string_split_regex(trim(lower(text), ' '), '[ \t\n\x0B\f\r]+')) AS t
       FROM documents
     ) WHERE t IN ({lst})
   ) QUALIFY ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY token) <= 10000
@@ -3122,7 +3122,7 @@ def _index_bm25_topk(spark, sf_dir):
 _BM25_SQL = r"""
 WITH toks AS (
   SELECT doc_id,
-         unnest(string_split_regex(trim(lower(text)), '[ \t\n\x0B\f\r]+')) AS token
+         unnest(string_split_regex(trim(lower(text), ' '), '[ \t\n\x0B\f\r]+')) AS token
   FROM documents
 ), per AS (
   SELECT doc_id, COUNT(*) AS dl,

@@ -21,3 +21,11 @@ from pyspark.sql import functions as F
 def md5_u64(col) -> "F.Column":
     """First 64 bits of md5(col) as decimal(20,0) (unsigned)."""
     return F.conv(F.substring(F.md5(col), 1, 16), 16, 10).cast("decimal(20,0)")
+
+
+def md5_u64_py(s: str) -> int:
+    """The SAME hash for Python-side kernels (Arrow UDF batches):
+    bit-identical to :func:`md5_u64` and the DuckDB UBIGINT form."""
+    import hashlib
+
+    return int(hashlib.md5(s.encode("utf-8")).hexdigest()[:16], 16)

@@ -437,12 +437,15 @@ def content_defined_chunks(
     spaces, split on the explicit [ \\t\\n\\x0B\\f\\r]+ class, KEEPING
     leading/trailing empty fields (Spark's F.split uses limit=-1, which
     preserves them — unlike Java String.split's default — and the
-    DuckDB string_split_regex oracles match that) — pinned by the
+    DuckDB string_split_regex oracles match that; the oracles also use
+    the explicit ``trim(x, ' ')`` charset form, because DuckDB's bare
+    ``trim()`` strips unicode spaces like NBSP where Spark's F.trim /
+    Python's ``strip(' ')`` do not — NBSP-edged docs are in the fuzz
+    parity corpus) — pinned by the
     token-partition test and the fuzz-corpus parity suite, which
     caught exactly this edge when the first cut dropped trailing
     empties.
     """
-    import hashlib
     import re
 
     from pyspark.sql.types import (
@@ -469,13 +472,14 @@ def content_defined_chunks(
     def run(batches):
         import pandas as pd
 
+        from ..functions.hashing import md5_u64_py
+
         bcache: dict = {}
 
         def is_boundary(tok: str) -> bool:
             b = bcache.get(tok)
             if b is None:
-                h = hashlib.md5(f"{salt}:{tok}".encode()).hexdigest()[:16]
-                b = int(h, 16) % mod == 0
+                b = md5_u64_py(f"{salt}:{tok}") % mod == 0
                 bcache[tok] = b
             return b
 

@@ -211,10 +211,11 @@ def minhash_signatures(
     )
 
     def compute(batches):
-        import hashlib
         import re
 
         import pandas as pd
+
+        from ..functions.hashing import md5_u64_py
 
         a = a_params.astype(object)  # python ints: exact 125-bit products
         b = b_params.astype(object)
@@ -224,7 +225,7 @@ def minhash_signatures(
         def sh_hash(s: str) -> int:
             h = memo.get(s)
             if h is None:
-                h = int(hashlib.md5(s.encode()).hexdigest()[:16], 16)
+                h = md5_u64_py(s)
                 memo[s] = h
             return h
 
@@ -329,10 +330,11 @@ def simhash_signatures(
     schema = StructType([StructField("id", LongType(), False), StructField("simhash", LongType(), False)])
 
     def compute(batches):
-        import hashlib
         import re
 
         import pandas as pd
+
+        from ..functions.hashing import md5_u64_py
 
         ws = re.compile(r"\s+", re.ASCII)
         memo: dict = {}  # tokens repeat heavily; one md5 per distinct token
@@ -340,7 +342,7 @@ def simhash_signatures(
         def tok_hash(t: str) -> int:
             h = memo.get(t)
             if h is None:
-                h = int(hashlib.md5(t.encode()).hexdigest()[:16], 16)
+                h = md5_u64_py(t)
                 memo[t] = h
             return h
 

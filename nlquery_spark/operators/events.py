@@ -36,30 +36,47 @@ def funnel_stages(
     within that many seconds of the step-i timestamp (the "converted
     within an hour" product question). None = unbounded.
 
-    Plan: stage i is a user-keyed min-timestamp aggregation of the
-    step-i events JOINED to the stage-(i-1) reach set — each join is on
-    the user key, and the reach set only shrinks, so AQE broadcasts it
-    as soon as it fits (at web scale the step-1 set is the big one and
-    that join is a plain user-keyed shuffle; everything downstream is
-    broadcast-sized). The per-stage user COUNTS are three 1-row
-    aggregates unioned JVM-side and joined to their predecessor by
-    stage index — no driver-side .collect() anywhere, so the funnel
-    composes into larger plans and the counts stay in the JVM.
+    Plan — ONE event-table scan: the source is prefiltered to the
+    funnel's step types, projected to (user, ts, type), and eagerly
+    localCheckpointed; every stage reads that checkpoint (without it,
+    Catalyst replays the source lineage for EACH consumer — stage i
+    feeds both its count and stage i+1, so a k-stage funnel re-scanned
+    the events k(k+1)/2 times, plan-verified). Stage i is then a
+    user-keyed min-timestamp aggregation of step-i rows JOINED to the
+    checkpointed stage-(i-1) reach set — each join is on the user key,
+    and the reach set only shrinks, so AQE broadcasts it as soon as it
+    fits. The per-stage user COUNTS are 1-row aggregates unioned
+    JVM-side with conversion from a lag window over the k-row frame —
+    no driver-side .collect() anywhere, so the funnel composes into
+    larger plans and the counts stay in the JVM. An EMPTY intermediate
+    stage yields NULL conversion for the next stage (never a
+    divide-by-zero error or NaN — ANSI division would abort the job,
+    and NaN diverges from SQL engines' NULL).
     """
     steps = list(steps)
     if not steps:
         raise ValueError("funnel_stages needs at least one step")
+    base = (
+        events.filter(F.col(type_col).isin(steps))
+        .select(
+            F.col(user_col).alias("user"),
+            F.col(ts_col).alias("ts"),
+            F.col(type_col).alias("step"),
+        )
+        .localCheckpoint(eager=True)
+    )
     reach = (
-        events.filter(F.col(type_col) == steps[0])
-        .groupBy(user_col)
-        .agg(F.min(ts_col).alias("t"))
+        base.filter(F.col("step") == steps[0])
+        .groupBy("user")
+        .agg(F.min("ts").alias("t"))
+        .localCheckpoint(eager=True)
     )
     counts = reach.agg(F.count(F.lit(1)).alias("users")).select(
         F.lit(1).alias("stage"), F.lit(steps[0]).alias("event_type"), "users"
     )
     for i, step in enumerate(steps[1:], start=2):
-        nxt = events.filter(F.col(type_col) == step).select(
-            user_col, F.col(ts_col).alias("ts_i")
+        nxt = base.filter(F.col("step") == step).select(
+            "user", F.col("ts").alias("ts_i")
         )
         cond = F.col("ts_i") > F.col("t")
         if within_seconds is not None:
@@ -68,10 +85,11 @@ def funnel_stages(
                 <= F.col("t") + F.expr(f"INTERVAL {int(within_seconds)} SECOND")
             )
         reach = (
-            nxt.join(reach, user_col)
+            nxt.join(reach, "user")
             .filter(cond)
-            .groupBy(user_col)
+            .groupBy("user")
             .agg(F.min("ts_i").alias("t"))
+            .localCheckpoint(eager=True)
         )
         counts = counts.unionAll(
             reach.agg(F.count(F.lit(1)).alias("users")).select(
@@ -85,6 +103,7 @@ def funnel_stages(
         "event_type",
         F.col("users").cast("long").alias("users"),
         F.when(prev.isNull(), F.lit(1.0))
+        .when(prev == 0, F.lit(None).cast("double"))
         .otherwise(F.round(F.col("users") / prev.cast("double"), 6))
         .alias("conversion"),
     )

@@ -99,6 +99,7 @@ def khop_neighbors(
     k: int = 3,
     src: str = "src",
     dst: str = "dst",
+    broadcast_frontier: bool = True,
 ) -> DataFrame:
     """Minimum-hop distance (<= k) from a seed set over an undirected
     graph: (node, depth) for every node reachable within k hops,
@@ -114,11 +115,16 @@ def khop_neighbors(
     schedule expressed as k DataFrame joins: each round expands only
     the CURRENT frontier (nodes first reached last round), distincts
     the neighbor set, and anti-joins the visited set so a node is
-    labeled with its minimum depth exactly once. The frontier is
-    broadcast onto the edge relation while it is small (AQE decides;
-    k-hop frontiers around one entity are tiny relative to the edge
-    set), so a round is typically map-side — the edge relation is never
-    shuffled per round. Both the frontier and the visited accumulator
+    labeled with its minimum depth exactly once. With
+    ``broadcast_frontier=True`` (default) each round FORCES a broadcast
+    of the frontier onto the edge relation — a mandatory hint, right
+    for the primary use case (k-hop around a handful of query entities,
+    frontier thousands of nodes, edge relation never reshuffled). On
+    dense graphs / large seed sets where a frontier can outgrow the
+    broadcast limit, pass ``broadcast_frontier=False``: the planner
+    falls back to a keyed shuffle join (and AQE still converts rounds
+    whose frontier turns out small). Both the frontier and the visited
+    accumulator
     are localCheckpointed each round: iterative lineage otherwise grows
     exponentially and replays every prior round's joins (the standard
     iterative-DataFrame trap; same discipline as canonicalize's CC
@@ -150,8 +156,9 @@ def khop_neighbors(
     visited = visited.withColumn("depth", F.lit(0)).localCheckpoint(eager=True)
     frontier = visited.select("node")
     for d in range(1, k + 1):
+        fr = F.broadcast(frontier) if broadcast_frontier else frontier
         nxt = (
-            und.join(F.broadcast(frontier), und.a == frontier.node)
+            und.join(fr, und.a == frontier.node)
             .select(F.col("b").alias("node"))
             .distinct()
             .join(visited.select("node"), "node", "left_anti")

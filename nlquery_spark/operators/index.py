@@ -183,8 +183,7 @@ def bm25_topk(
         F.count(F.lit(1)).alias("dl"),
         *[
             F.sum(F.when(F.col("token") == t, 1).otherwise(0)).alias(f"tf_{i}")
-            for i in range(len(terms))
-            for t in [terms[i]]
+            for i, t in enumerate(terms)
         ],
     )
     # two consumers (the corpus-stats reduction and the scoring side):

@@ -124,3 +124,35 @@ def test_daily_zscore_constant_volume_null_not_nan(spark):
     ev = _ev(spark, [(1, 0, 1, "x"), (2, 1440, 1, "x")])
     got = [r.zscore for r in daily_volume_zscore(ev).collect()]
     assert got == [None, None]
+
+
+def test_funnel_empty_intermediate_stage_null_conversion(spark):
+    # stage 2 empties: stage-3 conversion must be NULL (DuckDB x/0
+    # semantics), not a DIVIDE_BY_ZERO error (ANSI) or NaN
+    ev = _ev(spark, [(1, 0, 1, "view"), (2, 1, 1, "purchase")])
+    rows = {
+        r.stage: (r.users, r.conversion)
+        for r in funnel_stages(ev, ["view", "click", "purchase"]).collect()
+    }
+    assert rows == {1: (1, 1.0), 2: (0, 0.0), 3: (0, None)}
+
+
+def test_funnel_single_event_scan(spark, tmp_path):
+    """One source scan: the type-prefiltered projection is checkpointed
+    and every stage reads it — un-checkpointed, a k-stage funnel
+    re-scanned the events k(k+1)/2 times (measured: 6 scans for 3
+    stages before the fix)."""
+    p = str(tmp_path / "ev.parquet")
+    _ev(
+        spark,
+        [(1, 0, 1, "view"), (2, 5, 1, "click"), (3, 9, 1, "purchase")],
+    ).write.parquet(p)
+    ev = spark.read.parquet(p)
+    plan = (
+        funnel_stages(ev, ["view", "click", "purchase"])
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Scan parquet" not in plan      # the one scan ran inside the
+    assert "Scan ExistingRDD" in plan      # eager checkpoint job

@@ -226,3 +226,24 @@ def test_khop_random_graph_matches_bruteforce(spark):
     seeds = spark.createDataFrame([(0,), (7,)], "node long")
     got = {r.node: r.depth for r in khop_neighbors(df, seeds, k=4).collect()}
     assert got == _brute_khop(edges, [0, 7], 4)
+
+
+def test_khop_shuffle_join_mode_matches_broadcast_mode(spark):
+    from nlquery_spark.operators.graph import khop_neighbors
+
+    rng = random.Random(5)
+    edges = [
+        (a, b)
+        for a, b in {(rng.randrange(25), rng.randrange(25)) for _ in range(60)}
+        if a != b
+    ]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    seeds = spark.createDataFrame([(0,)], "node long")
+    fast = {r.node: r.depth for r in khop_neighbors(df, seeds, k=3).collect()}
+    safe = {
+        r.node: r.depth
+        for r in khop_neighbors(
+            df, seeds, k=3, broadcast_frontier=False
+        ).collect()
+    }
+    assert fast == safe
