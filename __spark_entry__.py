@@ -3293,6 +3293,102 @@ FROM c
 """
 
 
+def _event_retention_cohorts(spark, sf_dir):
+    """Cohort analytics surface: weekly retention matrix (cohort = week
+    of a user's first event), the standard growth-accounting view over
+    the event stream. Weeks cast to string for the cross-engine hash
+    (repo date convention) — date_trunc week = ISO Monday in both
+    engines (operators/events.py::retention_cohorts)."""
+    from nlquery_spark.operators.events import retention_cohorts
+
+    ev = _load(spark, sf_dir, "events")["events"]
+    out = retention_cohorts(ev)
+    return out.select(
+        F.col("cohort_week").cast("string").alias("cohort_week"),
+        F.col("activity_week").cast("string").alias("activity_week"),
+        "users",
+        "retention",
+    )
+
+
+_RETENTION_SQL = """
+WITH fw AS (
+  SELECT user_id, MIN(date_trunc('week', ts)) AS cw FROM events GROUP BY user_id
+), act AS (
+  SELECT DISTINCT user_id, date_trunc('week', ts) AS aw FROM events
+), j AS (
+  SELECT cw, aw, COUNT(DISTINCT a.user_id) AS users
+  FROM act a JOIN fw ON a.user_id = fw.user_id GROUP BY cw, aw
+)
+SELECT strftime(CAST(cw AS DATE), '%Y-%m-%d') AS cohort_week,
+       strftime(CAST(aw AS DATE), '%Y-%m-%d') AS activity_week,
+       CAST(users AS BIGINT) AS users,
+       ROUND(CAST(users AS DOUBLE)
+             / MAX(CASE WHEN aw = cw THEN users END) OVER (PARTITION BY cw),
+             6) AS retention
+FROM j
+"""
+
+
+def _part_link_prediction(spark, sf_dir):
+    """KG-completion surface: common-neighbors/Jaccard link prediction
+    over the co-ordered-parts graph — NON-edge pairs sharing >= 2
+    neighbors, ranked by neighborhood overlap (the candidate-edge
+    scorer a KG-completion pass feeds to review). Wedge fan-out capped
+    per node, degrees computed on the same capped adjacency
+    (operators/graph.py::common_neighbor_scores)."""
+    from nlquery_spark.operators.graph import common_neighbor_scores
+
+    li = _load(spark, sf_dir, "lineitem")["lineitem"].select(
+        "l_orderkey", "l_partkey"
+    )
+    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pa"))
+    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pb"))
+    edges = (
+        a.join(b, "ok")
+        .filter(F.col("pa") < F.col("pb"))
+        .groupBy("pa", "pb")
+        .agg(F.count(F.lit(1)).alias("sup"))
+        .filter(F.col("sup") >= 2)
+        .select(F.col("pa").alias("src"), F.col("pb").alias("dst"))
+    )
+    return common_neighbor_scores(edges, min_common=2).select(
+        F.col("node_a").alias("part_a"),
+        F.col("node_b").alias("part_b"),
+        "n_common",
+        "jaccard",
+    )
+
+
+# the QUALIFY mirrors common_neighbor_scores' per-node neighbor cap
+# (10k default, row_number neighbor-ordered) — a no-op at fixture
+# degrees, but without it a capped hub would silently diverge at scale
+# (the cooccurrence_lift convention).
+_LINKPRED_SQL = """
+WITH e AS (
+  SELECT a.l_partkey AS a, b.l_partkey AS b
+  FROM lineitem a
+  JOIN lineitem b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2 HAVING COUNT(*) >= 2
+), und AS (
+  SELECT a, b FROM (
+    SELECT a, b FROM e UNION ALL SELECT b, a FROM e
+  ) QUALIFY ROW_NUMBER() OVER (PARTITION BY a ORDER BY b) <= 10000
+), deg AS (
+  SELECT a, COUNT(*) AS deg FROM und GROUP BY a
+), p AS (
+  SELECT w1.b AS v1, w2.b AS v2, COUNT(*) AS n_common
+  FROM und w1 JOIN und w2 ON w1.a = w2.a AND w1.b < w2.b
+  GROUP BY 1, 2 HAVING COUNT(*) >= 2
+), np AS (
+  SELECT p.* FROM p ANTI JOIN e ON p.v1 = e.a AND p.v2 = e.b
+)
+SELECT np.v1 AS part_a, np.v2 AS part_b, CAST(n_common AS BIGINT) AS n_common,
+  ROUND(CAST(n_common AS DOUBLE) / (da.deg + db.deg - n_common), 6) AS jaccard
+FROM np JOIN deg da ON np.v1 = da.a JOIN deg db ON np.v2 = db.a
+"""
+
+
 # ----------------------------------------------------------------- driver --
 
 
@@ -3345,6 +3441,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_funnel": _event_funnel,
         "event_type_transitions": _event_type_transitions,
         "events_daily_anomaly": _events_daily_anomaly,
+        "event_retention_cohorts": _event_retention_cohorts,
+        "part_link_prediction": _part_link_prediction,
         # -- (c) r4-green fill --------------------------------------------
         "q1_pricing_summary": _q1_pricing_summary,
         "q5_local_supplier": _q5_local_supplier,
@@ -3363,11 +3461,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "purchase_attribution": _purchase_attribution,
         "event_session_assignment": _event_session_assignment,
         "orders_with_returns": _orders_with_returns,
-        "dedup_exact": _dedup_exact,
-        "dedup_ngram_jaccard": _dedup_ngram_jaccard,
         "kg_extract_triples": _kg_extract_triples,
         # -- tail: r4-driver-green, code unchanged this round; every one
         # still oracle-checked per-session by tests/test_oracle_parity.py
+        "dedup_exact": _dedup_exact,
+        "dedup_ngram_jaccard": _dedup_ngram_jaccard,
         "corpus_clean": _corpus_clean,
         "corpus_sample": _corpus_sample,
         "doc_heavy_hitters": _doc_heavy_hitters,
@@ -3456,6 +3554,8 @@ def oracle_sql() -> dict[str, str]:
         "token_cooccurrence_lift": _cooccurrence_sql(),
         "index_bm25_topk": _BM25_SQL,
         "part_khop_neighbors": _KHOP_SQL,
+        "event_retention_cohorts": _RETENTION_SQL,
+        "part_link_prediction": _LINKPRED_SQL,
         "event_funnel": _FUNNEL_SQL,
         "event_type_transitions": _TRANSITIONS_SQL,
         "events_daily_anomaly": _DAILY_ANOMALY_SQL,

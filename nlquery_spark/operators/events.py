@@ -149,6 +149,45 @@ def type_transitions(
     )
 
 
+def retention_cohorts(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Weekly retention-cohort matrix: users are cohorted by the week
+    of their FIRST event, and each (cohort_week, activity_week) cell
+    counts the cohort's users active that week plus the retention
+    ratio vs the cohort's own week-0 size. Output: (cohort_week,
+    activity_week, users, retention) with DATE week columns
+    (date_trunc week = ISO Monday in both Spark and ANSI engines) and
+    retention ROUNDed to 6.
+
+    Plan: one scan feeds both user-keyed aggregates — first-week per
+    user (min) and the distinct (user, week) activity set; the join
+    back is user-keyed and the final cell aggregation is
+    (cohort, week)-keyed. Cohort sizes come from a window over the
+    cells matrix itself (cohorts x weeks — tiny), not a second pass.
+    """
+    week = F.date_trunc("week", F.col(ts_col))
+    fw = events.groupBy(user_col).agg(F.min(week).alias("cohort_w"))
+    act = events.select(user_col, week.alias("activity_w")).distinct()
+    cells = (
+        act.join(fw, user_col)
+        .groupBy("cohort_w", "activity_w")
+        .agg(F.count_distinct(user_col).alias("users"))
+    )
+    w0 = Window.partitionBy("cohort_w")
+    size = F.max(
+        F.when(F.col("activity_w") == F.col("cohort_w"), F.col("users"))
+    ).over(w0)
+    return cells.select(
+        F.col("cohort_w").cast("date").alias("cohort_week"),
+        F.col("activity_w").cast("date").alias("activity_week"),
+        F.col("users").cast("long").alias("users"),
+        F.round(F.col("users") / size.cast("double"), 6).alias("retention"),
+    )
+
+
 def daily_volume_zscore(
     events: DataFrame,
     ts_col: str = "ts",

@@ -170,6 +170,95 @@ def khop_neighbors(
     return visited.select("node", F.col("depth").cast("int").alias("depth"))
 
 
+def common_neighbor_scores(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    min_common: int = 1,
+    max_neighbors: int = 10_000,
+    metrics: dict | None = None,
+) -> DataFrame:
+    """Link prediction over an undirected graph: for every NON-edge
+    pair (a < b) sharing >= ``min_common`` neighbors, emit
+    (node_a, node_b, n_common, jaccard) with
+    jaccard = |N(a) & N(b)| / |N(a) | N(b)| — the classic
+    common-neighbors/Jaccard scores that rank candidate KG edges for
+    completion ("these two entities share most of their neighborhood
+    but no edge yet"). Pure-ratio score (ROUND 6) — same bit-comparable
+    contract as cooccurrence_lift.
+
+    Scale design: the wedge self-join is keyed on the shared neighbor
+    and its fan-out is QUADRATIC in that node's degree — the identical
+    pathology (and identical remedy) as cooccurrence_lift's group
+    fan-out: each node's neighbor list is capped at ``max_neighbors``
+    (row_number, neighbor-ordered — deterministic), with capped-block /
+    dropped-row counts recorded into ``metrics`` — so a celebrity hub
+    bounds its wedge contribution instead of exploding the join. Degrees
+    are computed from the SAME capped relation the wedges read, keeping
+    jaccard internally consistent under the cap. Existing edges are
+    removed with one anti-join on the canonical edge set; the degree
+    joins are node-count-sized (AQE broadcasts them when small).
+    """
+    from .canonicalize import _cap_blocks
+
+    e = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .filter(
+            F.col("a").isNotNull()
+            & F.col("b").isNotNull()
+            & (F.col("a") != F.col("b"))
+        )
+        .distinct()
+        # consumed by the symmetrized adjacency AND the non-edge
+        # anti-join: materialize the canonical edge set once
+        .localCheckpoint(eager=True)
+    )
+    und = e.unionAll(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    und = _cap_blocks(und, max_neighbors, metrics, key_col="a", ord_col="b")
+    und = (
+        und
+        # three consumers (both wedge sides + the degree agg): one
+        # materialization of the capped adjacency, or the edge-set
+        # lineage replays three times
+        .localCheckpoint(eager=True)
+    )
+    deg = und.groupBy("a").agg(F.count(F.lit(1)).alias("deg"))
+    w1 = und.select(F.col("a").alias("u"), F.col("b").alias("v1"))
+    w2 = und.select(F.col("a").alias("u"), F.col("b").alias("v2"))
+    pairs = (
+        w1.join(w2, "u")
+        .filter(F.col("v1") < F.col("v2"))
+        .groupBy("v1", "v2")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+        .filter(F.col("n_common") >= min_common)
+        .join(
+            e.select(F.col("a").alias("v1"), F.col("b").alias("v2")),
+            ["v1", "v2"],
+            "left_anti",
+        )
+    )
+    d1 = deg.select(F.col("a").alias("v1"), F.col("deg").alias("d1"))
+    d2 = deg.select(F.col("a").alias("v2"), F.col("deg").alias("d2"))
+    jac = F.round(
+        F.col("n_common")
+        / (F.col("d1") + F.col("d2") - F.col("n_common")).cast("double"),
+        6,
+    )
+    return (
+        pairs.join(d1, "v1")
+        .join(d2, "v2")
+        .select(
+            F.col("v1").alias("node_a"),
+            F.col("v2").alias("node_b"),
+            F.col("n_common").cast("long").alias("n_common"),
+            jac.alias("jaccard"),
+        )
+    )
+
+
 def cooccurrence_lift(
     occurrences: DataFrame,
     group_col: str,

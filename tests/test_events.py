@@ -8,6 +8,7 @@ import pytest
 from nlquery_spark.operators.events import (
     daily_volume_zscore,
     funnel_stages,
+    retention_cohorts,
     type_transitions,
 )
 
@@ -156,3 +157,26 @@ def test_funnel_single_event_scan(spark, tmp_path):
     )
     assert "Scan parquet" not in plan      # the one scan ran inside the
     assert "Scan ExistingRDD" in plan      # eager checkpoint job
+
+
+def test_retention_cohorts_two_cohorts(spark):
+    # cohort A (users 1,2) first seen week of Jan 1; user 2 returns the
+    # next week. cohort B (user 3) first seen week of Jan 8.
+    ev = _ev(
+        spark,
+        [
+            (1, 0, 1, "view"),               # Mon Jan 1, week 2024-01-01
+            (2, 60, 2, "click"),             # same week
+            (3, 7 * 1440, 2, "view"),        # Mon Jan 8, week 2024-01-08
+            (4, 8 * 1440, 3, "signup"),      # Tue Jan 9, week 2024-01-08
+        ],
+    )
+    got = {
+        (str(r.cohort_week), str(r.activity_week)): (r.users, r.retention)
+        for r in retention_cohorts(ev).collect()
+    }
+    assert got == {
+        ("2024-01-01", "2024-01-01"): (2, 1.0),
+        ("2024-01-01", "2024-01-08"): (1, 0.5),
+        ("2024-01-08", "2024-01-08"): (1, 1.0),
+    }

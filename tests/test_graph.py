@@ -247,3 +247,86 @@ def test_khop_shuffle_join_mode_matches_broadcast_mode(spark):
         ).collect()
     }
     assert fast == safe
+
+
+def _brute_linkpred(edge_set, min_common):
+    adj = {}
+    for a, b in edge_set:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    out = {}
+    nodes = sorted(adj)
+    for i, x in enumerate(nodes):
+        for y in nodes[i + 1:]:
+            if y in adj[x]:
+                continue
+            common = len(adj[x] & adj[y])
+            if common >= min_common:
+                out[(x, y)] = (
+                    common,
+                    round(common / len(adj[x] | adj[y]), 6),
+                )
+    return out
+
+
+def test_common_neighbors_square(spark):
+    from nlquery_spark.operators.graph import common_neighbor_scores
+
+    # square 0-1-2-3-0: both diagonals share exactly their 2 neighbors
+    # and the union is also 2 -> jaccard 1.0; no edge pair appears
+    edges = [(0, 1), (1, 2), (2, 3), (3, 0)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {
+        (r.node_a, r.node_b): (r.n_common, r.jaccard)
+        for r in common_neighbor_scores(df, min_common=2).collect()
+    }
+    assert got == {(0, 2): (2, 1.0), (1, 3): (2, 1.0)}
+
+
+def test_common_neighbors_excludes_existing_edges(spark):
+    from nlquery_spark.operators.graph import common_neighbor_scores
+
+    # triangle + pendant: (0,1) share neighbor 2 but ARE an edge
+    edges = [(0, 1), (0, 2), (1, 2), (2, 3)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {
+        (r.node_a, r.node_b)
+        for r in common_neighbor_scores(df, min_common=1).collect()
+    }
+    assert (0, 1) not in got and (0, 2) not in got
+    assert got == {(0, 3), (1, 3)}
+
+
+def test_common_neighbors_random_matches_bruteforce(spark):
+    from nlquery_spark.operators.graph import common_neighbor_scores
+
+    rng = random.Random(23)
+    edges = [
+        (a, b)
+        for a, b in {(rng.randrange(20), rng.randrange(20)) for _ in range(50)}
+        if a != b
+    ]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {
+        (r.node_a, r.node_b): (r.n_common, r.jaccard)
+        for r in common_neighbor_scores(df, min_common=2).collect()
+    }
+    canonical = {(min(a, b), max(a, b)) for a, b in edges}
+    assert got == _brute_linkpred(canonical, 2)
+
+
+def test_common_neighbors_cap_bounds_hub(spark):
+    from nlquery_spark.operators.graph import common_neighbor_scores
+
+    # star hub 0 with 20 leaves: uncapped, every leaf pair shares hub
+    edges = [(0, i) for i in range(1, 21)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    metrics = {}
+    got = common_neighbor_scores(
+        df, min_common=1, max_neighbors=5, metrics=metrics
+    ).collect()
+    # only the hub's first 5 neighbors (1..5) survive -> C(5,2) pairs
+    assert len(got) == 10
+    assert {r.node_a for r in got} | {r.node_b for r in got} == set(range(1, 6))
+    assert metrics["blocks_capped"] == 1
+    assert metrics["block_rows_dropped"] == 15

@@ -249,3 +249,19 @@ def test_content_defined_chunks_shuffle_free(spark, sf_dir):
     # shuffle (the partial agg reduces them before any exchange)
     assert q_plan.count("Exchange hashpartitioning") <= 2
     assert q_plan.index("MapInPandas") > q_plan.index("Exchange")  # text stays below
+
+
+def test_link_prediction_reads_only_checkpoints(spark, sf_dir):
+    """common_neighbor_scores materializes the canonical edge set and
+    the capped adjacency once each; the final plan must read those
+    checkpoints only — zero parquet scans (the lineitem pair-generation
+    lineage would otherwise replay for the degree agg, both wedge
+    sides, and the anti-join)."""
+    plan = (
+        em.queries()["part_link_prediction"](spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Scan parquet" not in plan
+    assert "Scan ExistingRDD" in plan
