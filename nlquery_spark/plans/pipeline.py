@@ -193,7 +193,8 @@ def kg_pipeline(
     with_graph: bool = True,
 ) -> List[Stage]:
     """The standard KG-construction pipeline: extract -> dedup ->
-    canonicalize -> graph metrics (stages S2-S6 of SURVEY.md §3.4 plus
+    canonicalize -> graph metrics -> link-prediction candidates
+    (stages S2-S6 of SURVEY.md §3.4 plus
     the graph-materialize pass the north rule names)."""
     from ..operators.canonicalize import canonicalize_triples, pagerank
     from ..operators.extract import dedup_triples, extract_triples
@@ -254,6 +255,40 @@ def kg_pipeline(
             .fillna(0, subset=["out_degree", "in_degree", "n_triangles"])
         )
 
+    def s_linkpred(spark, ctx):
+        """KG-completion candidates over the canonical graph: NON-edge
+        entity pairs sharing >= 2 neighbors, ranked by Jaccard overlap
+        (operators/graph.py::common_neighbor_scores) — the review queue
+        a completion pass consumes. The ARTIFACT is bounded: top-20
+        candidates per anchor node (jaccard, n_common, node-id ordered —
+        deterministic), because the raw candidate set over a hubby KG is
+        quadratic-ish in neighborhoods (measured: 2.48M unbounded rows
+        for a 7.7k-node fixture graph) and a review queue past the top
+        handful per entity is dead weight. Wedge fan-out is capped per
+        node with drop counts recorded in this stage's lineage metrics,
+        and scores are ROUNDed (6), so the checkpoint is bit-stable
+        across cluster sizes like every other stage."""
+        from pyspark.sql import Window
+
+        from ..operators.graph import common_neighbor_scores
+
+        m = ctx["_metrics"].setdefault("linkpred", {})
+        edges = (
+            ctx["canonical"]
+            .select(F.col("subj").alias("src"), F.col("obj").alias("dst"))
+            .filter(F.col("src").isNotNull() & F.col("dst").isNotNull())
+            .distinct()
+        )
+        cand = common_neighbor_scores(edges, min_common=2, metrics=m)
+        w = Window.partitionBy("node_a").orderBy(
+            F.desc("jaccard"), F.desc("n_common"), F.asc("node_b")
+        )
+        return (
+            cand.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= 20)
+            .drop("rk")
+        )
+
     stages = [
         Stage("extract", s_extract),
         Stage("dedup", s_dedup),
@@ -261,4 +296,5 @@ def kg_pipeline(
     ]
     if with_graph:
         stages.append(Stage("graph", s_graph))
+        stages.append(Stage("linkpred", s_linkpred))
     return stages

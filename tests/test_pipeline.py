@@ -443,3 +443,34 @@ def test_resample_locf_fills_gaps(spark):
     assert out[(1, "2024-01-01 03:00:00")] == (7.0, 1)
     assert out[(2, "2024-01-01 00:00:00")] == (1.5, 1)
     assert len(out) == 5
+
+
+def test_pipeline_linkpred_stage(spark, tmp_path):
+    """The KG-completion stage: every candidate is a NON-edge pair with
+    >= 2 shared neighbors and a valid (0, 1] Jaccard score."""
+    from pyspark.sql import functions as F
+
+    workdir = str(tmp_path / "pipe_lp")
+    pages = synth_pages(spark, 60).cache()
+    pages.count()
+    p = Pipeline(spark, workdir, kg_pipeline(workdir, [orders_schema_spec()]))
+    out = p.run({"pages": pages})
+    lp = out["linkpred"]
+    assert set(lp.columns) == {"node_a", "node_b", "n_common", "jaccard"}
+    rows = lp.collect()
+    assert rows, "fixture KG should produce completion candidates"
+    assert all(r.n_common >= 2 and 0 < r.jaccard <= 1.0 for r in rows)
+    # none of the candidates is an existing (undirected) edge
+    edges = {
+        (min(r.src, r.dst), max(r.src, r.dst))
+        for r in out["canonical"]
+        .select(F.col("subj").alias("src"), F.col("obj").alias("dst"))
+        .filter(F.col("src").isNotNull() & F.col("dst").isNotNull())
+        .distinct()
+        .collect()
+    }
+    assert all((r.node_a, r.node_b) not in edges for r in rows)
+    # cap metrics recorded in the stage's lineage
+    import json, os
+    meta = json.load(open(os.path.join(workdir, "_meta", "linkpred.json")))
+    assert "blocks_capped" in meta.get("metrics", {})
