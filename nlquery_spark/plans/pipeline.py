@@ -279,7 +279,16 @@ def kg_pipeline(
             .filter(F.col("src").isNotNull() & F.col("dst").isNotNull())
             .distinct()
         )
-        cand = common_neighbor_scores(edges, min_common=2, metrics=m)
+        # max_center_degree=1000: the extracted KG is hub-heavy
+        # (gazetteer anchor entities co-occur with most of the graph);
+        # measured at 200k pages, 71 centers above degree 1000 carried
+        # 16.3e9 of 16.3e9+24e6 wedges — and a neighbor shared by half
+        # the graph is evidence of nothing (the Adamic-Adar argument).
+        # The cutoff bounds the wedge join at ~24M rows on that graph;
+        # excluded-center and cap counts land in this stage's lineage.
+        cand = common_neighbor_scores(
+            edges, min_common=2, max_center_degree=1000, metrics=m
+        )
         w = Window.partitionBy("node_a").orderBy(
             F.desc("jaccard"), F.desc("n_common"), F.asc("node_b")
         )

@@ -330,3 +330,27 @@ def test_common_neighbors_cap_bounds_hub(spark):
     assert {r.node_a for r in got} | {r.node_b for r in got} == set(range(1, 6))
     assert metrics["blocks_capped"] == 1
     assert metrics["block_rows_dropped"] == 15
+
+
+def test_common_neighbors_hub_center_cutoff(spark):
+    from nlquery_spark.operators.graph import common_neighbor_scores
+
+    # hub 0 connects to 1..10; separately 1-2 share honest neighbor 11
+    edges = [(0, i) for i in range(1, 11)] + [(1, 11), (2, 11)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    metrics = {}
+    got = {
+        (r.node_a, r.node_b): (r.n_common, r.jaccard)
+        for r in common_neighbor_scores(
+            df, min_common=1, max_center_degree=5, metrics=metrics
+        ).collect()
+    }
+    assert metrics["hub_centers_excluded"] == 1  # only the hub (deg 10)
+    # wedges THROUGH the hub are gone (no leaf-leaf pairs), but the hub
+    # is still a valid pair ENDPOINT via non-hub centers: (0, 11) share
+    # centers 1 and 2 -> 2/(10+2-2); the honest pair (1, 2) shares
+    # neighbor 11 only, with FULL degrees in the denominator 1/(2+2-1)
+    assert got == {
+        (1, 2): (1, round(1 / 3, 6)),
+        (0, 11): (2, 0.2),
+    }
