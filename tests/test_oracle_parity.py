@@ -329,7 +329,7 @@ def test_correctness_window_holds_all_active_queries():
         # unchanged query code in round 5
         "corpus_clean", "corpus_sample", "doc_heavy_hitters",
         "gazetteer_mentions", "gazetteer_topk_entities",
-        "dedup_exact", "dedup_ngram_jaccard",
+        "dedup_exact", "dedup_ngram_jaccard", "orders_with_returns",
         "kg_pagerank", "kg_similarity_edges", "kg_canonicalize",
         "kg_degree_stats", "kg_negative_samples", "dedup_minhash",
         "dedup_simhash", "dedup_embedding", "emb_neardup_exact",
