@@ -3293,6 +3293,93 @@ FROM c
 """
 
 
+def _doc_tfidf_keywords(spark, sf_dir):
+    """Keyword extraction: top-3 characteristic terms per document by
+    tf-idf — the per-document counterpart of index_bm25_topk's
+    per-query ranking (operators/textstats.py::tfidf_top_terms; one
+    corpus scan, checkpointed tf relation, broadcast document
+    frequencies). Ranking happens on the ROUNDED score with a token
+    tie-break, so the oracle ranks identically."""
+    from nlquery_spark.operators.textstats import tfidf_top_terms
+
+    docs = _load(spark, sf_dir, "documents")["documents"]
+    return tfidf_top_terms(docs, k=3)
+
+
+_TFIDF_SQL = r"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(string_split_regex(trim(lower(text), ' '), '[ \t\n\x0B\f\r]+')) AS token
+  FROM documents
+), tf AS (
+  SELECT doc_id, token, COUNT(*) AS tf FROM toks GROUP BY 1, 2
+), dft AS (
+  SELECT token, COUNT(*) AS df FROM tf GROUP BY token
+), nd AS (
+  SELECT COUNT(DISTINCT doc_id) AS n FROM documents
+), s AS (
+  SELECT doc_id, tf.token,
+         ROUND(tf * ln(CAST((SELECT n FROM nd) AS DOUBLE) / df), 6) AS score
+  FROM tf JOIN dft ON tf.token = dft.token
+)
+SELECT doc_id, token, score, CAST(rk AS INT) AS rk FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                               ORDER BY score DESC, token ASC) AS rk
+  FROM s
+) WHERE rk <= 3
+"""
+
+
+def _customer_rfm_segments(spark, sf_dir):
+    """Customer analytics surface: RFM segmentation — per-customer
+    recency (last order date) / frequency (order count) / monetary
+    (decimal-exact total spend), each quartiled with NTILE(4) under a
+    deterministic (metric, custkey) total order. NOTE the NTILE windows
+    are GLOBAL (un-partitioned): exact quartile assignment over one row
+    per customer — fine at dimension-table scale; at 10^9 customers
+    production should derive cutoffs with approx_percentile and map
+    each row, the same exact-vs-approx note as order_value_percentiles
+    (PLANS.md)."""
+    o = _load(spark, sf_dir, "orders")["orders"]
+    from pyspark.sql import Window
+
+    per = o.groupBy("o_custkey").agg(
+        F.max("o_orderdate").alias("last_order_d"),
+        F.count(F.lit(1)).cast("long").alias("frequency"),
+        F.sum(F.col("o_totalprice").cast("decimal(10,2)"))
+        .cast("double")
+        .alias("monetary"),
+    )
+    rw = Window.orderBy(F.desc("last_order_d"), F.asc("o_custkey"))
+    fw = Window.orderBy(F.desc("frequency"), F.asc("o_custkey"))
+    mw = Window.orderBy(F.desc("monetary"), F.asc("o_custkey"))
+    return per.select(
+        F.col("o_custkey").alias("custkey"),
+        F.date_format("last_order_d", "yyyy-MM-dd").alias("last_order"),
+        "frequency",
+        "monetary",
+        F.ntile(4).over(rw).alias("r_quartile"),
+        F.ntile(4).over(fw).alias("f_quartile"),
+        F.ntile(4).over(mw).alias("m_quartile"),
+    )
+
+
+_RFM_SQL = """
+WITH per AS (
+  SELECT o_custkey AS custkey, MAX(o_orderdate) AS last_order_d,
+         CAST(COUNT(*) AS BIGINT) AS frequency,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(10,2))) AS DOUBLE) AS monetary
+  FROM orders GROUP BY o_custkey
+)
+SELECT custkey, strftime(last_order_d, '%Y-%m-%d') AS last_order,
+       frequency, monetary,
+  NTILE(4) OVER (ORDER BY last_order_d DESC, custkey ASC) AS r_quartile,
+  NTILE(4) OVER (ORDER BY frequency DESC, custkey ASC) AS f_quartile,
+  NTILE(4) OVER (ORDER BY monetary DESC, custkey ASC) AS m_quartile
+FROM per
+"""
+
+
 def _events_sliding_windows(spark, sf_dir):
     """Sliding-window aggregation (10-minute windows, 5-minute slide) —
     completes the window-type triad next to the oracled tumbling
@@ -3493,6 +3580,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_retention_cohorts": _event_retention_cohorts,
         "part_link_prediction": _part_link_prediction,
         "events_sliding_windows": _events_sliding_windows,
+        "doc_tfidf_keywords": _doc_tfidf_keywords,
+        "customer_rfm_segments": _customer_rfm_segments,
         # -- (c) r4-green fill --------------------------------------------
         "q1_pricing_summary": _q1_pricing_summary,
         "q5_local_supplier": _q5_local_supplier,
@@ -3508,11 +3597,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "order_priority_rollup": _order_priority_rollup,
         "part_setops_98_not_99": _part_supplier_setops,
         "orders_upsert_merge": _orders_upsert_merge,
-        "purchase_attribution": _purchase_attribution,
-        "event_session_assignment": _event_session_assignment,
         "kg_extract_triples": _kg_extract_triples,
         # -- tail: r4-driver-green, code unchanged this round; every one
         # still oracle-checked per-session by tests/test_oracle_parity.py
+        "purchase_attribution": _purchase_attribution,
+        "event_session_assignment": _event_session_assignment,
         "orders_with_returns": _orders_with_returns,
         "dedup_exact": _dedup_exact,
         "dedup_ngram_jaccard": _dedup_ngram_jaccard,
@@ -3603,6 +3692,8 @@ def oracle_sql() -> dict[str, str]:
         "entity_link_topk": _entity_link_sql(),
         "token_cooccurrence_lift": _cooccurrence_sql(),
         "events_sliding_windows": _SLIDING_SQL,
+        "doc_tfidf_keywords": _TFIDF_SQL,
+        "customer_rfm_segments": _RFM_SQL,
         "index_bm25_topk": _BM25_SQL,
         "part_khop_neighbors": _KHOP_SQL,
         "event_retention_cohorts": _RETENTION_SQL,

@@ -123,3 +123,60 @@ def with_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     toks = F.transform(tokens_col(F.col(text_col)), F.lower)
     canon = F.concat_ws(" ", F.array_sort(F.array_distinct(toks)))
     return df.withColumn("fingerprint", F.md5(canon))
+
+
+def tfidf_top_terms(
+    docs: DataFrame,
+    k: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-k characteristic terms per document by tf-idf
+    (tf * ln(N/df)) — keyword extraction, the per-document counterpart
+    of bm25_topk's per-query ranking. Output: (doc_id, token, score,
+    rk) with score ROUNDed to 6 and a (score DESC, token ASC) total
+    order, so ranking happens on the ROUNDED value and an ANSI-SQL
+    oracle ranks identically (the BM25 ln-bit-safety argument; the
+    tie-break makes rk deterministic).
+
+    Plan — ONE corpus scan: the (doc, token) tf aggregate is eagerly
+    checkpointed (it feeds both the df reduction and the scoring join);
+    document frequencies reduce from it into a vocabulary-sized frame
+    that BROADCASTS onto the scoring side; the final top-k is a
+    doc-keyed window over the tf relation. N comes from a count on the
+    docs relation (one cheap metadata-ish job), not a second
+    tokenization.
+    """
+    from pyspark.sql import Window
+
+    toks = docs.select(
+        F.col(id_col).alias("doc"),
+        F.explode(F.split(F.trim(F.lower(F.col(text_col))), r"\s+")).alias(
+            "token"
+        ),
+    )
+    tf = (
+        toks.groupBy("doc", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        # two consumers (df reduction + scoring join): one
+        # materialization, or the corpus tokenization replays twice
+        .localCheckpoint(eager=True)
+    )
+    n_docs = docs.select(id_col).distinct().count()
+    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    score = F.round(
+        F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6
+    )
+    w = Window.partitionBy("doc").orderBy(F.desc("score"), F.asc("token"))
+    return (
+        tf.join(F.broadcast(dfreq), "token")
+        .select("doc", "token", score.alias("score"))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select(
+            F.col("doc").alias(id_col),
+            "token",
+            "score",
+            F.col("rk").cast("int").alias("rk"),
+        )
+    )

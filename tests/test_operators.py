@@ -694,3 +694,44 @@ def test_bm25_single_corpus_scan(spark):
     assert "Scan parquet" not in plan
     assert "Scan ExistingRDD" in plan
     assert "BroadcastExchange" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_tfidf_top_terms_hand_computed(spark):
+    import math
+
+    from nlquery_spark.operators.textstats import tfidf_top_terms
+
+    docs = spark.createDataFrame(
+        [
+            (1, "rare common common"),
+            (2, "common common"),
+            (3, "common other"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        (r.doc_id, r.token): (r.score, r.rk)
+        for r in tfidf_top_terms(docs, k=2).collect()
+    }
+    # "common" appears in all 3 docs: idf = ln(1) = 0 everywhere
+    assert got[(1, "rare")] == (round(math.log(3.0), 6), 1)
+    assert got[(1, "common")] == (0.0, 2)
+    assert got[(3, "other")][0] == round(math.log(3.0), 6)
+    # rk 1 for doc 3 goes to "other" (higher score), "common" rk 2
+    assert got[(3, "other")][1] == 1 and got[(3, "common")][1] == 2
+
+
+def test_tfidf_single_corpus_scan(spark):
+    from nlquery_spark.operators.textstats import tfidf_top_terms
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = (
+        tfidf_top_terms(docs, k=3)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # the tf aggregate is checkpointed; df reduction and the scoring
+    # join both read it — no re-tokenization in the final plan
+    assert "Scan ExistingRDD" in plan
+    assert plan.count("Generate explode") == 0

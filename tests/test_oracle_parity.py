@@ -330,6 +330,7 @@ def test_correctness_window_holds_all_active_queries():
         "corpus_clean", "corpus_sample", "doc_heavy_hitters",
         "gazetteer_mentions", "gazetteer_topk_entities",
         "dedup_exact", "dedup_ngram_jaccard", "orders_with_returns",
+        "purchase_attribution", "event_session_assignment",
         "kg_pagerank", "kg_similarity_edges", "kg_canonicalize",
         "kg_degree_stats", "kg_negative_samples", "dedup_minhash",
         "dedup_simhash", "dedup_embedding", "emb_neardup_exact",
@@ -403,6 +404,7 @@ def fuzz_sf(spark, tmp_path_factory):
 _FUZZ_QUERIES = [
     "inverted_index",
     "index_bm25_topk",
+    "doc_tfidf_keywords",
     "index_phrase_search",
     "index_phrase_postings",
     "paragraph_boilerplate",
