@@ -3312,7 +3312,8 @@ WITH toks AS (
          unnest(string_split_regex(trim(lower(text), ' '), '[ \t\n\x0B\f\r]+')) AS token
   FROM documents
 ), tf AS (
-  SELECT doc_id, token, COUNT(*) AS tf FROM toks GROUP BY 1, 2
+  SELECT doc_id, token, COUNT(*) AS tf FROM toks
+  WHERE token <> '' GROUP BY 1, 2
 ), dft AS (
   SELECT token, COUNT(*) AS df FROM tf GROUP BY token
 ), nd AS (
@@ -3411,7 +3412,11 @@ def _events_sliding_windows(spark, sf_dir):
 # each event belongs to exactly window/slide = 2 overlapping windows;
 # the oracle enumerates both candidate epoch-aligned starts and keeps
 # the ones whose [s, s+600) interval covers the event — identical
-# assignment to F.window's epoch-aligned slide arithmetic.
+# assignment to F.window's epoch-aligned slide arithmetic. NAIVE
+# timestamp construction (make_timestamp of microseconds), NOT
+# to_timestamp(s): the latter returns TIMESTAMPTZ and strftime renders
+# it in the DuckDB session timezone — parity would hold only on UTC
+# hosts (review round 5).
 _SLIDING_SQL = """
 WITH x AS (
   SELECT ts, event_type, value,
@@ -3421,8 +3426,8 @@ WITH x AS (
   SELECT event_type, value, s FROM x, unnest([b - 300, b]) AS u(s)
   WHERE s <= epoch(ts) AND epoch(ts) < s + 600
 )
-SELECT strftime(to_timestamp(s), '%Y-%m-%d %H:%M:%S') AS win_start,
-       strftime(to_timestamp(s + 600), '%Y-%m-%d %H:%M:%S') AS win_end,
+SELECT strftime(make_timestamp(s * 1000000), '%Y-%m-%d %H:%M:%S') AS win_start,
+       strftime(make_timestamp((s + 600) * 1000000), '%Y-%m-%d %H:%M:%S') AS win_end,
        event_type, CAST(COUNT(*) AS BIGINT) AS n,
        CAST(SUM(CAST(value AS DECIMAL(10,2))) AS DOUBLE) AS total_value
 FROM e GROUP BY 1, 2, 3

@@ -242,10 +242,16 @@ def common_neighbor_scores(
     deg = und.groupBy("a").agg(F.count(F.lit(1)).alias("deg"))
     wedge_src = und
     if max_center_degree is not None:
-        keep = deg.filter(F.col("deg") <= max_center_degree).select("a")
+        # one filtered count for the metric (not two full aggregations),
+        # and the filtered adjacency is checkpointed because BOTH wedge
+        # sides read it — un-materialized, the deg agg + join replay
+        # twice (review round 5)
         if metrics is not None:
-            metrics["hub_centers_excluded"] = deg.count() - keep.count()
-        wedge_src = und.join(keep, "a")
+            metrics["hub_centers_excluded"] = deg.filter(
+                F.col("deg") > max_center_degree
+            ).count()
+        keep = deg.filter(F.col("deg") <= max_center_degree).select("a")
+        wedge_src = und.join(keep, "a").localCheckpoint(eager=True)
     w1 = wedge_src.select(F.col("a").alias("u"), F.col("b").alias("v1"))
     w2 = wedge_src.select(F.col("a").alias("u"), F.col("b").alias("v2"))
     pairs = (

@@ -154,7 +154,11 @@ def tfidf_top_terms(
         F.explode(F.split(F.trim(F.lower(F.col(text_col))), r"\s+")).alias(
             "token"
         ),
-    )
+    # the shared split convention KEEPS leading/trailing empty fields
+    # (pinned repo-wide); for KEYWORD output specifically an ''-token
+    # is junk with a misleadingly high idf on edge-whitespace docs —
+    # drop it on both sides (the oracle mirrors token <> '')
+    ).filter(F.col("token") != "")
     tf = (
         toks.groupBy("doc", "token")
         .agg(F.count(F.lit(1)).alias("tf"))

@@ -735,3 +735,18 @@ def test_tfidf_single_corpus_scan(spark):
     # join both read it — no re-tokenization in the final plan
     assert "Scan ExistingRDD" in plan
     assert plan.count("Generate explode") == 0
+
+
+def test_tfidf_drops_empty_edge_tokens(spark):
+    # trailing '\n' survives the space-only trim and would yield an ''
+    # token with a misleadingly high idf; keyword output must drop it
+    from nlquery_spark.operators.textstats import tfidf_top_terms
+
+    docs = spark.createDataFrame(
+        [(1, "common common\n"), (2, "common"), (3, "common")],
+        "doc_id long, text string",
+    )
+    rows = tfidf_top_terms(docs, k=2).collect()
+    assert all(r.token != "" for r in rows)
+    # doc 1's top keyword is a real word, not the '' artifact
+    assert {r.token for r in rows} == {"common"}

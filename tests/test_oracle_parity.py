@@ -438,3 +438,22 @@ def test_oracle_parity_on_fuzz_corpus(spark, fuzz_sf, name):
     s_vals, _ = _rows_to_multiset(spark_cols, spark_rows)
     d_vals, _ = _rows_to_multiset(duck_cols, duck_rows)
     assert s_vals == d_vals, f"{name}: values differ"
+
+
+def test_sliding_window_oracle_timezone_independent(spark):
+    """The sliding-window oracle must build NAIVE timestamps:
+    to_timestamp() returns TIMESTAMPTZ and strftime renders it in the
+    DuckDB session timezone, so parity would hold only on UTC hosts.
+    Pin by running the oracle under a non-UTC session timezone."""
+    sf = "/root/testdata/sf0.001"
+    sdf = entry_mod.queries()["events_sliding_windows"](spark, sf)
+    spark_rows = sorted(tuple(str(x) for x in r) for r in sdf.collect())
+    con = duckdb.connect()
+    con.execute("SET TimeZone='America/New_York'")
+    for t in entry_mod.TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
+    res = con.execute(entry_mod.oracle_sql()["events_sliding_windows"])
+    cols = [d[0] for d in res.description]
+    assert sorted(cols) == sorted(sdf.columns)
+    duck_rows = sorted(tuple(str(x) for x in r) for r in res.fetchall())
+    assert spark_rows == duck_rows
