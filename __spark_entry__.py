@@ -1841,7 +1841,15 @@ def _materialize_once(path: str, write_fn) -> str:
     import shutil
     import uuid
 
-    if os.path.exists(os.path.join(path, "_SUCCESS")):
+    # same completeness predicate as the rename-failure path below:
+    # anything at the destination arrived via stage-then-rename, so a
+    # non-empty directory is a complete artifact even without _SUCCESS
+    # (committers with marksuccessfuljobs=false never write the marker)
+    # — otherwise such artifacts would re-run the full Spark write on
+    # every invocation and only dedupe via the failure fallback
+    if os.path.exists(os.path.join(path, "_SUCCESS")) or (
+        os.path.isdir(path) and len(os.listdir(path)) > 0
+    ):
         return path
     tmp = f"{path}.tmp-{uuid.uuid4().hex[:8]}"
     write_fn(tmp)
@@ -1998,7 +2006,25 @@ SELECT query_id, rank, neighbor_id, cosine FROM (
 # ------- kernel-based / LSH queries (rows-only checks, no SQL oracle) ------
 
 
+def _kg_raw_triples_path(sf_dir: str) -> str:
+    # a function of the docs AND the extraction spec (and, via
+    # _code_digest, of any code edit) — same contract as the other
+    # kernel-derived oracle-support artifacts
+    return _oracle_path("kg_extract_batch", sf_dir, extra=DOCS_SCHEMA_SPEC)
+
+
 def _kg_extract_triples(spark, sf_dir):
+    """Flagship batch extraction (SURVEY §3.4) — FULLY ORACLED since
+    round 6 (VERDICT r5 item 3, via the recipe streaming_extract proved
+    in r5): the raw pre-dedup extraction over the same pages is
+    persisted once to a fingerprinted artifact, and the DuckDB oracle
+    independently aggregates that parquet with dedup_triples'
+    semantics (MAX score / COUNT support / MIN start/end/rule). The
+    value-hash proves (a) extraction is run-to-run deterministic under
+    any partitioning and (b) the distributed dedup aggregation matches
+    ANSI-SQL GROUP BY semantics exactly. The kernel mention internals
+    themselves stay pytest-gated (P/R >= 0.95 on the ported fixture
+    corpora) — same honest posture as entity_link_topk / kg_pagerank."""
     from nlquery_spark.operators.extract import dedup_triples, extract_triples
 
     docs = _parallelize(_load(spark, sf_dir, "documents")["documents"])
@@ -2007,9 +2033,44 @@ def _kg_extract_triples(spark, sf_dir):
         F.col("text"),
         F.col("lang"),
     )
+    # oracle-support artifact: raw triples, written for the side effect
+    # (skip-if-exists via the fingerprinted path) — the query itself
+    # still exercises the live extraction path below
+    _materialize_once(
+        _kg_raw_triples_path(sf_dir),
+        lambda p: extract_triples(pages, [DOCS_SCHEMA_SPEC], lang_filter=None)
+        .write.mode("overwrite")
+        .parquet(p),
+    )
     return dedup_triples(
         extract_triples(pages, [DOCS_SCHEMA_SPEC], lang_filter=None)
+    ).select(
+        "subj",
+        "pred",
+        "obj",
+        F.round("score", 6).alias("score"),
+        F.col("support").cast("long").alias("support"),
+        F.col("start").cast("long").alias("start"),
+        F.col("end").cast("long").alias("end"),
+        "rule",
     )
+
+
+def _kg_extract_triples_sql() -> str:
+    # same $SPARK_GRAFT_ORACLE_SF env convention as _streaming_extract_sql
+    import os
+
+    sf_dir = os.environ.get("SPARK_GRAFT_ORACLE_SF", "/root/testdata/sf0.01")
+    return f"""
+SELECT subj, pred, obj,
+  ROUND(MAX(score), 6) AS score,
+  CAST(COUNT(*) AS BIGINT) AS support,
+  CAST(MIN(start) AS BIGINT) AS start,
+  CAST(MIN("end") AS BIGINT) AS "end",
+  MIN(rule) AS rule
+FROM '{_kg_raw_triples_path(sf_dir)}/*.parquet'
+GROUP BY subj, pred, obj
+"""
 
 
 def _ann_pq_topk(spark, sf_dir):
@@ -3541,70 +3602,17 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Driver query map. ORDERING IS A CONTRACT: the driver's correctness
     harness evaluates the FIRST 50 entries, so the window ROTATES each
-    round (VERDICT r4 item 1 / ADVICE r4): (a) the 20 queries whose last
-    driver row was r3 (past the r4 window) come first, (b) queries new
-    or code-changed this round, (c) r4-green queries filling the window
-    — so after this round EVERY query has a driver-green row within the
-    last two rounds. The tail holds only r4-driver-green queries whose
-    code is unchanged this round; each is still oracle-verified every
-    session by tests/test_oracle_parity.py, which runs ALL oracles, and
-    the tail set is pinned by the window-ordering test."""
+    round (VERDICT r5 item 1): (a) the full 32-entry r5 tail, whose last
+    driver row was r4, comes first, (b) queries new or code-changed this
+    round, (c) r5-green queries filling the window — so after this round
+    EVERY query has a driver-green row within the last two rounds. The
+    tail holds only r5-driver-green queries whose code is unchanged this
+    round; each is still oracle-verified every session by
+    tests/test_oracle_parity.py, which runs ALL oracles, and the tail
+    set is pinned by the window-ordering test."""
     return {
-        # -- (a) last driver row is r3: rotate back into the window -------
-        "q3_shipping_priority": _q3_shipping_priority,
-        "ship_lag_by_month": _ship_lag_by_month,
-        "promo_revenue_share": _promo_revenue_share,
-        "customers_without_orders": _customers_without_orders,
-        "events_sessionize": _events_sessionize,
-        "daily_active_users": _daily_active_users,
-        "topk_orders_per_customer": _topk_orders_per_customer,
-        "events_time_rollup": _events_time_rollup,
-        "events_by_minute": _events_by_minute,
-        "doc_token_stats": _doc_token_stats,
-        "doc_subword_stats": _doc_subword_stats,
-        "doc_quality": _doc_quality,
-        "doc_lang_id": _doc_lang_id,
-        "doc_fingerprint": _doc_fingerprint,
-        "doc_repetition": _doc_repetition,
-        "doc_pii_scrub": _doc_pii_scrub,
-        "doc_chunks": _doc_chunks,
-        "nl_filter_stemmed": _nl_filter_stemmed,
-        "nl_filter_culture": _nl_filter_culture,
-        "nl_filter_inferred": _nl_filter_inferred,
-        # -- (b) new or changed this round ---------------------------------
-        "paragraph_boilerplate": _paragraph_boilerplate,
-        "streaming_extract": _streaming_extract,
-        "index_phrase_search": _index_phrase_search,
-        "index_phrase_postings": _index_phrase_postings,
-        "token_cooccurrence_lift": _token_cooccurrence,
-        "index_bm25_topk": _index_bm25_topk,
-        "part_khop_neighbors": _part_khop_neighbors,
-        "event_funnel": _event_funnel,
-        "event_type_transitions": _event_type_transitions,
-        "events_daily_anomaly": _events_daily_anomaly,
-        "event_retention_cohorts": _event_retention_cohorts,
-        "part_link_prediction": _part_link_prediction,
-        "events_sliding_windows": _events_sliding_windows,
-        "doc_tfidf_keywords": _doc_tfidf_keywords,
-        "customer_rfm_segments": _customer_rfm_segments,
-        # -- (c) r4-green fill --------------------------------------------
-        "q1_pricing_summary": _q1_pricing_summary,
-        "q5_local_supplier": _q5_local_supplier,
-        "nl_filter_orders": _nl_filter_orders,
-        "nl_agg_orders": _nl_agg_orders,
-        "nl_pivot_orders": _nl_pivot_orders,
-        "nl_autocomplete": _nl_autocomplete,
-        "dict_spec_part": _dict_spec_part,
-        "emb_cosine_jvm": _emb_cosine_jvm,
-        "q17_small_quantity_revenue": _q17_small_quantity_revenue,
-        "event_props_json": _event_props_json,
-        "order_value_percentiles": _order_value_percentiles,
-        "order_priority_rollup": _order_priority_rollup,
-        "part_setops_98_not_99": _part_supplier_setops,
-        "orders_upsert_merge": _orders_upsert_merge,
-        "kg_extract_triples": _kg_extract_triples,
-        # -- tail: r4-driver-green, code unchanged this round; every one
-        # still oracle-checked per-session by tests/test_oracle_parity.py
+        # -- (a) last driver row is r4 (past the r5 window): rotate
+        #       the whole 32-entry r5 tail back into the window -------
         "purchase_attribution": _purchase_attribution,
         "event_session_assignment": _event_session_assignment,
         "orders_with_returns": _orders_with_returns,
@@ -3637,6 +3645,60 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "customer_order_full_outer": _customer_order_full_outer,
         "chunk_boilerplate": _chunk_boilerplate,
         "corpus_pack": _corpus_pack,
+        # -- (b) new or code-changed this round ---------------------------
+        "kg_extract_triples": _kg_extract_triples,
+        "index_bm25_topk": _index_bm25_topk,
+        # -- (c) r5-green fill --------------------------------------------
+        "doc_tfidf_keywords": _doc_tfidf_keywords,
+        "customer_rfm_segments": _customer_rfm_segments,
+        "q1_pricing_summary": _q1_pricing_summary,
+        "q5_local_supplier": _q5_local_supplier,
+        "nl_filter_orders": _nl_filter_orders,
+        "nl_agg_orders": _nl_agg_orders,
+        "nl_pivot_orders": _nl_pivot_orders,
+        "nl_autocomplete": _nl_autocomplete,
+        "dict_spec_part": _dict_spec_part,
+        "emb_cosine_jvm": _emb_cosine_jvm,
+        "q17_small_quantity_revenue": _q17_small_quantity_revenue,
+        "event_props_json": _event_props_json,
+        "order_value_percentiles": _order_value_percentiles,
+        "order_priority_rollup": _order_priority_rollup,
+        "part_setops_98_not_99": _part_supplier_setops,
+        "orders_upsert_merge": _orders_upsert_merge,
+        # -- tail: r5-driver-green, code unchanged this round; every one
+        # still oracle-checked per-session by tests/test_oracle_parity.py
+        "q3_shipping_priority": _q3_shipping_priority,
+        "ship_lag_by_month": _ship_lag_by_month,
+        "promo_revenue_share": _promo_revenue_share,
+        "customers_without_orders": _customers_without_orders,
+        "events_sessionize": _events_sessionize,
+        "daily_active_users": _daily_active_users,
+        "topk_orders_per_customer": _topk_orders_per_customer,
+        "events_time_rollup": _events_time_rollup,
+        "events_by_minute": _events_by_minute,
+        "doc_token_stats": _doc_token_stats,
+        "doc_subword_stats": _doc_subword_stats,
+        "doc_quality": _doc_quality,
+        "doc_lang_id": _doc_lang_id,
+        "doc_fingerprint": _doc_fingerprint,
+        "doc_repetition": _doc_repetition,
+        "doc_pii_scrub": _doc_pii_scrub,
+        "doc_chunks": _doc_chunks,
+        "nl_filter_stemmed": _nl_filter_stemmed,
+        "nl_filter_culture": _nl_filter_culture,
+        "nl_filter_inferred": _nl_filter_inferred,
+        "paragraph_boilerplate": _paragraph_boilerplate,
+        "streaming_extract": _streaming_extract,
+        "index_phrase_search": _index_phrase_search,
+        "index_phrase_postings": _index_phrase_postings,
+        "token_cooccurrence_lift": _token_cooccurrence,
+        "part_khop_neighbors": _part_khop_neighbors,
+        "event_funnel": _event_funnel,
+        "event_type_transitions": _event_type_transitions,
+        "events_daily_anomaly": _events_daily_anomaly,
+        "event_retention_cohorts": _event_retention_cohorts,
+        "part_link_prediction": _part_link_prediction,
+        "events_sliding_windows": _events_sliding_windows,
     }
 
 
@@ -3722,9 +3784,11 @@ def oracle_sql() -> dict[str, str]:
         "dedup_simhash": _SIMHASH_SQL,
         "dedup_minhash": _minhash_sql(),
         "emb_neardup_exact": _EMB_EXACT_SQL,
-        # kg_extract_triples / dedup_embedding: kernel-based extraction /
-        # probabilistic LSH recall -> rows-only check by the driver.
-        # kg precision/recall is pytest-gated (P/R = 1.0 on the fixture
-        # corpus); dedup_embedding recall is pytest-gated >= 0.95 vs
+        "kg_extract_triples": _kg_extract_triples_sql(),
+        # dedup_embedding: probabilistic LSH recall -> rows-only check
+        # by the driver; recall is pytest-gated >= 0.95 vs
         # emb_neardup_exact (its oracled exact counterpart above).
+        # kg_extract_triples is hash-oracled (round 6) against its
+        # fingerprinted raw-extraction artifact; kernel P/R stays
+        # pytest-gated (= 1.0 on the ported fixture corpus).
     }

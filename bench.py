@@ -66,6 +66,26 @@ def main() -> None:
     pages.unpersist()
 
     # -- operator suite over the driver-provided tables -------------------
+    # untimed suite warmup (VERDICT r5 item 6): the first timed query
+    # used to absorb the whole-suite cold start (parquet footer reads,
+    # scan/exchange/broadcast codegen — isolation showed q3 at 4.0s
+    # in-suite vs 1.1s warm). One tiny scan+agg+broadcast-join touches
+    # those paths before the timed loop so position-1 numbers are real.
+    from pyspark.sql import functions as F
+
+    _li = spark.read.parquet(os.path.join(SF_DIR, "lineitem.parquet"))
+    _od = spark.read.parquet(os.path.join(SF_DIR, "orders.parquet"))
+    _li.groupBy("l_returnflag").agg(F.sum("l_quantity")).join(
+        F.broadcast(_od.limit(100)), how="cross"
+    ).write.format("noop").mode("overwrite").save()
+    # ... and one tiny Arrow-batched pandas stage so the Python worker
+    # pool + Arrow serializers are warm before the first timed
+    # mapInPandas query (the extraction headline warms its own workers
+    # but uses a separate profile)
+    _od.limit(200).mapInPandas(
+        lambda it: it, _od.schema
+    ).write.format("noop").mode("overwrite").save()
+
     qs = entry_mod.queries()
     # every driver query rides along automatically — a new queries()
     # entry is benchmarked without touching this file

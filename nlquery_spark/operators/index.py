@@ -212,7 +212,11 @@ def bm25_topk(
         norm = tf + F.lit(k1) * (
             F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.col("avgdl")
         )
-        s = idf * tf * F.lit(k1 + 1.0) / norm
+        # association order matches the oracle SQL exactly —
+        # idf * (tf * (k1+1)) / norm, NOT (idf * tf) * (k1+1) / norm:
+        # float multiply is non-associative and a 1-ulp divergence can
+        # straddle the ROUND(...,6) boundary and flake the hash parity
+        s = idf * (tf * F.lit(k1 + 1.0)) / norm
         score = s if score is None else score + s
     return (
         scored.select(

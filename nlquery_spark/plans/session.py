@@ -44,6 +44,11 @@ def get_spark(
         SparkSession.builder.appName(app_name)
         .master(master)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        # Oracle parity emits naive UTC-aligned timestamp strings
+        # (sliding windows, daily anomalies, retention cohorts);
+        # date_format/to_date render in the session timezone, so pin it
+        # rather than depend on a UTC host.
+        .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")

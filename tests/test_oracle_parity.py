@@ -317,36 +317,16 @@ def test_kg_pagerank_oracle_reads_what_query_wrote(spark):
 
 
 def test_correctness_window_holds_all_active_queries():
-    """ORDERING CONTRACT (VERDICT r3 item 1, rotated per r4 item 1):
+    """ORDERING CONTRACT (VERDICT r3 item 1, rotated per r4/r5 item 1):
     the driver's correctness harness checks the FIRST 50 queries()
     entries. Everything past position 50 must belong to the documented
-    r4-driver-green tail — adding a new query at the tail would
+    r5-driver-green tail — adding a new query at the tail would
     silently exempt it from the driver's hard gate. UPDATE this set
     when rotating the window between rounds."""
     qs = list(entry_mod.queries())
     stable_tail = {
-        # every entry here has a green row in CORRECTNESS_r04.json and
-        # unchanged query code in round 5
-        "corpus_clean", "corpus_sample", "doc_heavy_hitters",
-        "gazetteer_mentions", "gazetteer_topk_entities",
-        "dedup_exact", "dedup_ngram_jaccard", "orders_with_returns",
-        "purchase_attribution", "event_session_assignment",
-        "kg_pagerank", "kg_similarity_edges", "kg_canonicalize",
-        "kg_degree_stats", "kg_negative_samples", "dedup_minhash",
-        "dedup_simhash", "dedup_embedding", "emb_neardup_exact",
-        "entity_link_topk", "ann_pq_topk", "part_coorder_triangles",
-        "corpus_decontaminate", "streaming_session_windows",
-        "streaming_events_by_minute", "inverted_index",
-        "kg_editdist_edges", "events_resample_locf",
-        "customer_order_full_outer", "chunk_boilerplate", "corpus_pack",
-        "ann_cosine_topk",
-    }
-    assert set(qs[50:]) <= stable_tail, (
-        f"non-stable queries past the 50-entry driver window: "
-        f"{set(qs[50:]) - stable_tail}"
-    )
-    # the rotated-out r3-checked set must all be INSIDE the window now
-    rotated_in = {
+        # every entry here has a green row in CORRECTNESS_r05.json and
+        # unchanged query code in round 6
         "q3_shipping_priority", "ship_lag_by_month", "promo_revenue_share",
         "customers_without_orders", "events_sessionize",
         "daily_active_users", "topk_orders_per_customer",
@@ -354,6 +334,34 @@ def test_correctness_window_holds_all_active_queries():
         "doc_subword_stats", "doc_quality", "doc_lang_id",
         "doc_fingerprint", "doc_repetition", "doc_pii_scrub", "doc_chunks",
         "nl_filter_stemmed", "nl_filter_culture", "nl_filter_inferred",
+        "paragraph_boilerplate", "streaming_extract",
+        "index_phrase_search", "index_phrase_postings",
+        "token_cooccurrence_lift", "part_khop_neighbors", "event_funnel",
+        "event_type_transitions", "events_daily_anomaly",
+        "event_retention_cohorts", "part_link_prediction",
+        "events_sliding_windows",
+    }
+    assert set(qs[50:]) <= stable_tail, (
+        f"non-stable queries past the 50-entry driver window: "
+        f"{set(qs[50:]) - stable_tail}"
+    )
+    # the r5 tail (last driver row r4) must all be INSIDE the window
+    # now, along with the queries new or code-changed this round
+    rotated_in = {
+        "purchase_attribution", "event_session_assignment",
+        "orders_with_returns", "dedup_exact", "dedup_ngram_jaccard",
+        "corpus_clean", "corpus_sample", "doc_heavy_hitters",
+        "gazetteer_mentions", "gazetteer_topk_entities",
+        "ann_cosine_topk", "kg_pagerank", "kg_similarity_edges",
+        "kg_canonicalize", "kg_degree_stats", "kg_negative_samples",
+        "dedup_minhash", "dedup_simhash", "dedup_embedding",
+        "emb_neardup_exact", "entity_link_topk", "ann_pq_topk",
+        "part_coorder_triangles", "corpus_decontaminate",
+        "streaming_session_windows", "streaming_events_by_minute",
+        "inverted_index", "kg_editdist_edges", "events_resample_locf",
+        "customer_order_full_outer", "chunk_boilerplate", "corpus_pack",
+        # code-changed in round 6 (hash-oracle / assoc-order fix)
+        "kg_extract_triples", "index_bm25_topk",
     }
     assert rotated_in <= set(qs[:50])
     # rows-only-by-nature queries (no oracle possible) excepted; every
