@@ -3591,6 +3591,166 @@ FROM np JOIN deg da ON np.v1 = da.a JOIN deg db ON np.v2 = db.a
 """
 
 
+def _customer_order_distribution(spark, sf_dir):
+    """TPC-H Q13 analog: distribution of order counts per customer,
+    INCLUDING zero-order customers. Scale posture: aggregate the fact
+    table FIRST (map-side combine shrinks 10^12 orders to one row per
+    customer) and only then left-join the customer dimension — the
+    classic Q13 formulation joins raw orders to customer and shuffles
+    the full fact table twice. The final histogram groupBy is over at
+    most |customers| rows."""
+    t = _load(spark, sf_dir, "customer", "orders")
+    per_o = t["orders"].groupBy("o_custkey").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    per = (
+        t["customer"]
+        .select("c_custkey")
+        .join(per_o, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .select(F.coalesce("cnt", F.lit(0)).cast("long").alias("order_count"))
+    )
+    return per.groupBy("order_count").agg(
+        F.count(F.lit(1)).cast("long").alias("num_customers")
+    )
+
+
+_ORDER_DIST_SQL = """
+SELECT order_count, CAST(COUNT(*) AS BIGINT) AS num_customers
+FROM (
+  SELECT c_custkey,
+         CAST(COALESCE(cnt, 0) AS BIGINT) AS order_count
+  FROM customer
+  LEFT JOIN (
+    SELECT o_custkey, COUNT(*) AS cnt FROM orders GROUP BY o_custkey
+  ) per ON c_custkey = per.o_custkey
+)
+GROUP BY order_count
+"""
+
+
+def _customer_running_spend(spark, sf_dir):
+    """Per-customer cumulative spend in order-date order — the running-
+    total window surface (frame-bounded window agg, vs the rank/lag/
+    ntile windows already covered). Sums in exact DECIMAL inside the
+    running frame (the q1 convention): a running SUM(double) is
+    association-order-dependent and DuckDB computes windowed sums with
+    a segment tree, so only a decimal-exact sum is hash-stable across
+    engines. One shuffle on the customer key; the frame is explicit
+    ROWS (with a unique (date, orderkey) order RANGE would be
+    equivalent, but only by accident of key uniqueness)."""
+    o = _load(spark, sf_dir, "orders")["orders"]
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return o.select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderkey").alias("orderkey"),
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+        F.sum(F.col("o_totalprice").cast("decimal(12,2)"))
+        .over(w)
+        .cast("double")
+        .alias("running_spend"),
+    )
+
+
+_RUNNING_SPEND_SQL = """
+SELECT o_custkey AS custkey, o_orderkey AS orderkey,
+       strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) OVER (
+         PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       ) AS DOUBLE) AS running_spend
+FROM orders
+"""
+
+
+def _events_ewma(spark, sf_dir):
+    """Per-user exponentially-weighted moving average of event value
+    over the last 5 observations (operators/timeseries.py::ewma) — the
+    distributed-friendly finite-window EWMA monitoring pipelines use
+    for smoothed rates. Weights are computed ONCE in Python and
+    embedded as exact double literals in BOTH the Spark expression and
+    the oracle (same association order), so the only float ops are
+    bit-identical on both engines."""
+    from nlquery_spark.operators.timeseries import ewma
+
+    ev = _load(spark, sf_dir, "events")["events"]
+    r = ewma(ev, alpha=0.3, k=5)
+    return r.select(
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts_s"),
+        "event_id",
+        "value",
+        "ewma",
+    )
+
+
+def _ewma_sql() -> str:
+    """Oracle mirror of _events_ewma: SAME weight literals (repr() of
+    the exact doubles from ewma_weights) and SAME left-associative term
+    order, so num/den is reproduced bit-for-bit before ROUND(..,6)."""
+    from nlquery_spark.operators.timeseries import ewma_weights
+
+    terms_n, terms_d = [], []
+    for j, wj in enumerate(ewma_weights(0.3, 5)):
+        x = "value" if j == 0 else f"lag(value, {j}) OVER w"
+        terms_n.append(f"CASE WHEN {x} IS NOT NULL THEN {x} * {wj!r} ELSE 0.0 END")
+        terms_d.append(f"CASE WHEN {x} IS NOT NULL THEN {wj!r} ELSE 0.0 END")
+    num = " + ".join(terms_n)
+    den = " + ".join(terms_d)
+    return f"""
+SELECT user_id, strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts_s, event_id, value,
+       ROUND(({num}) / ({den}), 6) AS ewma
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+
+def _corpus_shard_assign(spark, sf_dir):
+    """Deterministic training-shard layout (operators/corpus.py::
+    shard_assign): every document gets a (shard, position) that is
+    bit-stable across engines, partitionings, and reruns — resumable
+    dataloading needs 'shard 7, position 1234' to mean the same example
+    forever. Both coordinates derive from the repo-wide md5_u64
+    convention, so the oracle reproduces them exactly via the UBIGINT
+    form."""
+    from nlquery_spark.operators.corpus import shard_assign
+
+    docs = _load(spark, sf_dir, "documents")["documents"]
+    return shard_assign(docs, n_shards=16)
+
+
+_SHARD_ASSIGN_SQL = """
+SELECT doc_id, shard,
+  CAST(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY pos_h, doc_id)
+       AS BIGINT) AS "position"
+FROM (
+  SELECT doc_id,
+    CAST(('0x' || substr(md5('shard:' || doc_id), 1, 16))::UBIGINT % 16
+         AS BIGINT) AS shard,
+    ('0x' || substr(md5('pos:shard:' || doc_id), 1, 16))::UBIGINT AS pos_h
+  FROM documents
+)
+"""
+
+
+def _ann_ivf_topk(spark, sf_dir):
+    """IVF-pruned ANN over the embeddings table (operators/similarity
+    .py::ivf_topk): deterministic Lloyd-refined centroids, each query
+    scans only nprobe/n_cells of the corpus — the compute-bounded scale
+    path next to PQ's memory-bounded one. Lossy by design -> rows-only
+    for the driver; recall vs bruteforce is pytest-gated >= 0.9
+    (tests/test_operators.py::test_ivf_topk_recall)."""
+    from nlquery_spark.operators.similarity import ivf_topk
+
+    emb = _load(spark, sf_dir, "embeddings")["embeddings"]
+    return ivf_topk(emb, query_ids=[0, 1, 2, 3, 4], k=5, n_cells=16, nprobe=4)
+
+
 # ----------------------------------------------------------------- driver --
 
 
@@ -3648,14 +3808,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- (b) new or code-changed this round ---------------------------
         "kg_extract_triples": _kg_extract_triples,
         "index_bm25_topk": _index_bm25_topk,
+        "customer_order_distribution": _customer_order_distribution,
+        "customer_running_spend": _customer_running_spend,
+        "events_ewma": _events_ewma,
+        "corpus_shard_assign": _corpus_shard_assign,
+        "ann_ivf_topk": _ann_ivf_topk,
         # -- (c) r5-green fill --------------------------------------------
         "doc_tfidf_keywords": _doc_tfidf_keywords,
         "customer_rfm_segments": _customer_rfm_segments,
-        "q1_pricing_summary": _q1_pricing_summary,
-        "q5_local_supplier": _q5_local_supplier,
-        "nl_filter_orders": _nl_filter_orders,
-        "nl_agg_orders": _nl_agg_orders,
-        "nl_pivot_orders": _nl_pivot_orders,
         "nl_autocomplete": _nl_autocomplete,
         "dict_spec_part": _dict_spec_part,
         "emb_cosine_jvm": _emb_cosine_jvm,
@@ -3667,6 +3827,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_upsert_merge": _orders_upsert_merge,
         # -- tail: r5-driver-green, code unchanged this round; every one
         # still oracle-checked per-session by tests/test_oracle_parity.py
+        "q1_pricing_summary": _q1_pricing_summary,
+        "q5_local_supplier": _q5_local_supplier,
+        "nl_filter_orders": _nl_filter_orders,
+        "nl_agg_orders": _nl_agg_orders,
+        "nl_pivot_orders": _nl_pivot_orders,
         "q3_shipping_priority": _q3_shipping_priority,
         "ship_lag_by_month": _ship_lag_by_month,
         "promo_revenue_share": _promo_revenue_share,
@@ -3785,6 +3950,13 @@ def oracle_sql() -> dict[str, str]:
         "dedup_minhash": _minhash_sql(),
         "emb_neardup_exact": _EMB_EXACT_SQL,
         "kg_extract_triples": _kg_extract_triples_sql(),
+        "customer_order_distribution": _ORDER_DIST_SQL,
+        "customer_running_spend": _RUNNING_SPEND_SQL,
+        "events_ewma": _ewma_sql(),
+        "corpus_shard_assign": _SHARD_ASSIGN_SQL,
+        # ann_ivf_topk: pruned-search recall is lossy by design ->
+        # rows-only for the driver; recall >= 0.9 pytest-gated against
+        # the oracled bruteforce (ann_cosine_topk).
         # dedup_embedding: probabilistic LSH recall -> rows-only check
         # by the driver; recall is pytest-gated >= 0.95 vs
         # emb_neardup_exact (its oracled exact counterpart above).

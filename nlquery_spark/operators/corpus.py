@@ -516,3 +516,49 @@ def content_defined_chunks(
             )
 
     return docs.select("doc_id", text_col).mapInPandas(run, out_schema)
+
+
+# ------------------------------------------------------ shard layout --
+
+
+def shard_assign(
+    docs: DataFrame,
+    n_shards: int = 16,
+    id_col: str = "doc_id",
+    salt: str = "shard",
+) -> DataFrame:
+    """Deterministic training-shard assignment + within-shard order:
+    the last mile of a training-data pipeline, where a cleaned corpus
+    becomes N dataloader shards whose contents AND order must be
+    reproducible run-to-run (resumable training needs "shard 7,
+    position 1234" to mean the same example forever).
+
+    shard    = md5_u64(salt:id) % n_shards   — uniform, key-only
+    position = row_number() over (partition by shard
+               order by md5_u64(pos:salt:id), id)  — a seeded global
+    shuffle WITHIN each shard: training wants documents in random
+    order, but rand() changes under retries/repartitioning; ordering
+    by an md5-derived uniform gives a shuffle that is random-looking
+    yet bit-stable across engines, partitionings, and reruns
+    (same convention as stratified_sample; oracle via the UBIGINT
+    form).
+
+    Scale: one hash-partitioned window per shard — the shuffle is by
+    the shard key, per-shard sort is the only per-group state, and
+    shards are uniform by construction (no skew: the md5 uniform does
+    not correlate with any data property). At 10^12 docs you'd raise
+    n_shards so each shard's sort fits an executor (n_shards ~
+    corpus/LB target shard size); the plan shape is unchanged.
+    """
+    from ..functions.hashing import md5_u64
+
+    sid = F.concat_ws(":", F.lit(salt), F.col(id_col).cast("string"))
+    pos = F.concat_ws(":", F.lit("pos"), F.lit(salt), F.col(id_col).cast("string"))
+    from pyspark.sql import Window
+
+    shard = (md5_u64(sid) % n_shards).cast("long")
+    w = Window.partitionBy("shard").orderBy(md5_u64(pos), F.col(id_col))
+    return (
+        docs.select(F.col(id_col), shard.alias("shard"))
+        .withColumn("position", F.row_number().over(w).cast("long"))
+    )

@@ -77,3 +77,59 @@ def resample_locf(
             F.coalesce("n_obs", F.lit(0)).cast("long").alias("n_obs"),
         )
     )
+
+
+def ewma_weights(alpha: float, k: int) -> list:
+    """The shared weight table for :func:`ewma`: ``(1-alpha)**j`` for
+    j = 0..k-1, computed ONCE in Python and embedded as literals on
+    both engines (the Spark expression and the SQL oracle interpolate
+    ``repr()`` of these exact doubles), so no cross-engine ``pow()``
+    ulp divergence can enter the score."""
+    return [(1.0 - alpha) ** j for j in range(k)]
+
+
+def ewma(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    val_col: str = "value",
+    order_col: str = "event_id",
+    alpha: float = 0.3,
+    k: int = 5,
+) -> DataFrame:
+    """Per-key exponentially-weighted moving average over the last
+    ``k`` observations (finite, normalized form):
+
+        ewma_t = sum_j w_j * x_{t-j} / sum_j w_j,  w_j = (1-alpha)^j
+
+    summed over the j in 0..k-1 that exist (the first rows of a key
+    average over fewer points instead of decaying toward an arbitrary
+    seed). The infinite-recurrence EWMA is inherently sequential; the
+    k-term window form is the distributed-friendly equivalent (a
+    k-lag window over the key partition — one shuffle on the key,
+    no iteration) and is what monitoring pipelines actually use for
+    "smoothed rate over recent events".
+
+    Determinism/oracle contract: observation order is (ts, order_col)
+    — a total order; terms are summed in FIXED ascending-j order with
+    the weights from :func:`ewma_weights` embedded as exact double
+    literals, so an ANSI-SQL oracle that writes the same expression
+    reproduces the value bit-for-bit before ROUND(.., 6).
+    """
+    w = Window.partitionBy(key_col).orderBy(ts_col, order_col)
+    weights = ewma_weights(alpha, k)
+    num = None
+    den = None
+    for j, wj in enumerate(weights):
+        x = F.col(val_col) if j == 0 else F.lag(val_col, j).over(w)
+        term_n = F.when(x.isNotNull(), x * F.lit(wj)).otherwise(F.lit(0.0))
+        term_d = F.when(x.isNotNull(), F.lit(wj)).otherwise(F.lit(0.0))
+        num = term_n if num is None else num + term_n
+        den = term_d if den is None else den + term_d
+    return events.select(
+        key_col,
+        ts_col,
+        order_col,
+        F.col(val_col),
+        F.round(num / den, 6).alias("ewma"),
+    )

@@ -367,3 +367,27 @@ def test_content_defined_chunks_partition_tokens_exactly(spark):
         if r.text.strip()
     }
     assert rebuilt == orig
+
+
+def test_shard_assign_deterministic_and_complete(spark):
+    """(shard, position) must be a bit-stable layout: identical across
+    repartitionings, shards in [0, n), positions a contiguous 1..|shard|
+    sequence, and the shard key reproducible from the repo hash
+    convention."""
+    from nlquery_spark.functions.hashing import md5_u64_py
+    from nlquery_spark.operators.corpus import shard_assign
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    a = {(r.doc_id): (r.shard, r.position)
+         for r in shard_assign(docs, n_shards=8).collect()}
+    b = {(r.doc_id): (r.shard, r.position)
+         for r in shard_assign(docs.repartition(7), n_shards=8).collect()}
+    assert a == b
+    assert len(a) == docs.count()
+    shards = {}
+    for doc_id, (shard, pos) in a.items():
+        assert 0 <= shard < 8
+        assert shard == md5_u64_py(f"shard:{doc_id}") % 8
+        shards.setdefault(shard, []).append(pos)
+    for positions in shards.values():
+        assert sorted(positions) == list(range(1, len(positions) + 1))

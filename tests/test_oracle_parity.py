@@ -327,6 +327,8 @@ def test_correctness_window_holds_all_active_queries():
     stable_tail = {
         # every entry here has a green row in CORRECTNESS_r05.json and
         # unchanged query code in round 6
+        "q1_pricing_summary", "q5_local_supplier", "nl_filter_orders",
+        "nl_agg_orders", "nl_pivot_orders",
         "q3_shipping_priority", "ship_lag_by_month", "promo_revenue_share",
         "customers_without_orders", "events_sessionize",
         "daily_active_users", "topk_orders_per_customer",
@@ -362,6 +364,9 @@ def test_correctness_window_holds_all_active_queries():
         "customer_order_full_outer", "chunk_boilerplate", "corpus_pack",
         # code-changed in round 6 (hash-oracle / assoc-order fix)
         "kg_extract_triples", "index_bm25_topk",
+        # NEW in round 6
+        "customer_order_distribution", "customer_running_spend",
+        "events_ewma", "corpus_shard_assign", "ann_ivf_topk",
     }
     assert rotated_in <= set(qs[:50])
     # rows-only-by-nature queries (no oracle possible) excepted; every

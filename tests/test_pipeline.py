@@ -474,3 +474,52 @@ def test_pipeline_linkpred_stage(spark, tmp_path):
     import json, os
     meta = json.load(open(os.path.join(workdir, "_meta", "linkpred.json")))
     assert "blocks_capped" in meta.get("metrics", {})
+
+
+def test_ewma_matches_hand_computation(spark):
+    import datetime as dt
+
+    from nlquery_spark.operators.timeseries import ewma, ewma_weights
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, base, 1, "x", 2.0, "{}"),
+        (2, base + dt.timedelta(minutes=1), 1, "x", 4.0, "{}"),
+        (3, base + dt.timedelta(minutes=2), 1, "x", 8.0, "{}"),
+        # user 2: a single observation averages over itself only
+        (4, base, 2, "x", 5.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    got = {r.event_id: r.ewma for r in ewma(df, alpha=0.3, k=5).collect()}
+    w = ewma_weights(0.3, 5)
+    assert got[1] == pytest.approx(2.0)
+    assert got[4] == pytest.approx(5.0)
+    assert got[2] == pytest.approx((4.0 * w[0] + 2.0 * w[1]) / (w[0] + w[1]), abs=1e-6)
+    assert got[3] == pytest.approx(
+        (8.0 * w[0] + 4.0 * w[1] + 2.0 * w[2]) / (w[0] + w[1] + w[2]), abs=1e-6
+    )
+
+
+def test_ewma_window_caps_at_k(spark):
+    """Observation k+1 rows back must NOT influence the average: with
+    constant history except an old outlier beyond the k-window, the
+    EWMA equals the constant."""
+    import datetime as dt
+
+    from nlquery_spark.operators.timeseries import ewma
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [(i, base + dt.timedelta(minutes=i), 1, "x", v, "{}")
+            for i, v in enumerate([1000.0, 3.0, 3.0, 3.0, 3.0, 3.0])]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    got = {r.event_id: r.ewma for r in ewma(df, alpha=0.3, k=5).collect()}
+    assert got[5] == pytest.approx(3.0)   # outlier aged out
+    assert got[4] > 3.0                   # still inside the window here

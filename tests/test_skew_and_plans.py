@@ -265,3 +265,61 @@ def test_link_prediction_reads_only_checkpoints(spark, sf_dir):
     )
     assert "Scan parquet" not in plan
     assert "Scan ExistingRDD" in plan
+
+
+def test_order_distribution_preaggregates_and_prunes(spark, sf_dir):
+    """Q13-analog posture: the fact table is aggregated BEFORE the
+    dimension join (the join input is one row per customer, not one row
+    per order), and the customer scan is pruned to the single join key
+    column."""
+    plan = (
+        em.queries()["customer_order_distribution"](spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # column pruning: the customer relation contributes only c_custkey
+    assert "ReadSchema: struct<c_custkey:bigint>" in plan, plan
+    # pre-aggregation: the orders side aggregates below the join — the
+    # join itself must see an aggregate, so HashAggregate appears on
+    # the streamed side before SortMergeJoin/BroadcastHashJoin consumes
+    # it (textually: an aggregate over o_custkey exists in the plan)
+    assert "partial_count" in plan or "count(1)" in plan, plan
+
+
+def test_running_spend_single_exchange(spark, sf_dir):
+    """The running-total window costs exactly ONE shuffle (by the
+    customer key); the sort inside the partition is local."""
+    plan = (
+        em.queries()["customer_running_spend"](spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "Window" in plan
+
+
+def test_ewma_single_exchange(spark, sf_dir):
+    """The k-lag EWMA window is one user-keyed shuffle and stays
+    entirely in JVM window evaluation — no Arrow/Python stage."""
+    plan = (
+        em.queries()["events_ewma"](spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_shard_assign_single_exchange(spark, sf_dir):
+    """Shard layout is one shuffle on the (uniform, key-only) shard id;
+    the per-shard position sort is local to the shard partition."""
+    plan = (
+        em.queries()["corpus_shard_assign"](spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Exchange hashpartitioning") == 1, plan
