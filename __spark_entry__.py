@@ -2388,22 +2388,28 @@ def _dedup_minhash(spark, sf_dir):
     return minhash_lsh_pairs(docs, n=2, threshold=0.3)
 
 
-def _minhash_sql() -> str:
+def _minhash_sql(tail: str | None = None) -> str:
     """DuckDB mirror of _dedup_minhash: same shingles, same md5-derived
     64-bit shingle hash, same (a*h+b) mod 2^61-1 permutations (embedded
     as literals from the shared seeded generator), and — crucially —
     the SAME md5 band keys, so the oracle reproduces the banded
     candidate set STRUCTURALLY (identical recall by construction, not
     an empirical coincidence of the fixture); est_jaccard then verifies
-    candidates exactly as the Spark side does."""
+    candidates exactly as the Spark side does.
+
+    ``tail`` replaces the final SELECT so downstream oracles
+    (dedup_clusters' recursive closure) can reuse the whole CTE chain
+    verbatim — one definition of the pair semantics, two consumers."""
     from nlquery_spark.operators.dedup import _MERSENNE, _perm_params
 
     a, b = _perm_params(64, seed=42)
     perm_rows = ", ".join(
         f"({i}, {int(a[i])}, {int(b[i])})" for i in range(len(a))
     )
+    if tail is None:
+        tail = "SELECT id_a, id_b, est_jaccard FROM agree WHERE est_jaccard >= 0.3"
     return rf"""
-WITH t AS (
+WITH RECURSIVE t AS (
   SELECT doc_id, string_split_regex(trim(lower(text), ' '), '[ \t\n\x0B\f\r]+') AS w
   FROM documents WHERE doc_id < 200
 ), tf AS (
@@ -2440,8 +2446,42 @@ WITH t AS (
   JOIN mh y ON y.doc_id = c.id_b AND y.p_idx = x.p_idx
   GROUP BY c.id_a, c.id_b
 )
-SELECT id_a, id_b, est_jaccard FROM agree WHERE est_jaccard >= 0.3
+{tail}
 """
+
+
+def _dedup_clusters(spark, sf_dir):
+    """Dedup end-to-end: minhash pairs -> transitive closure -> keep/drop
+    per doc (operators/dedup.py::dup_clusters). Fully oracled — the
+    DuckDB side reuses the ENTIRE minhash CTE chain (same pairs by
+    construction) and closes it with a recursive-CTE reachability +
+    MIN(reach) per node, the same formulation kg_canonicalize's oracle
+    proved; ``keep`` marks the surviving representative (min doc id)."""
+    from nlquery_spark.operators.dedup import dup_clusters, minhash_lsh_pairs
+
+    docs = _parallelize(
+        _load(spark, sf_dir, "documents")["documents"].filter(F.col("doc_id") < 200)
+    )
+    pairs = minhash_lsh_pairs(docs, n=2, threshold=0.3)
+    return dup_clusters(docs, pairs)
+
+
+_DEDUP_CLUSTERS_TAIL = """, pairs AS (
+  SELECT id_a, id_b FROM agree WHERE est_jaccard >= 0.3
+), sym AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION
+  SELECT id_b, id_a FROM pairs
+), docs0 AS (
+  SELECT DISTINCT doc_id FROM documents WHERE doc_id < 200
+), reach AS (
+  SELECT doc_id AS node, doc_id AS r FROM docs0
+  UNION
+  SELECT reach.node, sym.dst FROM reach JOIN sym ON reach.r = sym.src
+)
+SELECT node AS doc_id, MIN(r) AS canonical_id,
+       CASE WHEN node = MIN(r) THEN 1 ELSE 0 END AS keep
+FROM reach GROUP BY node"""
 
 
 def _dedup_simhash(spark, sf_dir):
@@ -3161,6 +3201,73 @@ FROM corners GROUP BY node
 """
 
 
+def _part_lpa_communities(spark, sf_dir):
+    """Community detection over the co-ordered-parts graph
+    (operators/graph.py::label_propagation): 2 synchronous LPA rounds,
+    deterministic via smallest-label tie-break + fixed iteration count
+    — which is exactly what lets the oracle replay both rounds as two
+    join+count+QUALIFY stages in SQL. Completes the graph family next
+    to CC (kg_canonicalize), PageRank, triangles, k-hop, and link
+    prediction."""
+    from nlquery_spark.operators.graph import label_propagation
+
+    li = _load(spark, sf_dir, "lineitem")["lineitem"].select(
+        "l_orderkey", "l_partkey"
+    )
+    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pa"))
+    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pb"))
+    edges = (
+        a.join(b, "ok")
+        .filter(F.col("pa") < F.col("pb"))
+        .groupBy("pa", "pb")
+        .agg(F.count(F.lit(1)).alias("sup"))
+        .filter(F.col("sup") >= 2)
+        .select(F.col("pa").alias("src"), F.col("pb").alias("dst"))
+    )
+    return label_propagation(edges, iters=2).select(
+        F.col("node").alias("part"), "community"
+    )
+
+
+_LPA_SQL = """
+WITH e AS (
+  SELECT a.l_partkey AS src, b.l_partkey AS dst
+  FROM lineitem a
+  JOIN lineitem b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2 HAVING COUNT(*) >= 2
+), sym AS (
+  SELECT src AS s, dst AS d FROM e
+  UNION
+  SELECT dst, src FROM e
+), nodes AS (
+  SELECT DISTINCT s AS node FROM sym
+), l0 AS (
+  SELECT node, node AS label FROM nodes
+), v1 AS (
+  SELECT sym.d AS node, l0.label, COUNT(*) AS cnt
+  FROM sym JOIN l0 ON sym.s = l0.node GROUP BY 1, 2
+), b1 AS (
+  SELECT node, label FROM v1
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY node
+                             ORDER BY cnt DESC, label ASC) = 1
+), l1 AS (
+  SELECT n.node, COALESCE(b.label, n.node) AS label
+  FROM nodes n LEFT JOIN b1 b ON n.node = b.node
+), v2 AS (
+  SELECT sym.d AS node, l1.label, COUNT(*) AS cnt
+  FROM sym JOIN l1 ON sym.s = l1.node GROUP BY 1, 2
+), b2 AS (
+  SELECT node, label FROM v2
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY node
+                             ORDER BY cnt DESC, label ASC) = 1
+), l2 AS (
+  SELECT n.node, COALESCE(b.label, n.node) AS label
+  FROM nodes n LEFT JOIN b2 b ON n.node = b.node
+)
+SELECT node AS part, label AS community FROM l2
+"""
+
+
 def _index_bm25_topk(spark, sf_dir):
     """Search-serving surface: BM25 top-20 documents for a free-text
     query — the ranking layer over the inverted index (generalizes the
@@ -3738,6 +3845,217 @@ FROM (
 """
 
 
+def _corpus_split_assign(spark, sf_dir):
+    """Deterministic train/val/test split (operators/corpus.py::
+    split_assign): each doc's split is a pure function of its id via
+    the repo-wide md5 uniform, so the assignment is bit-stable across
+    engines/retries AND stable under corpus growth — a doc never
+    migrates between splits when new docs arrive, which rand()-based
+    splitting cannot guarantee (the classic eval-leak when a pipeline
+    re-runs). Integer bucket boundaries over 1e6 — no float compare at
+    the split edge."""
+    from nlquery_spark.operators.corpus import split_assign
+
+    docs = _load(spark, sf_dir, "documents")["documents"]
+    return split_assign(
+        docs, [("train", 0.9), ("val", 0.05), ("test", 0.05)]
+    )
+
+
+_SPLIT_ASSIGN_SQL = """
+SELECT doc_id,
+  CASE WHEN b < 900000 THEN 'train'
+       WHEN b < 950000 THEN 'val'
+       ELSE 'test' END AS split
+FROM (
+  SELECT doc_id,
+    ('0x' || substr(md5('split:' || doc_id), 1, 16))::UBIGINT % 1000000 AS b
+  FROM documents
+)
+"""
+
+
+def _dedup_incremental(spark, sf_dir):
+    """Ingest-time dedup for a continuously-crawled corpus
+    (operators/dedup.py::incremental_new_docs). The batch is built
+    adversarially so BOTH winnow paths do real work (sf tables have no
+    exact dups, so a naive id-split would verify only the digests):
+    docs >= 400 are genuinely new; docs < 50 are re-crawled verbatim
+    under fresh ids (+1000) and must be dropped by the history anti
+    join; docs 400-419 arrive twice (+2000) and must collapse to the
+    min batch id. Fully oracled — md5 digests are portable and the
+    anti join + min-id winnow are exact SQL."""
+    from nlquery_spark.operators.dedup import incremental_new_docs
+
+    docs = _load(spark, sf_dir, "documents")["documents"]
+    batch = (
+        docs.filter(F.col("doc_id") >= 400).select("doc_id", "text")
+        .unionByName(
+            docs.filter(F.col("doc_id") < 50).select(
+                (F.col("doc_id") + 1000).alias("doc_id"), "text"
+            )
+        )
+        .unionByName(
+            docs.filter(F.col("doc_id").between(400, 419)).select(
+                (F.col("doc_id") + 2000).alias("doc_id"), "text"
+            )
+        )
+    )
+    return incremental_new_docs(batch, docs.filter(F.col("doc_id") < 400))
+
+
+_DEDUP_INCREMENTAL_SQL = """
+WITH hist AS (
+  SELECT DISTINCT md5(text) AS digest FROM documents WHERE doc_id < 400
+), batch AS (
+  SELECT doc_id, md5(text) AS digest FROM documents WHERE doc_id >= 400
+  UNION ALL
+  SELECT doc_id + 1000, md5(text) FROM documents WHERE doc_id < 50
+  UNION ALL
+  SELECT doc_id + 2000, md5(text) FROM documents WHERE doc_id BETWEEN 400 AND 419
+), fresh AS (
+  SELECT b.doc_id, b.digest FROM batch b
+  ANTI JOIN hist h ON b.digest = h.digest
+)
+SELECT doc_id, digest FROM (
+  SELECT doc_id, digest,
+    ROW_NUMBER() OVER (PARTITION BY digest ORDER BY doc_id) AS rn
+  FROM fresh
+) WHERE rn = 1
+"""
+
+
+def _messy_urls(spark, sf_dir):
+    """Deterministic messy-URL fixture: every document gets an absolute
+    URL whose scheme/host case, default port, tracking params, param
+    order, fragment, and trailing slash all vary by doc_id residues —
+    the exact degradations RFC 3986 §6 normalization + tracking-strip
+    must collapse. Generated identically in the oracle's CTE."""
+    d = F.col("doc_id")
+    scheme = (
+        F.when(d % 5 == 0, "HTTPS").when(d % 7 == 0, "HTTP").otherwise("http")
+    )
+    host = F.concat(
+        F.when(d % 2 == 0, F.lit("WWW.Example")).otherwise(F.lit("www.example")),
+        (d % 13).cast("string"),
+        F.when(d % 4 == 0, F.lit(".COM")).otherwise(F.lit(".com")),
+    )
+    port = F.when(d % 5 == 0, ":443").when(d % 3 == 0, ":80").otherwise("")
+    path = F.when(d % 17 == 0, F.lit("")).otherwise(
+        F.concat(
+            F.lit("/articles/"),
+            (d % 97).cast("string"),
+            F.when(d % 4 == 1, F.lit("/")).otherwise(F.lit("")),
+        )
+    )
+    query = (
+        F.when(d % 3 == 0, "?utm_source=feed&b=2&a=1")
+        .when(d % 3 == 1, "?b=2&a=1&fbclid=xyz")
+        .otherwise("")
+    )
+    frag = F.when(d % 6 == 0, F.lit("#sec-2")).otherwise(F.lit(""))
+    url = F.concat(scheme, F.lit("://"), host, port, path, query, frag)
+    docs = _load(spark, sf_dir, "documents")["documents"]
+    return docs.select("doc_id", url.alias("url"))
+
+
+def _web_url_normalize(spark, sf_dir):
+    """URL canonicalization (functions/web.py::normalize_url) — the
+    crawl-dedup primitive: lowercase scheme/host, elide default ports,
+    drop fragments + tracking params, sort surviving params, strip
+    non-root trailing slashes. Pure JVM column expressions (regexps +
+    one flat-column array HOF — no explode, no Python), zero shuffle;
+    the oracle reproduces every rule under RE2."""
+    from nlquery_spark.functions.web import normalize_url, url_host
+
+    urls = _messy_urls(spark, sf_dir)
+    return urls.select(
+        "doc_id",
+        "url",
+        url_host(F.col("url")).alias("host"),
+        normalize_url(F.col("url")).alias("canonical_url"),
+    )
+
+
+def _web_host_stats(spark, sf_dir):
+    """Host-level corpus rollup over canonicalized URLs: pages per
+    site and DISTINCT canonical pages per site — the fan-in a crawl
+    scheduler and a site-quality scorer both key on. One hash
+    aggregation on the host key after the narrow canonicalize
+    projection."""
+    from nlquery_spark.functions.web import normalize_url, url_host
+
+    urls = _messy_urls(spark, sf_dir)
+    return (
+        urls.select(
+            url_host(F.col("url")).alias("host"),
+            normalize_url(F.col("url")).alias("canon"),
+        )
+        .groupBy("host")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("canon").alias("n_pages"),
+        )
+    )
+
+
+_MESSY_URLS_CTE = r"""
+WITH urls AS (
+  SELECT doc_id,
+    (CASE WHEN doc_id % 5 = 0 THEN 'HTTPS'
+          WHEN doc_id % 7 = 0 THEN 'HTTP' ELSE 'http' END)
+    || '://'
+    || (CASE WHEN doc_id % 2 = 0 THEN 'WWW.Example' ELSE 'www.example' END)
+    || CAST(doc_id % 13 AS VARCHAR)
+    || (CASE WHEN doc_id % 4 = 0 THEN '.COM' ELSE '.com' END)
+    || (CASE WHEN doc_id % 5 = 0 THEN ':443'
+             WHEN doc_id % 3 = 0 THEN ':80' ELSE '' END)
+    || (CASE WHEN doc_id % 17 = 0 THEN ''
+             ELSE '/articles/' || CAST(doc_id % 97 AS VARCHAR)
+                  || (CASE WHEN doc_id % 4 = 1 THEN '/' ELSE '' END) END)
+    || (CASE WHEN doc_id % 3 = 0 THEN '?utm_source=feed&b=2&a=1'
+             WHEN doc_id % 3 = 1 THEN '?b=2&a=1&fbclid=xyz' ELSE '' END)
+    || (CASE WHEN doc_id % 6 = 0 THEN '#sec-2' ELSE '' END) AS url
+  FROM documents
+), parts AS (
+  SELECT doc_id, url,
+    lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.\-]*)://', 1)) AS scheme,
+    lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.\-]*://([^/?#]*)', 1)) AS auth,
+    regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*([^?#]*)', 1) AS raw_path,
+    regexp_extract(url, '\?([^#]*)', 1) AS query
+  FROM urls
+), normed AS (
+  SELECT doc_id, url, scheme,
+    CASE WHEN scheme = 'http' THEN regexp_replace(auth, ':80$', '')
+         WHEN scheme = 'https' THEN regexp_replace(auth, ':443$', '')
+         ELSE auth END AS host,
+    CASE WHEN regexp_replace(raw_path, '/+$', '') = '' THEN '/'
+         ELSE regexp_replace(raw_path, '/+$', '') END AS path,
+    -- DuckDB array_to_string on an EMPTY list yields NULL; Spark's
+    -- array_join yields '' — coalesce to the Spark convention
+    COALESCE(array_to_string(list_sort(list_filter(string_split(query, '&'),
+      p -> p <> '' AND NOT regexp_matches(p, '^(utm_[^=]*|fbclid|gclid)(=|$)'))),
+      '&'), '') AS qs
+  FROM parts
+), canon AS (
+  SELECT doc_id, url, host,
+    scheme || '://' || host || path
+    || (CASE WHEN qs = '' THEN '' ELSE '?' || qs END) AS canonical_url
+  FROM normed
+)
+"""
+
+_URL_NORMALIZE_SQL = (
+    _MESSY_URLS_CTE + "SELECT doc_id, url, host, canonical_url FROM canon"
+)
+
+_HOST_STATS_SQL = _MESSY_URLS_CTE + """
+SELECT host, COUNT(*) AS n_docs,
+       COUNT(DISTINCT canonical_url) AS n_pages
+FROM canon GROUP BY host
+"""
+
+
 def _ann_ivf_topk(spark, sf_dir):
     """IVF-pruned ANN over the embeddings table (operators/similarity
     .py::ivf_topk): deterministic Lloyd-refined centroids, each query
@@ -3813,20 +4131,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_ewma": _events_ewma,
         "corpus_shard_assign": _corpus_shard_assign,
         "ann_ivf_topk": _ann_ivf_topk,
+        "dedup_clusters": _dedup_clusters,
+        "corpus_split_assign": _corpus_split_assign,
+        "dedup_incremental": _dedup_incremental,
+        "web_url_normalize": _web_url_normalize,
+        "web_host_stats": _web_host_stats,
+        "part_lpa_communities": _part_lpa_communities,
         # -- (c) r5-green fill --------------------------------------------
         "doc_tfidf_keywords": _doc_tfidf_keywords,
         "customer_rfm_segments": _customer_rfm_segments,
         "nl_autocomplete": _nl_autocomplete,
         "dict_spec_part": _dict_spec_part,
         "emb_cosine_jvm": _emb_cosine_jvm,
+        # -- tail: r5-driver-green, code unchanged this round; every one
+        # still oracle-checked per-session by tests/test_oracle_parity.py
         "q17_small_quantity_revenue": _q17_small_quantity_revenue,
         "event_props_json": _event_props_json,
         "order_value_percentiles": _order_value_percentiles,
         "order_priority_rollup": _order_priority_rollup,
         "part_setops_98_not_99": _part_supplier_setops,
         "orders_upsert_merge": _orders_upsert_merge,
-        # -- tail: r5-driver-green, code unchanged this round; every one
-        # still oracle-checked per-session by tests/test_oracle_parity.py
         "q1_pricing_summary": _q1_pricing_summary,
         "q5_local_supplier": _q5_local_supplier,
         "nl_filter_orders": _nl_filter_orders,
@@ -3948,6 +4272,12 @@ def oracle_sql() -> dict[str, str]:
         "chunk_boilerplate": _BOILERPLATE_SQL,
         "dedup_simhash": _SIMHASH_SQL,
         "dedup_minhash": _minhash_sql(),
+        "dedup_clusters": _minhash_sql(tail=_DEDUP_CLUSTERS_TAIL),
+        "corpus_split_assign": _SPLIT_ASSIGN_SQL,
+        "dedup_incremental": _DEDUP_INCREMENTAL_SQL,
+        "web_url_normalize": _URL_NORMALIZE_SQL,
+        "web_host_stats": _HOST_STATS_SQL,
+        "part_lpa_communities": _LPA_SQL,
         "emb_neardup_exact": _EMB_EXACT_SQL,
         "kg_extract_triples": _kg_extract_triples_sql(),
         "customer_order_distribution": _ORDER_DIST_SQL,

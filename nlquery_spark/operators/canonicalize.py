@@ -279,11 +279,19 @@ def connected_components(
         if metrics is not None:
             metrics["cc_iterations"] = 0  # driver union-find is exact
             metrics["cc_converged"] = True
-        return (
-            edges.sparkSession.createDataFrame(
-                labeled, f"{node_col} string, component string"
-            )
+        # preserve the node id type so both adaptive paths return the
+        # same schema (e.g. bigint doc ids must not coerce to string) —
+        # same contract as pagerank's driver path
+        from pyspark.sql.types import StructField, StructType
+
+        node_type = node_df.schema["node"].dataType
+        out_schema = StructType(
+            [
+                StructField(node_col, node_type, True),
+                StructField("component", node_type, True),
+            ]
         )
+        return edges.sparkSession.createDataFrame(labeled, out_schema)
     labels = node_df.withColumn("label", F.col("node")).localCheckpoint(eager=True)
 
     changed = 0

@@ -562,3 +562,47 @@ def shard_assign(
         docs.select(F.col(id_col), shard.alias("shard"))
         .withColumn("position", F.row_number().over(w).cast("long"))
     )
+
+
+def split_assign(
+    docs: DataFrame,
+    fractions: "list[tuple[str, float]]" = (
+        ("train", 0.9),
+        ("val", 0.05),
+        ("test", 0.05),
+    ),
+    id_col: str = "doc_id",
+    salt: str = "split",
+) -> DataFrame:
+    """Deterministic train/val/test split: every doc draws a uniform
+    bucket from the repo-wide md5 convention and falls into the first
+    cumulative-fraction range that covers it. The split is a pure
+    function of (salt, id) — bit-stable across engines, partitionings,
+    retries, and corpus growth (a doc never migrates between splits
+    when new docs arrive, which rand()-based splitting cannot
+    guarantee and which leaks eval data into training the moment a
+    pipeline is re-run).
+
+    Fractions are materialized as integer boundaries over 1e6 buckets
+    (exact in both engines; no float comparison at the boundary).
+
+    Scale: narrow per-row projection, no shuffle, whole-stage codegen;
+    the downstream writer partitions by ``split``.
+    """
+    from ..functions.hashing import md5_u64
+
+    total = sum(f for _, f in fractions)
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"fractions must sum to 1, got {total}")
+    bucket = md5_u64(
+        F.concat_ws(":", F.lit(salt), F.col(id_col).cast("string"))
+    ) % 1_000_000
+    expr = F.lit(fractions[-1][0])
+    cum = 0
+    bounds = []
+    for name, frac in fractions[:-1]:
+        cum += frac
+        bounds.append((name, int(round(cum * 1_000_000))))
+    for name, bound in reversed(bounds):
+        expr = F.when(bucket < bound, F.lit(name)).otherwise(expr)
+    return docs.select(F.col(id_col), expr.alias("split"))

@@ -776,3 +776,93 @@ def _verify_tile(
             c1 = min(c0 + step, len(b))
             emit(ids_a[r0:r1], ids_b[c0:c1], ua[r0:r1] @ ub[c0:c1].T)
     return pd.DataFrame({"id_a": ia, "id_b": ib, "cosine": cs})
+
+
+# ------------------------------------------------------------ clusters --
+
+
+def dup_clusters(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    src_col: str = "id_a",
+    dst_col: str = "id_b",
+    driver_max_graph: int = 2_000_000,
+    metrics: Optional[dict] = None,
+) -> DataFrame:
+    """Turn near-dup PAIRS into KEEP/DROP decisions: transitive closure
+    of the pair graph (connected components), canonical id = min doc id
+    per component, ``keep`` = 1 iff the doc is its component's
+    representative. This is the step every dedup pipeline needs after
+    candidate verification — pairs alone don't say which doc survives,
+    and naive "drop the right side of every pair" over-deletes when
+    clusters overlap (a<b, b<c would drop b AND c but keep nothing
+    linking c to a without the closure).
+
+    Scale posture: the pair graph at corpus scale is SPARSE (near-dup
+    clusters are small and bounded by the upstream banding caps), so
+    the adaptive CC reuses canonicalize.connected_components — driver
+    union-find below ``driver_max_graph`` nodes+edges, hash-to-min
+    label propagation (one shuffle per round, O(cluster diameter)
+    rounds — dup-cluster diameters are tiny) above it. Node ids keep
+    their input type (bigint in, bigint out) on both paths.
+    """
+    from .canonicalize import connected_components
+
+    nodes = docs.select(F.col(id_col)).distinct().localCheckpoint(eager=True)
+    cc = connected_components(
+        pairs,
+        nodes,
+        node_col=id_col,
+        src_col=src_col,
+        dst_col=dst_col,
+        driver_max_graph=driver_max_graph,
+        metrics=metrics,
+        assume_distinct_nodes=True,
+    )
+    return cc.select(
+        F.col(id_col),
+        F.col("component").alias("canonical_id"),
+        (F.col(id_col) == F.col("component")).cast("int").alias("keep"),
+    )
+
+
+# --------------------------------------------------------- incremental --
+
+
+def incremental_new_docs(
+    new_batch: DataFrame,
+    history: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Ingest-time dedup for a continuously-crawled corpus: from a new
+    batch, keep only docs whose content digest is (a) unseen in the
+    historical corpus and (b) first within the batch (min id per
+    digest). Returns (id, digest) of the accepted docs — the rows a
+    crawl-ingestion job appends to the corpus and to the digest index.
+
+    Scale posture: the history side at 100 TB is a digest INDEX (one
+    md5 per historical doc), not the corpus. The join strategy is
+    deliberately left to Catalyst's stats: a small index broadcasts
+    (fixture scale — plan-pinned), a crawl-scale index flips the SAME
+    declarative plan to a hash-shuffle anti join where each reducer
+    holds one digest range; nothing is collected either way. The
+    within-batch winnow is a window over the same digest key, so under
+    the shuffle strategy it rides the join's partitioning. With a
+    bucketed/Z-ordered digest index the history shuffle amortizes to
+    zero across daily runs.
+    """
+    hist_digests = history.select(
+        F.md5(F.col(text_col)).alias("digest")
+    ).distinct()
+    batch = new_batch.select(
+        F.col(id_col), F.md5(F.col(text_col)).alias("digest")
+    )
+    fresh = batch.join(hist_digests, "digest", "left_anti")
+    w = Window.partitionBy("digest").orderBy(F.col(id_col))
+    return (
+        fresh.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(id_col, "digest")
+    )

@@ -376,3 +376,67 @@ def cooccurrence_lift(
             lift.alias("lift"),
         )
     )
+
+
+def label_propagation(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iters: int = 2,
+    metrics: "dict | None" = None,
+) -> DataFrame:
+    """Community detection by SYNCHRONOUS label propagation (Raghavan
+    et al. 2007), made deterministic: every round, each node adopts the
+    most frequent label among its neighbors, ties broken by the SMALLEST
+    label (the paper breaks ties randomly, which is neither reproducible
+    nor oracle-checkable). Runs a FIXED ``iters`` rounds — sync LPA can
+    oscillate on bipartite-ish structure, so production runs cap rounds
+    anyway, and a fixed count is the contract an external oracle can
+    replay exactly (same posture as pagerank's fixed-iteration mode).
+
+    Returns (node, community) for every edge endpoint.
+
+    Scale: per round, one join of the symmetrized edges against the
+    label table (both hash-partitioned on the join key), a (node,
+    label) count aggregation with map-side partial combine, and a
+    per-node top-1 window — all keyed shuffles, no driver state, with
+    a localCheckpoint per round so the plan stays bounded at any
+    ``iters``. Hub nodes cost O(degree) vote rows, never O(degree^2).
+    """
+    from pyspark.sql import Window
+
+    sym = (
+        edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+        .union(edges.select(F.col(dst).alias("s"), F.col(src).alias("d")))
+        .filter(F.col("s") != F.col("d"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    nodes = sym.select(F.col("s").alias("node")).distinct().localCheckpoint(
+        eager=True
+    )
+    labels = nodes.withColumn("label", F.col("node"))
+    for _ in range(iters):
+        votes = sym.join(labels, sym.s == labels.node).select(
+            F.col("d").alias("n2"), "label"
+        )
+        cnt = votes.groupBy("n2", "label").agg(F.count(F.lit(1)).alias("cnt"))
+        w = Window.partitionBy("n2").orderBy(
+            F.col("cnt").desc(), F.col("label").asc()
+        )
+        best = (
+            cnt.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select(F.col("n2").alias("node"), F.col("label").alias("new_label"))
+        )
+        labels = (
+            labels.join(best, "node", "left")
+            .select(
+                "node",
+                F.coalesce("new_label", "label").alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    if metrics is not None:
+        metrics["lpa_iterations"] = iters
+    return labels.select("node", F.col("label").alias("community"))

@@ -757,3 +757,122 @@ def test_tfidf_drops_empty_edge_tokens(spark):
     assert all(r.token != "" for r in rows)
     # doc 1's top keyword is a real word, not the '' artifact
     assert {r.token for r in rows} == {"common"}
+
+
+# ------------------------------------------------- round-6 operators --
+
+
+def test_dup_clusters_closure_and_keep(spark):
+    """a-b, b-c must close into one cluster labeled min(a); singletons
+    keep themselves; bigint ids must stay bigint on the driver
+    union-find path (the r6 CC schema fix)."""
+    from nlquery_spark.operators.dedup import dup_clusters
+
+    docs = spark.createDataFrame([(i,) for i in (1, 2, 3, 7, 9)], "doc_id long")
+    pairs = spark.createDataFrame([(1, 2), (2, 3)], "id_a long, id_b long")
+    out = dup_clusters(docs, pairs)
+    assert dict(out.dtypes)["doc_id"] == "bigint"
+    assert dict(out.dtypes)["canonical_id"] == "bigint"
+    got = {r.doc_id: (r.canonical_id, r.keep) for r in out.collect()}
+    assert got == {1: (1, 1), 2: (1, 0), 3: (1, 0), 7: (7, 1), 9: (9, 1)}
+
+
+def test_dup_clusters_distributed_path_matches_driver(spark):
+    """Forcing the hash-to-min path (driver_max_graph=0) must reproduce
+    the driver union-find labeling row for row."""
+    from nlquery_spark.operators.dedup import dup_clusters
+
+    docs = spark.createDataFrame([(i,) for i in range(12)], "doc_id long")
+    pairs = spark.createDataFrame(
+        [(0, 5), (5, 11), (2, 3), (7, 8)], "id_a long, id_b long"
+    )
+    a = {(r.doc_id, r.canonical_id, r.keep)
+         for r in dup_clusters(docs, pairs).collect()}
+    b = {(r.doc_id, r.canonical_id, r.keep)
+         for r in dup_clusters(docs, pairs, driver_max_graph=0).collect()}
+    assert a == b
+
+
+def test_split_assign_growth_stable_and_validated(spark):
+    """A doc's split must not change when the corpus grows (the
+    eval-leak guarantee), and fractions must sum to 1."""
+    from nlquery_spark.operators.corpus import split_assign
+
+    small = spark.createDataFrame([(i,) for i in range(100)], "doc_id long")
+    big = spark.createDataFrame([(i,) for i in range(500)], "doc_id long")
+    fr = [("train", 0.9), ("val", 0.05), ("test", 0.05)]
+    s_small = {r.doc_id: r.split for r in split_assign(small, fr).collect()}
+    s_big = {r.doc_id: r.split for r in split_assign(big, fr).collect()}
+    assert all(s_big[k] == v for k, v in s_small.items())
+    counts = {}
+    for v in s_big.values():
+        counts[v] = counts.get(v, 0) + 1
+    assert counts["train"] > counts.get("val", 0)
+    assert set(counts) <= {"train", "val", "test"}
+    with pytest.raises(ValueError):
+        split_assign(small, [("a", 0.5), ("b", 0.4)]).collect()
+
+
+def test_incremental_new_docs_winnows_both_ways(spark):
+    from nlquery_spark.operators.dedup import incremental_new_docs
+
+    hist = spark.createDataFrame(
+        [(1, "alpha"), (2, "beta")], "doc_id long, text string"
+    )
+    batch = spark.createDataFrame(
+        [(10, "alpha"),      # seen in history -> dropped
+         (11, "gamma"), (12, "gamma"),  # batch dup -> min id kept
+         (13, "delta")],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id for r in incremental_new_docs(batch, hist).collect()}
+    assert got == {11, 13}
+
+
+def test_normalize_url_rules(spark):
+    from nlquery_spark.functions.web import normalize_url, url_host
+
+    cases = [
+        # (raw, canonical)
+        ("HTTP://WWW.Ex.COM:80/a/?utm_source=x&b=2&a=1#f",
+         "http://www.ex.com/a?a=1&b=2"),
+        ("https://ex.com:443/", "https://ex.com/"),
+        # :80 is NOT the default port for https — must survive
+        ("https://ex.com:80/p", "https://ex.com:80/p"),
+        ("http://ex.com", "http://ex.com/"),
+        ("http://ex.com/a//", "http://ex.com/a"),
+        ("http://ex.com/?fbclid=1&gclid=2&utm_medium=m", "http://ex.com/"),
+        ("http://ex.com/p?z=1&a=2", "http://ex.com/p?a=2&z=1"),
+    ]
+    df = spark.createDataFrame([(i, u) for i, (u, _) in enumerate(cases)],
+                               "i long, url string")
+    out = {r.i: (r.c, r.h) for r in df.select(
+        "i", normalize_url(F.col("url")).alias("c"),
+        url_host(F.col("url")).alias("h")).collect()}
+    for i, (_, want) in enumerate(cases):
+        assert out[i][0] == want, (cases[i], out[i])
+    assert out[2][1] == "ex.com:80"  # host keeps the non-default port
+
+
+def test_label_propagation_two_triangles_bridge(spark):
+    """Two triangles joined by one bridge edge: after 2 sync rounds
+    with min-label tie-break every node's label is derivable by hand —
+    pin the exact labeling and the repartitioning-independence."""
+    from nlquery_spark.operators.graph import label_propagation
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (4, 5), (5, 6), (4, 6), (3, 4)],
+        "src long, dst long",
+    )
+    got = {r.node: r.community
+           for r in label_propagation(edges, iters=2).collect()}
+    # round 1 (votes among neighbor INITIAL labels, ties -> min):
+    #   1<-{2,3}->2 ; 2<-{1,3}->1 ; 3<-{1,2,4}->1 ; 4<-{3,5,6}->3 ;
+    #   5<-{4,6}->4 ; 6<-{4,5}->4
+    # round 2 over those labels:
+    #   1: nbrs {2,3}={1,1}->1 ; 2: {1,3}={2,1}->1 ; 3: {1,2,4}={2,1,3}->1
+    #   4: {3,5,6}={1,4,4}->4 ; 5: {4,6}={3,4}->3 ; 6: {4,5}={3,4}->3
+    assert got == {1: 1, 2: 1, 3: 1, 4: 4, 5: 3, 6: 3}
+    got2 = {r.node: r.community
+            for r in label_propagation(edges.repartition(7), iters=2).collect()}
+    assert got2 == got

@@ -342,6 +342,11 @@ def test_correctness_window_holds_all_active_queries():
         "event_type_transitions", "events_daily_anomaly",
         "event_retention_cohorts", "part_link_prediction",
         "events_sliding_windows",
+        # r5-green fill pushed past position 50 by the six queries NEW
+        # in round 6 (driver row r5, code unchanged)
+        "q17_small_quantity_revenue", "event_props_json",
+        "order_value_percentiles", "order_priority_rollup",
+        "part_setops_98_not_99", "orders_upsert_merge",
     }
     assert set(qs[50:]) <= stable_tail, (
         f"non-stable queries past the 50-entry driver window: "
@@ -367,6 +372,8 @@ def test_correctness_window_holds_all_active_queries():
         # NEW in round 6
         "customer_order_distribution", "customer_running_spend",
         "events_ewma", "corpus_shard_assign", "ann_ivf_topk",
+        "dedup_clusters", "corpus_split_assign", "dedup_incremental",
+        "web_url_normalize", "web_host_stats", "part_lpa_communities",
     }
     assert rotated_in <= set(qs[:50])
     # rows-only-by-nature queries (no oracle possible) excepted; every

@@ -323,3 +323,53 @@ def test_shard_assign_single_exchange(spark, sf_dir):
         .toString()
     )
     assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_url_normalize_zero_exchange_no_python(spark, sf_dir):
+    """URL canonicalization must ride the scan: zero shuffles, zero
+    Python stages, one codegen span of regexp/array expressions — at
+    10^12 URLs anything else turns a projection into a job."""
+    plan = (
+        em.queries()["web_url_normalize"](spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan, plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert "*(1)" in plan  # generator stage is whole-stage-codegen'd
+
+
+def test_split_assign_zero_exchange(spark, sf_dir):
+    """Train/val/test assignment is a pure projection of the md5
+    uniform — no shuffle anywhere in the plan."""
+    plan = (
+        em.queries()["corpus_split_assign"](spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan, plan
+
+
+def test_dedup_incremental_join_is_stats_driven(spark, sf_dir):
+    """The anti join strategy is left to Catalyst's stats: at fixture
+    scale the history digest set fits under the broadcast threshold so
+    the anti join must be a BroadcastHashJoin LeftAnti (no digest
+    shuffle of the batch for the join); the within-batch winnow then
+    costs the one digest exchange. At crawl scale the same declarative
+    plan flips to a shuffle join when the index outgrows the
+    threshold — that flip is the point of NOT forcing a strategy."""
+    plan = (
+        em.queries()["dedup_incremental"](spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "LeftAnti, BuildRight" in plan, plan
+    assert "BroadcastExchange" in plan, plan
+    # one digest exchange for the winnow window + the history
+    # distinct's exchange inside the broadcast build (rendered per
+    # union branch in the plan text); the batch rows are never
+    # digest-shuffled for the join itself
+    assert plan.count("Exchange hashpartitioning") <= 4, plan
