@@ -3925,13 +3925,11 @@ SELECT doc_id, digest FROM (
 """
 
 
-def _messy_urls(spark, sf_dir):
-    """Deterministic messy-URL fixture: every document gets an absolute
-    URL whose scheme/host case, default port, tracking params, param
-    order, fragment, and trailing slash all vary by doc_id residues —
-    the exact degradations RFC 3986 §6 normalization + tracking-strip
-    must collapse. Generated identically in the oracle's CTE."""
-    d = F.col("doc_id")
+def _messy_url_col(d):
+    """Deterministic messy URL for an integer id column ``d`` (see
+    _messy_urls). Shared by the page-URL fixture AND the synthesized
+    hyperlink targets, so source and target URLs degrade identically;
+    the SQL twin is _messy_url_sql."""
     scheme = (
         F.when(d % 5 == 0, "HTTPS").when(d % 7 == 0, "HTTP").otherwise("http")
     )
@@ -3954,9 +3952,37 @@ def _messy_urls(spark, sf_dir):
         .otherwise("")
     )
     frag = F.when(d % 6 == 0, F.lit("#sec-2")).otherwise(F.lit(""))
-    url = F.concat(scheme, F.lit("://"), host, port, path, query, frag)
+    return F.concat(scheme, F.lit("://"), host, port, path, query, frag)
+
+
+def _messy_url_sql(e: str) -> str:
+    """DuckDB twin of _messy_url_col over an integer SQL expression."""
+    return f"""(CASE WHEN ({e}) % 5 = 0 THEN 'HTTPS'
+          WHEN ({e}) % 7 = 0 THEN 'HTTP' ELSE 'http' END)
+    || '://'
+    || (CASE WHEN ({e}) % 2 = 0 THEN 'WWW.Example' ELSE 'www.example' END)
+    || CAST(({e}) % 13 AS VARCHAR)
+    || (CASE WHEN ({e}) % 4 = 0 THEN '.COM' ELSE '.com' END)
+    || (CASE WHEN ({e}) % 5 = 0 THEN ':443'
+             WHEN ({e}) % 3 = 0 THEN ':80' ELSE '' END)
+    || (CASE WHEN ({e}) % 17 = 0 THEN ''
+             ELSE '/articles/' || CAST(({e}) % 97 AS VARCHAR)
+                  || (CASE WHEN ({e}) % 4 = 1 THEN '/' ELSE '' END) END)
+    || (CASE WHEN ({e}) % 3 = 0 THEN '?utm_source=feed&b=2&a=1'
+             WHEN ({e}) % 3 = 1 THEN '?b=2&a=1&fbclid=xyz' ELSE '' END)
+    || (CASE WHEN ({e}) % 6 = 0 THEN '#sec-2' ELSE '' END)"""
+
+
+def _messy_urls(spark, sf_dir):
+    """Deterministic messy-URL fixture: every document gets an absolute
+    URL whose scheme/host case, default port, tracking params, param
+    order, fragment, and trailing slash all vary by doc_id residues —
+    the exact degradations RFC 3986 §6 normalization + tracking-strip
+    must collapse. Generated identically in the oracle's CTE."""
     docs = _load(spark, sf_dir, "documents")["documents"]
-    return docs.select("doc_id", url.alias("url"))
+    return docs.select(
+        "doc_id", _messy_url_col(F.col("doc_id")).alias("url")
+    )
 
 
 def _web_url_normalize(spark, sf_dir):
@@ -3999,24 +4025,15 @@ def _web_host_stats(spark, sf_dir):
     )
 
 
-_MESSY_URLS_CTE = r"""
+def _messy_urls_cte(where: str = "") -> str:
+    """WITH-chain (urls -> parts -> normed -> canon) reproducing the
+    messy-URL fixture + the full functions/web.py normalization in
+    DuckDB. ``where`` optionally restricts the generating table so
+    downstream oracles (crawl diff) can share the chain verbatim."""
+    return rf"""
 WITH urls AS (
-  SELECT doc_id,
-    (CASE WHEN doc_id % 5 = 0 THEN 'HTTPS'
-          WHEN doc_id % 7 = 0 THEN 'HTTP' ELSE 'http' END)
-    || '://'
-    || (CASE WHEN doc_id % 2 = 0 THEN 'WWW.Example' ELSE 'www.example' END)
-    || CAST(doc_id % 13 AS VARCHAR)
-    || (CASE WHEN doc_id % 4 = 0 THEN '.COM' ELSE '.com' END)
-    || (CASE WHEN doc_id % 5 = 0 THEN ':443'
-             WHEN doc_id % 3 = 0 THEN ':80' ELSE '' END)
-    || (CASE WHEN doc_id % 17 = 0 THEN ''
-             ELSE '/articles/' || CAST(doc_id % 97 AS VARCHAR)
-                  || (CASE WHEN doc_id % 4 = 1 THEN '/' ELSE '' END) END)
-    || (CASE WHEN doc_id % 3 = 0 THEN '?utm_source=feed&b=2&a=1'
-             WHEN doc_id % 3 = 1 THEN '?b=2&a=1&fbclid=xyz' ELSE '' END)
-    || (CASE WHEN doc_id % 6 = 0 THEN '#sec-2' ELSE '' END) AS url
-  FROM documents
+  SELECT doc_id, {_messy_url_sql('doc_id')} AS url
+  FROM documents {where}
 ), parts AS (
   SELECT doc_id, url,
     lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.\-]*)://', 1)) AS scheme,
@@ -4045,6 +4062,9 @@ WITH urls AS (
 )
 """
 
+
+_MESSY_URLS_CTE = _messy_urls_cte()
+
 _URL_NORMALIZE_SQL = (
     _MESSY_URLS_CTE + "SELECT doc_id, url, host, canonical_url FROM canon"
 )
@@ -4053,6 +4073,256 @@ _HOST_STATS_SQL = _MESSY_URLS_CTE + """
 SELECT host, COUNT(*) AS n_docs,
        COUNT(DISTINCT canonical_url) AS n_pages
 FROM canon GROUP BY host
+"""
+
+
+def _page_html(spark, sf_dir):
+    """Deterministic HTML page fixture: each document wrapped in a
+    minimal page whose body carries 1-3 ``<a href>`` anchors pointing
+    at OTHER ids' messy URLs (targets ``(doc_id*31 + 17k + 7) % 611``
+    — dangling targets included, as in a real crawl frontier). Source
+    and target URLs share one generator (_messy_url_col), so the link
+    graph exercises host extraction on both ends."""
+    docs = _load(spark, sf_dir, "documents")["documents"]
+    d = F.col("doc_id")
+    anchors = []
+    for k in range(3):
+        a = F.concat(
+            F.lit('<a href="'),
+            _messy_url_col((d * 31 + 17 * k + 7) % 611),
+            F.lit(f'">l{k}</a>'),
+        )
+        anchors.append(a if k == 0 else F.when(d % 3 >= k, a).otherwise(F.lit("")))
+    html = F.concat(
+        F.lit("<html><body><p>"),
+        F.col("text"),
+        F.lit("</p>"),
+        *anchors,
+        F.lit("</body></html>"),
+    )
+    return docs.select(
+        "doc_id", _messy_url_col(d).alias("url"), html.alias("html")
+    )
+
+
+def _web_link_graph(spark, sf_dir):
+    """Host-to-host hyperlink graph from raw page HTML (operators/web
+    .py::host_link_graph): regexp-extract every ``<a href>`` target,
+    key both ends by lowercased default-port-elided host, count links
+    per directed pair. Narrow JVM projection riding the page scan +
+    ONE hash aggregation; the oracle replays extraction and host
+    mapping under RE2."""
+    from nlquery_spark.operators.web import host_link_graph
+
+    return host_link_graph(_page_html(spark, sf_dir))
+
+
+def _web_host_pagerank(spark, sf_dir):
+    """Site-level PageRank over the hyperlink host graph — the crawl
+    prioritization / spam-score substrate. Self-links dropped, edges
+    distinct'd, FIXED 20 power-iteration rounds (tol=0) so the
+    recursive-CTE oracle replays bit-comparably at 5 decimals (the
+    kg_pagerank recipe on the web link graph)."""
+    from nlquery_spark.operators.canonicalize import pagerank
+    from nlquery_spark.operators.web import host_link_graph
+
+    g = host_link_graph(_page_html(spark, sf_dir))
+    edges = (
+        g.filter(F.col("src_host") != F.col("dst_host"))
+        .select(F.col("src_host").alias("src"), F.col("dst_host").alias("dst"))
+        .distinct()
+    )
+    ranks = pagerank(edges, tol=0.0, max_iter=20)
+    return ranks.select(
+        F.col("node").alias("host"), F.round("rank", 5).alias("rank")
+    )
+
+
+def _url_host_sql(e: str) -> str:
+    """DuckDB twin of functions/web.py::url_host over a URL expression."""
+    sch = rf"lower(regexp_extract({e}, '^([A-Za-z][A-Za-z0-9+.\-]*)://', 1))"
+    auth = rf"lower(regexp_extract({e}, '^[A-Za-z][A-Za-z0-9+.\-]*://([^/?#]*)', 1))"
+    return (
+        f"(CASE WHEN {sch} = 'http' THEN regexp_replace({auth}, ':80$', '') "
+        f"WHEN {sch} = 'https' THEN regexp_replace({auth}, ':443$', '') "
+        f"ELSE {auth} END)"
+    )
+
+
+def _pages_html_cte(recursive: bool = False) -> str:
+    """pages -> links -> hostpairs CTE chain mirroring _page_html +
+    host extraction. ``recursive`` emits WITH RECURSIVE so the
+    pagerank oracle can append its recursive CTE (helper CTEs keep
+    their top level UNION-free per the DuckDB working-table trap)."""
+    anchors = []
+    for k in range(3):
+        t = f"(doc_id*31 + {17 * k} + 7) % 611"
+        piece = f"'<a href=\"' || {_messy_url_sql(t)} || '\">l{k}</a>'"
+        if k > 0:
+            piece = f"(CASE WHEN doc_id % 3 >= {k} THEN {piece} ELSE '' END)"
+        anchors.append(piece)
+    anchor_sql = "\n    || ".join(anchors)
+    kw = "WITH RECURSIVE" if recursive else "WITH"
+    return rf"""
+{kw} pages AS (
+  SELECT doc_id, {_messy_url_sql('doc_id')} AS url,
+    '<html><body><p>' || text || '</p>' || {anchor_sql}
+    || '</body></html>' AS html
+  FROM documents
+), links AS (
+  SELECT url AS src_url,
+         unnest(regexp_extract_all(html, '<a href="([^"]*)"', 1)) AS link
+  FROM pages
+), hostpairs AS (
+  SELECT {_url_host_sql('src_url')} AS src_host,
+         {_url_host_sql('link')} AS dst_host
+  FROM links
+)"""
+
+
+_LINK_GRAPH_SQL = _pages_html_cte() + """
+SELECT src_host, dst_host, COUNT(*) AS n_links
+FROM hostpairs GROUP BY src_host, dst_host
+"""
+
+_HOST_PAGERANK_SQL = _pages_html_cte(recursive=True) + """
+, e AS (
+  SELECT DISTINCT src_host AS src, dst_host AS dst
+  FROM hostpairs WHERE src_host <> dst_host
+), nodes AS (
+  SELECT DISTINCT node FROM (
+    SELECT src AS node FROM e UNION ALL SELECT dst FROM e) u
+), nn AS (SELECT COUNT(*) AS n FROM nodes),
+deg AS (SELECT src, COUNT(*) AS d FROM e GROUP BY src),
+we AS (
+  SELECT * FROM (
+    SELECT e.src, e.dst, CAST(1.0 AS DOUBLE) / deg.d AS w
+    FROM e JOIN deg ON e.src = deg.src
+    UNION ALL
+    SELECT dang.node, nodes.node, CAST(1.0 AS DOUBLE) / (SELECT n FROM nn)
+    FROM (SELECT node FROM nodes WHERE node NOT IN (SELECT src FROM deg)) dang
+    CROSS JOIN nodes
+    UNION ALL
+    SELECT node, node, CAST(0.0 AS DOUBLE) FROM nodes
+  ) u
+), pr AS (
+  SELECT 0 AS iter, node, CAST(1.0 AS DOUBLE) / (SELECT n FROM nn) AS rank
+  FROM nodes
+  UNION ALL
+  SELECT p.iter + 1, we.dst AS node,
+    0.15 / (SELECT n FROM nn) + 0.85 * SUM(p.rank * we.w) AS rank
+  FROM pr p JOIN we ON p.node = we.src
+  WHERE p.iter < 20
+  GROUP BY p.iter + 1, we.dst
+)
+SELECT node AS host, ROUND(rank, 5) AS rank FROM pr WHERE iter = 20
+"""
+
+
+def _web_crawl_diff(spark, sf_dir):
+    """Incremental-crawl bookkeeping (operators/web.py::crawl_diff):
+    two snapshot crawls of the same corpus — old drops doc_id%10==3,
+    new drops doc_id%8==5 and rewrites content for doc_id%6==2 —
+    diffed by canonical URL into added/removed/changed/unchanged.
+    doc_id < 1200 keeps canonical URLs unique at every sf (the messy
+    generator's (host, article) pair repeats at lcm(13,97)=1261). ONE
+    corpus scan: both digests computed in a narrow localCheckpointed
+    base (urls + digests, never the text) that both snapshot filters
+    read."""
+    from nlquery_spark.functions.web import normalize_url
+    from nlquery_spark.operators.web import crawl_diff
+
+    d = F.col("doc_id")
+    docs = _load(spark, sf_dir, "documents")["documents"].filter(d < 1200)
+    base = docs.select(
+        "doc_id",
+        normalize_url(_messy_url_col(d)).alias("canonical_url"),
+        F.md5("text").alias("dig_old"),
+        F.md5(
+            F.concat(
+                F.col("text"),
+                F.when(d % 6 == 2, F.lit(" v2")).otherwise(F.lit("")),
+            )
+        ).alias("dig_new"),
+    ).localCheckpoint(eager=True)
+    old = base.filter(F.col("doc_id") % 10 != 3).select(
+        "canonical_url", F.col("dig_old").alias("digest")
+    )
+    new = base.filter(F.col("doc_id") % 8 != 5).select(
+        "canonical_url", F.col("dig_new").alias("digest")
+    )
+    return crawl_diff(old, new)
+
+
+_CRAWL_DIFF_SQL = _messy_urls_cte("WHERE doc_id < 1200") + """
+, digests AS (
+  SELECT c.doc_id, c.canonical_url, md5(d.text) AS dig_old,
+         md5(d.text || CASE WHEN c.doc_id % 6 = 2 THEN ' v2' ELSE '' END)
+           AS dig_new
+  FROM canon c JOIN documents d ON d.doc_id = c.doc_id
+), o AS (
+  SELECT canonical_url, dig_old AS digest FROM digests WHERE doc_id % 10 <> 3
+), n AS (
+  SELECT canonical_url, dig_new AS digest FROM digests WHERE doc_id % 8 <> 5
+)
+SELECT COALESCE(o.canonical_url, n.canonical_url) AS canonical_url,
+  CASE WHEN o.digest IS NULL THEN 'added'
+       WHEN n.digest IS NULL THEN 'removed'
+       WHEN o.digest <> n.digest THEN 'changed'
+       ELSE 'unchanged' END AS status,
+  COALESCE(o.digest, '') AS old_digest,
+  COALESCE(n.digest, '') AS new_digest
+FROM o FULL OUTER JOIN n ON o.canonical_url = n.canonical_url
+"""
+
+
+def _doc_gopher_filters(spark, sf_dir):
+    """Gopher-rule quality audit (operators/textstats.py::gopher_rules,
+    Rae et al. 2021 §A1.1): per-document rule booleans (word-count
+    band, mean word length band, symbol ratio, alpha-word fraction,
+    required stopwords) + composite keep. Flat-column HOFs in one
+    narrow projection, zero shuffle; flags compare the UNROUNDED
+    ratios both engines compute identically (exact-integer divisions)."""
+    from nlquery_spark.operators.textstats import gopher_rules
+
+    docs = _load(spark, sf_dir, "documents")["documents"]
+    return gopher_rules(docs.select("doc_id", "text")).drop("text")
+
+
+_GOPHER_SQL = r"""
+WITH w AS (
+  SELECT doc_id,
+    list_filter(string_split_regex(trim(text, ' '), '[ \t\n\x0B\f\r]+'),
+                x -> x <> '') AS words
+  FROM documents
+), s AS (
+  SELECT doc_id, len(words) AS nw,
+    COALESCE(list_sum(list_transform(words, x -> length(x))), 0) AS chars,
+    len(list_filter(words, x -> regexp_matches(x, '[A-Za-z]'))) AS alpha_w,
+    len(list_filter(words, x -> x = '#' OR contains(x, '...'))) AS sym_w,
+    len(list_filter(words, x -> lower(x) IN
+        ('the','be','to','of','and','that','have','with'))) AS stop_w
+  FROM w
+), r AS (
+  SELECT doc_id, nw,
+    CASE WHEN nw > 0 THEN CAST(chars AS DOUBLE) / nw ELSE 0.0 END AS mean_len,
+    CASE WHEN nw > 0 THEN CAST(alpha_w AS DOUBLE) / nw ELSE 0.0 END AS alpha_r,
+    CASE WHEN nw > 0 THEN CAST(sym_w AS DOUBLE) / nw ELSE 0.0 END AS sym_r,
+    stop_w
+  FROM s
+)
+SELECT doc_id, nw AS n_words,
+  ROUND(mean_len, 6) AS mean_word_len,
+  CASE WHEN nw >= 50 AND nw <= 100000 THEN 1 ELSE 0 END AS ok_word_count,
+  CASE WHEN mean_len >= 3.0 AND mean_len <= 10.0 THEN 1 ELSE 0 END
+    AS ok_mean_word_len,
+  CASE WHEN sym_r <= 0.1 THEN 1 ELSE 0 END AS ok_symbol_ratio,
+  CASE WHEN alpha_r >= 0.8 THEN 1 ELSE 0 END AS ok_alpha_words,
+  CASE WHEN stop_w >= 2 THEN 1 ELSE 0 END AS ok_stopwords,
+  CASE WHEN nw >= 50 AND nw <= 100000 AND mean_len >= 3.0 AND mean_len <= 10.0
+        AND sym_r <= 0.1 AND alpha_r >= 0.8 AND stop_w >= 2
+       THEN 1 ELSE 0 END AS keep
+FROM r
 """
 
 
@@ -4137,14 +4407,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "web_url_normalize": _web_url_normalize,
         "web_host_stats": _web_host_stats,
         "part_lpa_communities": _part_lpa_communities,
+        "web_link_graph": _web_link_graph,
+        "web_host_pagerank": _web_host_pagerank,
+        "web_crawl_diff": _web_crawl_diff,
+        "doc_gopher_filters": _doc_gopher_filters,
         # -- (c) r5-green fill --------------------------------------------
+        "emb_cosine_jvm": _emb_cosine_jvm,
+        # -- tail: r5-driver-green, code unchanged this round; every one
+        # still oracle-checked per-session by tests/test_oracle_parity.py
         "doc_tfidf_keywords": _doc_tfidf_keywords,
         "customer_rfm_segments": _customer_rfm_segments,
         "nl_autocomplete": _nl_autocomplete,
         "dict_spec_part": _dict_spec_part,
-        "emb_cosine_jvm": _emb_cosine_jvm,
-        # -- tail: r5-driver-green, code unchanged this round; every one
-        # still oracle-checked per-session by tests/test_oracle_parity.py
         "q17_small_quantity_revenue": _q17_small_quantity_revenue,
         "event_props_json": _event_props_json,
         "order_value_percentiles": _order_value_percentiles,
@@ -4277,6 +4551,10 @@ def oracle_sql() -> dict[str, str]:
         "dedup_incremental": _DEDUP_INCREMENTAL_SQL,
         "web_url_normalize": _URL_NORMALIZE_SQL,
         "web_host_stats": _HOST_STATS_SQL,
+        "web_link_graph": _LINK_GRAPH_SQL,
+        "web_host_pagerank": _HOST_PAGERANK_SQL,
+        "web_crawl_diff": _CRAWL_DIFF_SQL,
+        "doc_gopher_filters": _GOPHER_SQL,
         "part_lpa_communities": _LPA_SQL,
         "emb_neardup_exact": _EMB_EXACT_SQL,
         "kg_extract_triples": _kg_extract_triples_sql(),

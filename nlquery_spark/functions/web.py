@@ -72,3 +72,16 @@ def normalize_url(url: Column) -> Column:
     qs = F.array_join(kept, "&")
     suffix = F.when(qs == "", F.lit("")).otherwise(F.concat(F.lit("?"), qs))
     return F.concat(scheme, F.lit("://"), host, path, suffix)
+
+
+_HREF_RE = r'<a href="([^"]*)"'
+
+
+def extract_links(html: Column) -> Column:
+    """All ``<a href="...">`` target URLs in an HTML page, in document
+    order — the crawl-frontier / link-graph primitive. One JVM
+    ``regexp_extract_all`` (group 1); identical under DuckDB's RE2.
+    Double-quoted hrefs only — the normalized form crawl-stored HTML
+    uses; a permissive parser belongs in operators/html.py's Arrow
+    stage, not in a hot-path regex."""
+    return F.regexp_extract_all(html, F.lit(_HREF_RE), 1)

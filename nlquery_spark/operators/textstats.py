@@ -184,3 +184,87 @@ def tfidf_top_terms(
             F.col("rk").cast("int").alias("rk"),
         )
     )
+
+
+# Gopher's required-stopword list (Rae et al. 2021, "Scaling Language
+# Models: ... Gopher", §A1.1: a document must contain >= 2 of these).
+GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+
+def gopher_rules(
+    df: DataFrame,
+    text_col: str = "text",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    min_alpha_word_ratio: float = 0.8,
+    min_stop_hits: int = 2,
+) -> DataFrame:
+    """Gopher-style document quality rules (Rae et al. 2021 §A1.1) —
+    the second standard web-corpus filter family next to C4's: word
+    count band, mean word length band, symbol-to-word ratio (``#`` and
+    ``...``), fraction of words containing an alphabetic character, and
+    required-stopword hits. Emits one boolean per rule plus the
+    composite ``keep`` so a pipeline can both filter and AUDIT which
+    rule fired (the operational need: at corpus scale you tune
+    thresholds from per-rule reject rates, never from the composite).
+
+    Word model is whitespace words (the corpus-filter convention; the
+    repo-wide explicit class, not ``\\s`` — Java ``\\s`` includes
+    ``\\x0B``, RE2's does not). All flat-column HOFs in one projection:
+    narrow, zero shuffle, whole-stage codegen, oracle-exact.
+    """
+    words = F.filter(
+        F.split(F.trim(F.col(text_col)), r"[ \t\n\x0B\f\r]+"),
+        lambda w: w != "",
+    )
+    stop_arr = F.array(*[F.lit(w) for w in GOPHER_STOPWORDS])
+    base = df.select(
+        "*",
+        F.size(words).alias("_nw"),
+        F.aggregate(
+            words, F.lit(0).cast("long"), lambda acc, w: acc + F.length(w)
+        ).alias("_chars"),
+        F.size(
+            F.filter(words, lambda w: w.rlike("[A-Za-z]"))
+        ).alias("_alpha_w"),
+        F.size(
+            F.filter(
+                words, lambda w: (w == "#") | w.contains("...")
+            )
+        ).alias("_sym_w"),
+        F.size(
+            F.filter(words, lambda w: F.array_contains(stop_arr, F.lower(w)))
+        ).alias("_stop_w"),
+    )
+    nw = F.col("_nw")
+    mean_len = F.when(nw > 0, F.col("_chars").cast("double") / nw).otherwise(
+        F.lit(0.0)
+    )
+    alpha_ratio = F.when(
+        nw > 0, F.col("_alpha_w").cast("double") / nw
+    ).otherwise(F.lit(0.0))
+    sym_ratio = F.when(nw > 0, F.col("_sym_w").cast("double") / nw).otherwise(
+        F.lit(0.0)
+    )
+    ok_words = (nw >= min_words) & (nw <= max_words)
+    ok_mean = (mean_len >= min_mean_word_len) & (mean_len <= max_mean_word_len)
+    ok_sym = sym_ratio <= max_symbol_ratio
+    ok_alpha = alpha_ratio >= min_alpha_word_ratio
+    ok_stop = F.col("_stop_w") >= min_stop_hits
+    return (
+        base.withColumn("n_words", nw)
+        .withColumn("mean_word_len", F.round(mean_len, 6))
+        .withColumn("ok_word_count", ok_words.cast("int"))
+        .withColumn("ok_mean_word_len", ok_mean.cast("int"))
+        .withColumn("ok_symbol_ratio", ok_sym.cast("int"))
+        .withColumn("ok_alpha_words", ok_alpha.cast("int"))
+        .withColumn("ok_stopwords", ok_stop.cast("int"))
+        .withColumn(
+            "keep",
+            (ok_words & ok_mean & ok_sym & ok_alpha & ok_stop).cast("int"),
+        )
+        .drop("_nw", "_chars", "_alpha_w", "_sym_w", "_stop_w")
+    )

@@ -876,3 +876,86 @@ def test_label_propagation_two_triangles_bridge(spark):
     got2 = {r.node: r.community
             for r in label_propagation(edges.repartition(7), iters=2).collect()}
     assert got2 == got
+
+
+def test_extract_links_order_and_quoting(spark):
+    from nlquery_spark.functions.web import extract_links
+
+    html = ('<html><a href="http://a.com/1">x</a>'
+            '<p>no link</p><a href="https://B.com/2?q=1">y</a></html>')
+    df = spark.createDataFrame([(html,)], "html string")
+    got = df.select(extract_links(F.col("html")).alias("l")).first().l
+    assert got == ["http://a.com/1", "https://B.com/2?q=1"]
+
+
+def test_host_link_graph_counts_and_hosts(spark):
+    from nlquery_spark.operators.web import host_link_graph
+
+    pages = spark.createDataFrame(
+        [
+            ("http://A.com/x",
+             '<a href="http://b.com/1">.</a><a href="HTTP://B.COM:80/2">.</a>'
+             '<a href="http://a.com/self">.</a>'),
+            ("https://b.com:443/y", '<a href="http://a.com/z">.</a>'),
+        ],
+        "url string, html string",
+    )
+    got = {(r.src_host, r.dst_host): r.n_links
+           for r in host_link_graph(pages).collect()}
+    # case + default-port variants of b.com collapse into one dst host;
+    # self-links kept
+    assert got == {
+        ("a.com", "b.com"): 2,
+        ("a.com", "a.com"): 1,
+        ("b.com", "a.com"): 1,
+    }
+
+
+def test_crawl_diff_statuses(spark):
+    from nlquery_spark.operators.web import crawl_diff
+
+    old = spark.createDataFrame(
+        [("u1", "d1"), ("u2", "d2"), ("u3", "d3")],
+        "canonical_url string, digest string",
+    )
+    new = spark.createDataFrame(
+        [("u1", "d1"), ("u2", "d2x"), ("u4", "d4")],
+        "canonical_url string, digest string",
+    )
+    got = {r.canonical_url: (r.status, r.old_digest, r.new_digest)
+           for r in crawl_diff(old, new).collect()}
+    assert got == {
+        "u1": ("unchanged", "d1", "d1"),
+        "u2": ("changed", "d2", "d2x"),
+        "u3": ("removed", "d3", ""),
+        "u4": ("added", "", "d4"),
+    }
+
+
+def test_gopher_rules_boundaries(spark):
+    """Each rule at its inclusive boundary: 50 words passes the count
+    band, mean length exactly 3.0 passes, symbol ratio exactly at the
+    0.1 threshold passes, alpha fraction exactly 0.8 passes, exactly 2
+    stopword hits pass."""
+    from nlquery_spark.operators.textstats import gopher_rules
+
+    # 50 words: 2 Gopher stopwords + 48 alpha words of length 3
+    good = "the and " + " ".join(["abc"] * 48)
+    # 49 words -> fails count band only
+    short = "the and " + " ".join(["abc"] * 47)
+    # mean length below 3: fifty 2-char words (incl 2 stopwords? 'be to')
+    tiny = "be to " + " ".join(["ab"] * 48)
+    # symbol ratio 5/50 = 0.1 (passes); 6/50 = 0.12 (fails)
+    symb_ok = "the and " + " ".join(["abc"] * 43) + " " + " ".join(["#"] * 5)
+    symb_bad = "the and " + " ".join(["abc"] * 42) + " " + " ".join(["#"] * 6)
+    df = spark.createDataFrame(
+        [(1, good), (2, short), (3, tiny), (4, symb_ok), (5, symb_bad)],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in gopher_rules(df).collect()}
+    assert got[1].keep == 1
+    assert (got[2].ok_word_count, got[2].ok_mean_word_len) == (0, 1)
+    assert got[3].ok_mean_word_len == 0 and got[3].n_words == 50
+    assert got[4].ok_symbol_ratio == 1
+    # '#' words count against BOTH symbol ratio and alpha fraction
+    assert got[5].ok_symbol_ratio == 0 and got[5].keep == 0

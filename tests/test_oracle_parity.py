@@ -347,6 +347,10 @@ def test_correctness_window_holds_all_active_queries():
         "q17_small_quantity_revenue", "event_props_json",
         "order_value_percentiles", "order_priority_rollup",
         "part_setops_98_not_99", "orders_upsert_merge",
+        # r5-green fill pushed past position 50 by the four webtext
+        # queries added later in round 6 (driver row r5, code unchanged)
+        "doc_tfidf_keywords", "customer_rfm_segments",
+        "nl_autocomplete", "dict_spec_part",
     }
     assert set(qs[50:]) <= stable_tail, (
         f"non-stable queries past the 50-entry driver window: "
@@ -374,6 +378,8 @@ def test_correctness_window_holds_all_active_queries():
         "events_ewma", "corpus_shard_assign", "ann_ivf_topk",
         "dedup_clusters", "corpus_split_assign", "dedup_incremental",
         "web_url_normalize", "web_host_stats", "part_lpa_communities",
+        "web_link_graph", "web_host_pagerank", "web_crawl_diff",
+        "doc_gopher_filters",
     }
     assert rotated_in <= set(qs[:50])
     # rows-only-by-nature queries (no oracle possible) excepted; every

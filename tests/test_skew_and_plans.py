@@ -373,3 +373,33 @@ def test_dedup_incremental_join_is_stats_driven(spark, sf_dir):
     # union branch in the plan text); the batch rows are never
     # digest-shuffled for the join itself
     assert plan.count("Exchange hashpartitioning") <= 4, plan
+
+
+def test_web_link_graph_one_exchange_no_python(spark, sf_dir):
+    """Link extraction + host mapping must ride the page scan as a
+    narrow JVM projection: the only Exchange is the final
+    (src_host, dst_host) hash aggregation, and no Python stage
+    appears anywhere."""
+    df = em.queries()["web_link_graph"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert plan.count("Exchange") == 1, plan
+
+
+def test_gopher_filters_zero_exchange(spark, sf_dir):
+    """The Gopher rule audit is a pure per-row projection — zero
+    shuffles, zero Python."""
+    df = em.queries()["doc_gopher_filters"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert "Exchange" not in plan, plan
+
+
+def test_crawl_diff_single_scan_full_outer(spark, sf_dir):
+    """Both snapshots read the narrow checkpointed digest base (no
+    second parquet scan of documents), joined by ONE full outer join."""
+    df = em.queries()["web_crawl_diff"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert plan.count("Scan parquet") == 0, plan  # checkpoint feeds both
+    assert "FullOuter" in plan, plan
