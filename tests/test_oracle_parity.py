@@ -350,7 +350,7 @@ def test_correctness_window_holds_all_active_queries():
         # r5-green fill pushed past position 50 by the four webtext
         # queries added later in round 6 (driver row r5, code unchanged)
         "doc_tfidf_keywords", "customer_rfm_segments",
-        "nl_autocomplete", "dict_spec_part",
+        "nl_autocomplete", "dict_spec_part", "emb_cosine_jvm",
     }
     assert set(qs[50:]) <= stable_tail, (
         f"non-stable queries past the 50-entry driver window: "
@@ -379,7 +379,7 @@ def test_correctness_window_holds_all_active_queries():
         "dedup_clusters", "corpus_split_assign", "dedup_incremental",
         "web_url_normalize", "web_host_stats", "part_lpa_communities",
         "web_link_graph", "web_host_pagerank", "web_crawl_diff",
-        "doc_gopher_filters",
+        "doc_gopher_filters", "streaming_crawl_dedup",
     }
     assert rotated_in <= set(qs[:50])
     # rows-only-by-nature queries (no oracle possible) excepted; every
