@@ -4025,24 +4025,22 @@ def _web_host_stats(spark, sf_dir):
     )
 
 
-def _messy_urls_cte(where: str = "") -> str:
-    """WITH-chain (urls -> parts -> normed -> canon) reproducing the
-    messy-URL fixture + the full functions/web.py normalization in
-    DuckDB. ``where`` optionally restricts the generating table so
-    downstream oracles (crawl diff) can share the chain verbatim."""
-    return rf"""
-WITH urls AS (
-  SELECT doc_id, {_messy_url_sql('doc_id')} AS url
-  FROM documents {where}
-), parts AS (
-  SELECT doc_id, url,
+def _url_canon_stages(src_cte: str, carry: str, suffix: str = "") -> str:
+    """parts{suffix} -> normed{suffix} -> canon{suffix} CTE stages
+    reproducing the full functions/web.py URL normalization over any
+    source CTE exposing a ``url`` column plus the ``carry`` columns —
+    ONE definition of the canonicalization SQL shared by every oracle
+    that normalizes a URL (messy fixture, crawl diff, anchor text)."""
+    c = f"{carry}, " if carry else ""
+    return rf""", parts{suffix} AS (
+  SELECT {c}url,
     lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.\-]*)://', 1)) AS scheme,
     lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.\-]*://([^/?#]*)', 1)) AS auth,
     regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*([^?#]*)', 1) AS raw_path,
     regexp_extract(url, '\?([^#]*)', 1) AS query
-  FROM urls
-), normed AS (
-  SELECT doc_id, url, scheme,
+  FROM {src_cte}
+), normed{suffix} AS (
+  SELECT {c}url, scheme,
     CASE WHEN scheme = 'http' THEN regexp_replace(auth, ':80$', '')
          WHEN scheme = 'https' THEN regexp_replace(auth, ':443$', '')
          ELSE auth END AS host,
@@ -4053,13 +4051,25 @@ WITH urls AS (
     COALESCE(array_to_string(list_sort(list_filter(string_split(query, '&'),
       p -> p <> '' AND NOT regexp_matches(p, '^(utm_[^=]*|fbclid|gclid)(=|$)'))),
       '&'), '') AS qs
-  FROM parts
-), canon AS (
-  SELECT doc_id, url, host,
+  FROM parts{suffix}
+), canon{suffix} AS (
+  SELECT {c}url, host,
     scheme || '://' || host || path
     || (CASE WHEN qs = '' THEN '' ELSE '?' || qs END) AS canonical_url
-  FROM normed
-)
+  FROM normed{suffix}
+)"""
+
+
+def _messy_urls_cte(where: str = "") -> str:
+    """WITH-chain (urls -> parts -> normed -> canon) reproducing the
+    messy-URL fixture + the full functions/web.py normalization in
+    DuckDB. ``where`` optionally restricts the generating table so
+    downstream oracles (crawl diff) can share the chain verbatim."""
+    return rf"""
+WITH urls AS (
+  SELECT doc_id, {_messy_url_sql('doc_id')} AS url
+  FROM documents {where}
+){_url_canon_stages('urls', 'doc_id')}
 """
 
 
@@ -4082,15 +4092,34 @@ def _page_html(spark, sf_dir):
     at OTHER ids' messy URLs (targets ``(doc_id*31 + 17k + 7) % 611``
     — dangling targets included, as in a real crawl frontier). Source
     and target URLs share one generator (_messy_url_col), so the link
-    graph exercises host extraction on both ends."""
+    graph exercises host extraction on both ends. Anchor TEXT is a
+    word drawn from the linking page's own text (word ``(doc_id+7k) %
+    20``, falling back to ``l{k}`` for short docs) — which is what
+    makes anchor-text aggregation a real surface-form signal; the
+    words array is staged as a column in a first projection so the
+    three anchor expressions reference it instead of re-tokenizing."""
     docs = _load(spark, sf_dir, "documents")["documents"]
     d = F.col("doc_id")
+    words = F.filter(
+        F.split(F.trim(F.col("text")), r"[ \t\n\x0B\f\r]+"),
+        lambda w: w != "",
+    )
+    base = docs.select("doc_id", "text", words.alias("_w"))
     anchors = []
     for k in range(3):
+        # try_element_at, NOT element_at: ANSI mode (Spark 4 default)
+        # makes element_at THROW on out-of-range for short docs, while
+        # DuckDB's w[i] yields NULL — try_ matches the oracle
+        txt = F.coalesce(
+            F.try_element_at(F.col("_w"), ((d + 7 * k) % 20 + 1).cast("int")),
+            F.lit(f"l{k}"),
+        )
         a = F.concat(
             F.lit('<a href="'),
             _messy_url_col((d * 31 + 17 * k + 7) % 611),
-            F.lit(f'">l{k}</a>'),
+            F.lit('">'),
+            txt,
+            F.lit("</a>"),
         )
         anchors.append(a if k == 0 else F.when(d % 3 >= k, a).otherwise(F.lit("")))
     html = F.concat(
@@ -4100,7 +4129,7 @@ def _page_html(spark, sf_dir):
         *anchors,
         F.lit("</body></html>"),
     )
-    return docs.select(
+    return base.select(
         "doc_id", _messy_url_col(d).alias("url"), html.alias("html")
     )
 
@@ -4157,18 +4186,26 @@ def _pages_html_cte(recursive: bool = False) -> str:
     anchors = []
     for k in range(3):
         t = f"(doc_id*31 + {17 * k} + 7) % 611"
-        piece = f"'<a href=\"' || {_messy_url_sql(t)} || '\">l{k}</a>'"
+        txt = f"COALESCE(w[(doc_id + {7 * k}) % 20 + 1], 'l{k}')"
+        piece = (
+            f"'<a href=\"' || {_messy_url_sql(t)} || '\">' || {txt} || '</a>'"
+        )
         if k > 0:
             piece = f"(CASE WHEN doc_id % 3 >= {k} THEN {piece} ELSE '' END)"
         anchors.append(piece)
     anchor_sql = "\n    || ".join(anchors)
     kw = "WITH RECURSIVE" if recursive else "WITH"
     return rf"""
-{kw} pages AS (
+{kw} pw AS (
+  SELECT doc_id, text,
+    list_filter(string_split_regex(trim(text, ' '), '[ \t\n\x0B\f\r]+'),
+                x -> x <> '') AS w
+  FROM documents
+), pages AS (
   SELECT doc_id, {_messy_url_sql('doc_id')} AS url,
     '<html><body><p>' || text || '</p>' || {anchor_sql}
     || '</body></html>' AS html
-  FROM documents
+  FROM pw
 ), links AS (
   SELECT url AS src_url,
          unnest(regexp_extract_all(html, '<a href="([^"]*)"', 1)) AS link
@@ -4273,6 +4310,112 @@ SELECT COALESCE(o.canonical_url, n.canonical_url) AS canonical_url,
   COALESCE(o.digest, '') AS old_digest,
   COALESCE(n.digest, '') AS new_digest
 FROM o FULL OUTER JOIN n ON o.canonical_url = n.canonical_url
+"""
+
+
+def _web_anchor_text(spark, sf_dir):
+    """Anchor-text aggregation per canonical link target (operators/
+    web.py::anchor_text_signals) — the surface-form signal gazetteer
+    builders mine from a crawl: the words OTHER pages use to link to a
+    URL. Top anchor per target by (count desc, text asc), plus total
+    and distinct anchor counts; the oracle replays tag extraction,
+    normalization (shared canonicalization stages), and the top-1 via
+    QUALIFY."""
+    from nlquery_spark.operators.web import anchor_text_signals
+
+    return anchor_text_signals(_page_html(spark, sf_dir))
+
+
+_ANCHOR_TEXT_SQL = (
+    _pages_html_cte()
+    + """
+, tags AS (
+  SELECT unnest(regexp_extract_all(html, '<a href="[^"]*">[^<]*</a>', 0))
+    AS tag
+  FROM pages
+), at AS (
+  SELECT regexp_extract(tag, '<a href="([^"]*)"', 1) AS url,
+         regexp_extract(tag, '>([^<]*)</a>', 1) AS anchor
+  FROM tags
+)"""
+    + _url_canon_stages("at", "anchor", suffix="_a")
+    + """
+, counts AS (
+  SELECT canonical_url AS target_url, anchor, COUNT(*) AS cnt
+  FROM canon_a GROUP BY canonical_url, anchor
+)
+SELECT target_url, anchor AS top_anchor,
+  CAST(SUM(cnt) OVER (PARTITION BY target_url) AS BIGINT) AS n_anchors,
+  CAST(COUNT(*) OVER (PARTITION BY target_url) AS BIGINT)
+    AS n_distinct_anchors
+FROM counts
+QUALIFY row_number() OVER (
+  PARTITION BY target_url ORDER BY cnt DESC, anchor ASC) = 1
+"""
+)
+
+
+def _redir_url_col(e):
+    """Already-canonical URL for an integer id column — the redirect
+    fixture skips messy-URL degradation (normalization is exercised by
+    the other web queries); uniqueness per id by embedding the full id
+    in the path."""
+    return F.concat(
+        F.lit("http://www.example"),
+        (e % 13).cast("string"),
+        F.lit(".com/articles/"),
+        e.cast("string"),
+    )
+
+
+def _redir_url_sql(e: str) -> str:
+    return (
+        f"'http://www.example' || CAST(({e}) % 13 AS VARCHAR) "
+        f"|| '.com/articles/' || CAST(({e}) AS VARCHAR)"
+    )
+
+
+def _web_redirect_resolve(spark, sf_dir):
+    """Redirect-chain resolution (operators/web.py::resolve_redirects):
+    every 9th doc's URL 301s — half of them (doc_id%18==4) onto ANOTHER
+    redirecting id (+9 stays ≡4 mod 9), so real multi-hop chains exist
+    (28 two-hop chains at sf0.01), the rest to ``(doc_id*7+13) % 611``.
+    Chains are followed up to 5 hops (the crawler giveup bound), each
+    URL resolving to (final_url, hops). The oracle replays the walk
+    with a depth-bounded recursive CTE and takes the deepest state per
+    URL."""
+    from nlquery_spark.operators.web import resolve_redirects
+
+    docs = _load(spark, sf_dir, "documents")["documents"]
+    d = F.col("doc_id")
+    urls = docs.select(_redir_url_col(d).alias("url"))
+    dst = F.when(d % 18 == 4, d + 9).otherwise((d * 7 + 13) % 611)
+    redirects = docs.filter(d % 9 == 4).select(
+        _redir_url_col(d).alias("src_url"),
+        _redir_url_col(dst).alias("dst_url"),
+    )
+    return resolve_redirects(urls, redirects, max_hops=5)
+
+
+_REDIRECT_SQL = f"""
+WITH RECURSIVE u AS (
+  SELECT {_redir_url_sql('doc_id')} AS url FROM documents
+), r AS (
+  SELECT {_redir_url_sql('doc_id')} AS src_url,
+         {_redir_url_sql(
+             'CASE WHEN doc_id % 18 = 4 THEN doc_id + 9 '
+             'ELSE (doc_id*7+13) % 611 END'
+         )} AS dst_url
+  FROM documents WHERE doc_id % 9 = 4
+), walk AS (
+  SELECT url, url AS final_url, 0 AS hops FROM u
+  UNION ALL
+  SELECT w.url, r.dst_url, w.hops + 1
+  FROM walk w JOIN r ON w.final_url = r.src_url
+  WHERE w.hops < 5
+)
+SELECT url, final_url, CAST(hops AS BIGINT) AS hops FROM walk
+QUALIFY row_number() OVER (PARTITION BY url ORDER BY hops DESC) = 1
 """
 
 
@@ -4443,10 +4586,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_negative_samples": _kg_negative_samples,
         "dedup_minhash": _dedup_minhash,
         "dedup_simhash": _dedup_simhash,
-        "dedup_embedding": _dedup_embedding,
         "emb_neardup_exact": _emb_neardup_exact,
         "entity_link_topk": _entity_link_topk,
-        "ann_pq_topk": _ann_pq_topk,
         "part_coorder_triangles": _part_coorder_triangles,
         "corpus_decontaminate": _corpus_decontaminate,
         "streaming_session_windows": _streaming_session_windows,
@@ -4476,7 +4617,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "web_crawl_diff": _web_crawl_diff,
         "doc_gopher_filters": _doc_gopher_filters,
         "streaming_crawl_dedup": _streaming_crawl_dedup,
-        # -- (c) r5-green fill --------------------------------------------
+        "web_anchor_text": _web_anchor_text,
+        "web_redirect_resolve": _web_redirect_resolve,
+        # window arithmetic: the 20 new/changed entries above plus the
+        # 30 oracled r4-row veterans fill the window exactly; the two
+        # rows-only lossy ops (dedup_embedding, ann_pq_topk) yield
+        # their window slots — a rows-only driver row proves less than
+        # their pytest recall gates (>=0.95 / >=0.8 vs exact) already
+        # do, and every displaced oracle-bearing query keeps its
+        # per-session oracle run in tests/test_oracle_parity.py
         # -- tail: r5-driver-green, code unchanged this round; every one
         # still oracle-checked per-session by tests/test_oracle_parity.py
         "doc_tfidf_keywords": _doc_tfidf_keywords,
@@ -4484,6 +4633,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nl_autocomplete": _nl_autocomplete,
         "dict_spec_part": _dict_spec_part,
         "emb_cosine_jvm": _emb_cosine_jvm,
+        "dedup_embedding": _dedup_embedding,
+        "ann_pq_topk": _ann_pq_topk,
         "q17_small_quantity_revenue": _q17_small_quantity_revenue,
         "event_props_json": _event_props_json,
         "order_value_percentiles": _order_value_percentiles,
@@ -4621,6 +4772,8 @@ def oracle_sql() -> dict[str, str]:
         "web_crawl_diff": _CRAWL_DIFF_SQL,
         "doc_gopher_filters": _GOPHER_SQL,
         "streaming_crawl_dedup": _STREAM_CRAWL_DEDUP_SQL,
+        "web_anchor_text": _ANCHOR_TEXT_SQL,
+        "web_redirect_resolve": _REDIRECT_SQL,
         "part_lpa_communities": _LPA_SQL,
         "emb_neardup_exact": _EMB_EXACT_SQL,
         "kg_extract_triples": _kg_extract_triples_sql(),

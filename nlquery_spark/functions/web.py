@@ -85,3 +85,15 @@ def extract_links(html: Column) -> Column:
     uses; a permissive parser belongs in operators/html.py's Arrow
     stage, not in a hot-path regex."""
     return F.regexp_extract_all(html, F.lit(_HREF_RE), 1)
+
+
+_ANCHOR_RE = r'<a href="[^"]*">[^<]*</a>'
+
+
+def extract_anchors(html: Column) -> Column:
+    """All full ``<a href="...">text</a>`` tags in document order —
+    feed for anchor-text aggregation (href + text are then pulled from
+    each tag with scalar regexp_extract, which both engines can do;
+    neither engine's regexp_extract_all returns two capture groups in
+    one pass)."""
+    return F.regexp_extract_all(html, F.lit(_ANCHOR_RE), 0)

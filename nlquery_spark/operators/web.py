@@ -15,7 +15,7 @@ text is this engine's added scale surface):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 from ..functions.web import extract_links, url_host
 
@@ -89,4 +89,112 @@ def crawl_diff(
         status.alias("status"),
         F.coalesce("old_digest", F.lit("")).alias("old_digest"),
         F.coalesce("new_digest", F.lit("")).alias("new_digest"),
+    )
+
+
+def resolve_redirects(
+    urls: DataFrame,
+    redirects: DataFrame,
+    url_col: str = "url",
+    src_col: str = "src_url",
+    dst_col: str = "dst_url",
+    max_hops: int = 5,
+    metrics: "dict | None" = None,
+) -> DataFrame:
+    """Follow each URL through a redirect map for up to ``max_hops``
+    hops (the crawler giveup bound — production fetchers cap redirect
+    chains at ~5) and return ``(url, final_url, hops)``. A URL with no
+    redirect resolves to itself at 0 hops; a chain longer than the cap
+    (or a loop) stops AT the cap with whatever it reached — the
+    deterministic, replayable contract an external oracle can mirror
+    with a bounded recursive walk.
+
+    Scale posture: ``max_hops`` static rounds of a left join keyed on
+    the current URL — the frontier stays |urls| rows, each round one
+    keyed shuffle (or a broadcast when Catalyst sees a dim-sized
+    redirect map), localCheckpointed so the plan never nests. No
+    driver state; redirect maps are ~1% of the crawl, so the join's
+    build side is small in practice.
+    """
+    cur = urls.select(
+        F.col(url_col).alias("url"),
+        F.col(url_col).alias("final_url"),
+        F.lit(0).alias("hops"),
+        F.lit(False).alias("done"),
+    )
+    r = redirects.select(
+        F.col(src_col).alias("_r_src"), F.col(dst_col).alias("_r_dst")
+    )
+    for _ in range(max_hops):
+        cur = (
+            cur.join(r, cur.final_url == r._r_src, "left")
+            .select(
+                "url",
+                F.coalesce(
+                    F.when(~F.col("done"), F.col("_r_dst")), F.col("final_url")
+                ).alias("final_url"),
+                F.when(
+                    ~F.col("done") & F.col("_r_dst").isNotNull(),
+                    F.col("hops") + 1,
+                )
+                .otherwise(F.col("hops"))
+                .alias("hops"),
+                (F.col("done") | F.col("_r_dst").isNull()).alias("done"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    if metrics is not None:
+        metrics["redirect_max_hops"] = max_hops
+    return cur.select("url", "final_url", "hops")
+
+
+def anchor_text_signals(
+    pages: DataFrame,
+    html_col: str = "html",
+) -> DataFrame:
+    """Anchor-text aggregation per link target — the classic KG
+    surface-form signal (the text OTHER pages use to link to a URL
+    names the entity behind it better than the page itself does; it is
+    the signal gazetteer builders mine from a crawl). Returns
+    ``(target_url, top_anchor, n_anchors, n_distinct_anchors)`` with
+    ``top_anchor`` = most frequent anchor text for that canonical
+    target (ties broken by smallest text — deterministic, oracle-
+    replayable via QUALIFY).
+
+    Scale posture: tag extraction + href/text pulls + URL
+    canonicalization ride the page scan JVM-side; then ONE
+    (target, text) count agg (map-side combine collapses the link
+    fan-out inside each task) and one per-target top-1 window that
+    reuses the agg's hash partitioning on the target key prefix.
+    """
+    from ..functions.web import extract_anchors, normalize_url
+
+    anchors = pages.select(
+        F.explode(extract_anchors(F.col(html_col))).alias("tag")
+    ).select(
+        normalize_url(
+            F.regexp_extract(F.col("tag"), r'<a href="([^"]*)"', 1)
+        ).alias("target_url"),
+        F.regexp_extract(F.col("tag"), r'>([^<]*)</a>', 1).alias("anchor"),
+    )
+    counts = anchors.groupBy("target_url", "anchor").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    w = Window.partitionBy("target_url").orderBy(
+        F.col("cnt").desc(), F.col("anchor").asc()
+    )
+    totals = Window.partitionBy("target_url")
+    return (
+        counts.withColumn("_rn", F.row_number().over(w))
+        .withColumn("n_anchors", F.sum("cnt").over(totals))
+        .withColumn("n_distinct_anchors", F.count(F.lit(1)).over(totals))
+        .filter(F.col("_rn") == 1)
+        .select(
+            "target_url",
+            F.col("anchor").alias("top_anchor"),
+            F.col("n_anchors").cast("long").alias("n_anchors"),
+            F.col("n_distinct_anchors").cast("long").alias(
+                "n_distinct_anchors"
+            ),
+        )
     )

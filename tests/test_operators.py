@@ -959,3 +959,47 @@ def test_gopher_rules_boundaries(spark):
     assert got[4].ok_symbol_ratio == 1
     # '#' words count against BOTH symbol ratio and alpha fraction
     assert got[5].ok_symbol_ratio == 0 and got[5].keep == 0
+
+
+def test_anchor_text_signals_mode_and_ties(spark):
+    from nlquery_spark.operators.web import anchor_text_signals
+
+    pages = spark.createDataFrame(
+        [
+            ('<a href="http://t.com/x">alpha</a>'
+             '<a href="http://T.COM:80/x">beta</a>'
+             '<a href="http://t.com/x/">alpha</a>',),
+            ('<a href="http://t.com/x">beta</a>'
+             '<a href="http://other.com/y">gamma</a>',),
+        ],
+        "html string",
+    )
+    got = {r.target_url: (r.top_anchor, r.n_anchors, r.n_distinct_anchors)
+           for r in anchor_text_signals(pages).collect()}
+    # all four t.com variants canonicalize to one target; alpha and
+    # beta tie 2-2 -> smallest text wins
+    assert got == {
+        "http://t.com/x": ("alpha", 4, 2),
+        "http://other.com/y": ("gamma", 1, 1),
+    }
+
+
+def test_resolve_redirects_chain_loop_and_cap(spark):
+    from nlquery_spark.operators.web import resolve_redirects
+
+    urls = spark.createDataFrame(
+        [("a",), ("b",), ("z",), ("p",)], "url string"
+    )
+    redirects = spark.createDataFrame(
+        # chain a->b->c (ends), loop p->q->p, nothing for z
+        [("a", "b"), ("b", "c"), ("p", "q"), ("q", "p")],
+        "src_url string, dst_url string",
+    )
+    got = {r.url: (r.final_url, r.hops)
+           for r in resolve_redirects(urls, redirects, max_hops=5).collect()}
+    assert got["a"] == ("c", 2)
+    assert got["b"] == ("c", 1)
+    assert got["z"] == ("z", 0)
+    # loop: capped at 5 hops, lands wherever the 5th hop ends (p->q->
+    # p->q->p->q)
+    assert got["p"] == ("q", 5)

@@ -351,6 +351,11 @@ def test_correctness_window_holds_all_active_queries():
         # queries added later in round 6 (driver row r5, code unchanged)
         "doc_tfidf_keywords", "customer_rfm_segments",
         "nl_autocomplete", "dict_spec_part", "emb_cosine_jvm",
+        # rows-only lossy ops that yielded their window slots to the
+        # round-6 web queries: a rows-only driver row proves less than
+        # their pytest recall gates already do (last driver row r4,
+        # rows-only there too)
+        "dedup_embedding", "ann_pq_topk",
     }
     assert set(qs[50:]) <= stable_tail, (
         f"non-stable queries past the 50-entry driver window: "
@@ -365,8 +370,8 @@ def test_correctness_window_holds_all_active_queries():
         "gazetteer_mentions", "gazetteer_topk_entities",
         "ann_cosine_topk", "kg_pagerank", "kg_similarity_edges",
         "kg_canonicalize", "kg_degree_stats", "kg_negative_samples",
-        "dedup_minhash", "dedup_simhash", "dedup_embedding",
-        "emb_neardup_exact", "entity_link_topk", "ann_pq_topk",
+        "dedup_minhash", "dedup_simhash",
+        "emb_neardup_exact", "entity_link_topk",
         "part_coorder_triangles", "corpus_decontaminate",
         "streaming_session_windows", "streaming_events_by_minute",
         "inverted_index", "kg_editdist_edges", "events_resample_locf",
@@ -380,6 +385,7 @@ def test_correctness_window_holds_all_active_queries():
         "web_url_normalize", "web_host_stats", "part_lpa_communities",
         "web_link_graph", "web_host_pagerank", "web_crawl_diff",
         "doc_gopher_filters", "streaming_crawl_dedup",
+        "web_anchor_text", "web_redirect_resolve",
     }
     assert rotated_in <= set(qs[:50])
     # rows-only-by-nature queries (no oracle possible) excepted; every
