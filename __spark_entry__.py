@@ -4037,7 +4037,7 @@ def _url_canon_stages(src_cte: str, carry: str, suffix: str = "") -> str:
     lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.\-]*)://', 1)) AS scheme,
     lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.\-]*://([^/?#]*)', 1)) AS auth,
     regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*([^?#]*)', 1) AS raw_path,
-    regexp_extract(url, '\?([^#]*)', 1) AS query
+    regexp_extract(url, '^[^#?]*\?([^#]*)', 1) AS query
   FROM {src_cte}
 ), normed{suffix} AS (
   SELECT {c}url, scheme,
@@ -4214,6 +4214,8 @@ def _pages_html_cte(recursive: bool = False) -> str:
   SELECT {_url_host_sql('src_url')} AS src_host,
          {_url_host_sql('link')} AS dst_host
   FROM links
+  WHERE lower(regexp_extract(link, '^([A-Za-z][A-Za-z0-9+.\-]*)://', 1))
+        IN ('http', 'https')
 )"""
 
 
@@ -4261,8 +4263,13 @@ def _web_crawl_diff(spark, sf_dir):
     two snapshot crawls of the same corpus — old drops doc_id%10==3,
     new drops doc_id%8==5 and rewrites content for doc_id%6==2 —
     diffed by canonical URL into added/removed/changed/unchanged.
-    doc_id < 1200 keeps canonical URLs unique at every sf (the messy
-    generator's (host, article) pair repeats at lcm(13,97)=1261). ONE
+    doc_id < 1200 AND doc_id%17 != 0 keeps canonical URLs unique at
+    every sf: the (host, article) pair repeats at lcm(13,97)=1261, and
+    the %17==0 empty-path docs must be excluded because they all
+    collapse to path '/' and collide across article numbers
+    (simulation-verified: 31 colliding pairs under the bare <1200
+    filter, 0 with the exclusion — crawl_diff requires key-unique
+    snapshots). ONE
     corpus scan: both digests computed in a narrow localCheckpointed
     base (urls + digests, never the text) that both snapshot filters
     read."""
@@ -4270,7 +4277,9 @@ def _web_crawl_diff(spark, sf_dir):
     from nlquery_spark.operators.web import crawl_diff
 
     d = F.col("doc_id")
-    docs = _load(spark, sf_dir, "documents")["documents"].filter(d < 1200)
+    docs = _load(spark, sf_dir, "documents")["documents"].filter(
+        (d < 1200) & (d % 17 != 0)
+    )
     base = docs.select(
         "doc_id",
         normalize_url(_messy_url_col(d)).alias("canonical_url"),
@@ -4291,7 +4300,9 @@ def _web_crawl_diff(spark, sf_dir):
     return crawl_diff(old, new)
 
 
-_CRAWL_DIFF_SQL = _messy_urls_cte("WHERE doc_id < 1200") + """
+_CRAWL_DIFF_SQL = _messy_urls_cte(
+    "WHERE doc_id < 1200 AND doc_id % 17 <> 0"
+) + """
 , digests AS (
   SELECT c.doc_id, c.canonical_url, md5(d.text) AS dig_old,
          md5(d.text || CASE WHEN c.doc_id % 6 = 2 THEN ' v2' ELSE '' END)
@@ -4334,9 +4345,12 @@ _ANCHOR_TEXT_SQL = (
     AS tag
   FROM pages
 ), at AS (
-  SELECT regexp_extract(tag, '<a href="([^"]*)"', 1) AS url,
-         regexp_extract(tag, '>([^<]*)</a>', 1) AS anchor
-  FROM tags
+  SELECT url, anchor FROM (
+    SELECT regexp_extract(tag, '<a href="([^"]*)"', 1) AS url,
+           regexp_extract(tag, '>([^<]*)</a>', 1) AS anchor
+    FROM tags
+  ) WHERE lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.\-]*)://', 1))
+          IN ('http', 'https')
 )"""
     + _url_canon_stages("at", "anchor", suffix="_a")
     + """
@@ -4439,12 +4453,7 @@ def _streaming_crawl_dedup(spark, sf_dir):
     docs = _load(spark, sf_dir, "documents")["documents"]
     d = F.col("doc_id")
     crawl = docs.select(
-        F.concat(
-            F.lit("http://www.example"),
-            (d % 13).cast("string"),
-            F.lit(".com/articles/"),
-            d.cast("string"),
-        ).alias("url"),
+        _redir_url_col(d).alias("url"),
         "text",
     ).union(
         docs.filter(d % 7 == 0).select(

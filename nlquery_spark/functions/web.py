@@ -31,7 +31,11 @@ from pyspark.sql import Column, functions as F
 _SCHEME_RE = r"^([A-Za-z][A-Za-z0-9+.\-]*)://"
 _AUTH_RE = r"^[A-Za-z][A-Za-z0-9+.\-]*://([^/?#]*)"
 _PATH_RE = r"^[A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*([^?#]*)"
-_QUERY_RE = r"\?([^#]*)"
+# the leading [^#?]* pins the match to the FIRST '?' and only when it
+# precedes any '#' — a bare '\?([^#]*)' would match a '?' inside the
+# fragment (SPA-style '#/route?x=1') and leak fragment content into
+# the canonical URL
+_QUERY_RE = r"^[^#?]*\?([^#]*)"
 _TRACKING_RE = r"^(utm_[^=]*|fbclid|gclid)(=|$)"
 
 

@@ -36,12 +36,22 @@ def host_link_graph(
     map-side combines to at most |hosts|^2 rows per task regardless of
     page count. Self-links (intra-site navigation) are kept — dropping
     them is the PageRank caller's choice, not the graph builder's.
+
+    Only absolute http(s) targets enter the graph: relative hrefs
+    (``/about``) and non-web schemes (``mailto:``) have no meaningful
+    host of their own, and mapping them through ``url_host`` would
+    collapse every intra-site relative link into one bogus
+    empty-string host. Resolving relative hrefs against the page URL
+    is a separate (base-href-aware) operator concern.
     """
+    from ..functions.web import url_scheme
+
+    links = pages.select(
+        url_host(F.col(url_col)).alias("src_host"),
+        F.explode(extract_links(F.col(html_col))).alias("link"),
+    )
     return (
-        pages.select(
-            url_host(F.col(url_col)).alias("src_host"),
-            F.explode(extract_links(F.col(html_col))).alias("link"),
-        )
+        links.filter(url_scheme(F.col("link")).isin("http", "https"))
         .select("src_host", url_host(F.col("link")).alias("dst_host"))
         .groupBy("src_host", "dst_host")
         .agg(F.count(F.lit(1)).alias("n_links"))
@@ -122,8 +132,16 @@ def resolve_redirects(
         F.lit(0).alias("hops"),
         F.lit(False).alias("done"),
     )
-    r = redirects.select(
-        F.col(src_col).alias("_r_src"), F.col(dst_col).alias("_r_dst")
+    # one destination per source, deterministically (min dst): merged
+    # crawl logs carry duplicate/conflicting redirect rows, and a
+    # multi-valued source would FAN OUT the per-hop left join (up to
+    # 2^max_hops rows per URL) instead of resolving it
+    r = (
+        redirects.select(
+            F.col(src_col).alias("_r_src"), F.col(dst_col).alias("_r_dst")
+        )
+        .groupBy("_r_src")
+        .agg(F.min("_r_dst").alias("_r_dst"))
     )
     for _ in range(max_hops):
         cur = (
@@ -167,15 +185,27 @@ def anchor_text_signals(
     fan-out inside each task) and one per-target top-1 window that
     reuses the agg's hash partitioning on the target key prefix.
     """
-    from ..functions.web import extract_anchors, normalize_url
+    from ..functions.web import extract_anchors, normalize_url, url_scheme
 
-    anchors = pages.select(
-        F.explode(extract_anchors(F.col(html_col))).alias("tag")
-    ).select(
-        normalize_url(
-            F.regexp_extract(F.col("tag"), r'<a href="([^"]*)"', 1)
-        ).alias("target_url"),
-        F.regexp_extract(F.col("tag"), r'>([^<]*)</a>', 1).alias("anchor"),
+    anchors = (
+        pages.select(
+            F.explode(extract_anchors(F.col(html_col))).alias("tag")
+        )
+        .select(
+            F.regexp_extract(F.col("tag"), r'<a href="([^"]*)"', 1).alias(
+                "raw"
+            ),
+            F.regexp_extract(F.col("tag"), r'>([^<]*)</a>', 1).alias(
+                "anchor"
+            ),
+        )
+        # absolute http(s) targets only — same contract as
+        # host_link_graph; a relative href would canonicalize to a
+        # garbage ':///...' key
+        .filter(url_scheme(F.col("raw")).isin("http", "https"))
+        .select(
+            normalize_url(F.col("raw")).alias("target_url"), "anchor"
+        )
     )
     counts = anchors.groupBy("target_url", "anchor").agg(
         F.count(F.lit(1)).alias("cnt")

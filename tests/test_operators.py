@@ -1003,3 +1003,59 @@ def test_resolve_redirects_chain_loop_and_cap(spark):
     # loop: capped at 5 hops, lands wherever the 5th hop ends (p->q->
     # p->q->p->q)
     assert got["p"] == ("q", 5)
+
+
+def test_normalize_url_fragment_query_not_leaked(spark):
+    """A '?' inside the fragment (SPA-style '#/route?x=1') is NOT a
+    query — fragment content must be fully dropped (review fix: the
+    bare \\?([^#]*) regex matched it)."""
+    from nlquery_spark.functions.web import normalize_url
+
+    df = spark.createDataFrame(
+        [("http://ex.com/a#/route?b=1",), ("http://ex.com/a?b=1#f?c=2",)],
+        "url string",
+    )
+    got = [r.c for r in df.select(normalize_url(F.col("url")).alias("c")).collect()]
+    assert got == ["http://ex.com/a", "http://ex.com/a?b=1"]
+
+
+def test_host_link_graph_drops_relative_and_nonweb(spark):
+    from nlquery_spark.operators.web import host_link_graph
+
+    pages = spark.createDataFrame(
+        [("http://a.com/x",
+          '<a href="/about">.</a><a href="mailto:z@q.com">.</a>'
+          '<a href="http://b.com/1">.</a>')],
+        "url string, html string",
+    )
+    got = {(r.src_host, r.dst_host): r.n_links
+           for r in host_link_graph(pages).collect()}
+    assert got == {("a.com", "b.com"): 1}
+
+
+def test_anchor_text_drops_relative_targets(spark):
+    from nlquery_spark.operators.web import anchor_text_signals
+
+    pages = spark.createDataFrame(
+        [('<a href="/rel">x</a><a href="http://t.com/y">ok</a>',)],
+        "html string",
+    )
+    got = {r.target_url for r in anchor_text_signals(pages).collect()}
+    assert got == {"http://t.com/y"}
+
+
+def test_resolve_redirects_duplicate_sources_no_fanout(spark):
+    """Conflicting/duplicate redirect rows for one source must not fan
+    out the walk — min-dst wins deterministically, one output row per
+    input URL."""
+    from nlquery_spark.operators.web import resolve_redirects
+
+    urls = spark.createDataFrame([("a",), ("b",)], "url string")
+    redirects = spark.createDataFrame(
+        [("a", "c"), ("a", "b"), ("a", "b")],
+        "src_url string, dst_url string",
+    )
+    out = resolve_redirects(urls, redirects, max_hops=5).collect()
+    assert len(out) == 2
+    got = {r.url: (r.final_url, r.hops) for r in out}
+    assert got["a"] == ("b", 1)
