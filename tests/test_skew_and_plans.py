@@ -403,3 +403,13 @@ def test_crawl_diff_single_scan_full_outer(spark, sf_dir):
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
     assert plan.count("Scan parquet") == 0, plan  # checkpoint feeds both
     assert "FullOuter" in plan, plan
+
+
+def test_anchor_text_two_exchanges(spark, sf_dir):
+    """Mode-per-key needs exactly two keyed exchanges: the
+    (target, anchor) count agg and the per-target window — the window
+    must reuse the agg's hash partitioning prefix, never add a third."""
+    df = em.queries()["web_anchor_text"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert plan.count("Exchange") <= 2, plan
