@@ -4433,6 +4433,75 @@ QUALIFY row_number() OVER (PARTITION BY url ORDER BY hops DESC) = 1
 """
 
 
+def _corpus_host_balance(spark, sf_dir):
+    """Domain balancing — the corpus-diversity step every web-scale
+    training set applies (a handful of hosts dominate any crawl; cap
+    docs per host so no domain swamps the mixture): keep the top 30
+    docs per canonical host by (quality desc, doc_id), ranked on the
+    ROUND-6 quality BOTH engines compute identically (the tfidf
+    ranking convention). The Spark side derives the host through the
+    real operator path (url_host over the messy URL); the oracle
+    derives it independently from the generator residues — agreement
+    is a stronger check than a shared derivation.
+
+    Scale posture: quality is a zero-shuffle projection; the only
+    exchange is the host-keyed top-k window. Hosts are Zipfian — at
+    crawl scale pre-aggregate with a per-partition partial top-k
+    (the topk convention) before the global window."""
+    from nlquery_spark.functions.web import url_host
+    from nlquery_spark.operators.textstats import with_quality
+
+    docs = _parallelize(_load(spark, sf_dir, "documents")["documents"])
+    q = with_quality(docs).select(
+        "doc_id",
+        url_host(_messy_url_col(F.col("doc_id"))).alias("host"),
+        "quality",
+    )
+    w = Window.partitionBy("host").orderBy(
+        F.col("quality").desc(), F.col("doc_id").asc()
+    )
+    return (
+        q.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 30)
+        .select("host", "doc_id", "quality", "rank")
+    )
+
+
+def _host_balance_sql() -> str:
+    from nlquery_spark.operators.textstats import EN_STOPWORDS
+
+    stoplist = ", ".join(f"'{w}'" for w in EN_STOPWORDS)
+    return rf"""
+WITH t AS (
+  SELECT doc_id, text,
+    CASE WHEN length(trim(text, ' ')) = 0 THEN CAST([] AS VARCHAR[])
+         ELSE string_split_regex(trim(text, ' '), '[ \t\n\x0B\f\r]+') END AS w
+  FROM documents
+), m AS (
+  SELECT doc_id,
+    len(w) AS n_tokens,
+    CASE WHEN len(w) > 0
+         THEN CAST(len(list_filter(w, x -> list_contains([{stoplist}], lower(x)))) AS DOUBLE) / len(w)
+         ELSE 0.0 END AS sr,
+    CASE WHEN length(text) > 0
+         THEN CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) / length(text)
+         ELSE 0.0 END AS ar
+  FROM t
+), q AS (
+  SELECT doc_id,
+    'www.example' || CAST(doc_id % 13 AS VARCHAR) || '.com' AS host,
+    ROUND((CASE WHEN n_tokens BETWEEN 10 AND 100000 THEN 0.4 ELSE 0.0 END)
+          + LEAST(sr * 2.0, 0.3) + ar * 0.3, 6) AS quality
+  FROM m
+)
+SELECT host, doc_id, quality,
+  CAST(row_number() OVER (
+    PARTITION BY host ORDER BY quality DESC, doc_id ASC) AS BIGINT) AS rank
+FROM q
+QUALIFY rank <= 30
+"""
+
+
 def _streaming_crawl_dedup(spark, sf_dir):
     """FOURTH fully-oracled streaming query — ingest-time exact dedup
     on a page STREAM (streaming/dedup.py::streaming_exact_dedup): the
@@ -4606,7 +4675,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_resample_locf": _events_resample_locf,
         "customer_order_full_outer": _customer_order_full_outer,
         "chunk_boilerplate": _chunk_boilerplate,
-        "corpus_pack": _corpus_pack,
         # -- (b) new or code-changed this round ---------------------------
         "kg_extract_triples": _kg_extract_triples,
         "index_bm25_topk": _index_bm25_topk,
@@ -4628,13 +4696,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_crawl_dedup": _streaming_crawl_dedup,
         "web_anchor_text": _web_anchor_text,
         "web_redirect_resolve": _web_redirect_resolve,
-        # window arithmetic: the 20 new/changed entries above plus the
-        # 30 oracled r4-row veterans fill the window exactly; the two
-        # rows-only lossy ops (dedup_embedding, ann_pq_topk) yield
-        # their window slots — a rows-only driver row proves less than
-        # their pytest recall gates (>=0.95 / >=0.8 vs exact) already
-        # do, and every displaced oracle-bearing query keeps its
-        # per-session oracle run in tests/test_oracle_parity.py
+        "corpus_host_balance": _corpus_host_balance,
+        # window arithmetic: the 21 new/changed entries above plus the
+        # 29 oracled r4-row veterans fill the window exactly; the three
+        # rows-only ops (dedup_embedding, ann_pq_topk, corpus_pack)
+        # yield their window slots — a rows-only driver row proves less
+        # than their pytest recall/invariant gates (>=0.95 / >=0.8 vs
+        # exact; FFD coverage/capacity/waste bounds) already do, and
+        # every displaced oracle-bearing query keeps its per-session
+        # oracle run in tests/test_oracle_parity.py
         # -- tail: r5-driver-green, code unchanged this round; every one
         # still oracle-checked per-session by tests/test_oracle_parity.py
         "doc_tfidf_keywords": _doc_tfidf_keywords,
@@ -4644,6 +4714,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_cosine_jvm": _emb_cosine_jvm,
         "dedup_embedding": _dedup_embedding,
         "ann_pq_topk": _ann_pq_topk,
+        "corpus_pack": _corpus_pack,
         "q17_small_quantity_revenue": _q17_small_quantity_revenue,
         "event_props_json": _event_props_json,
         "order_value_percentiles": _order_value_percentiles,
@@ -4783,6 +4854,7 @@ def oracle_sql() -> dict[str, str]:
         "streaming_crawl_dedup": _STREAM_CRAWL_DEDUP_SQL,
         "web_anchor_text": _ANCHOR_TEXT_SQL,
         "web_redirect_resolve": _REDIRECT_SQL,
+        "corpus_host_balance": _host_balance_sql(),
         "part_lpa_communities": _LPA_SQL,
         "emb_neardup_exact": _EMB_EXACT_SQL,
         "kg_extract_triples": _kg_extract_triples_sql(),

@@ -355,7 +355,7 @@ def test_correctness_window_holds_all_active_queries():
         # round-6 web queries: a rows-only driver row proves less than
         # their pytest recall gates already do (last driver row r4,
         # rows-only there too)
-        "dedup_embedding", "ann_pq_topk",
+        "dedup_embedding", "ann_pq_topk", "corpus_pack",
     }
     assert set(qs[50:]) <= stable_tail, (
         f"non-stable queries past the 50-entry driver window: "
@@ -375,7 +375,7 @@ def test_correctness_window_holds_all_active_queries():
         "part_coorder_triangles", "corpus_decontaminate",
         "streaming_session_windows", "streaming_events_by_minute",
         "inverted_index", "kg_editdist_edges", "events_resample_locf",
-        "customer_order_full_outer", "chunk_boilerplate", "corpus_pack",
+        "customer_order_full_outer", "chunk_boilerplate",
         # code-changed in round 6 (hash-oracle / assoc-order fix)
         "kg_extract_triples", "index_bm25_topk",
         # NEW in round 6
@@ -385,7 +385,7 @@ def test_correctness_window_holds_all_active_queries():
         "web_url_normalize", "web_host_stats", "part_lpa_communities",
         "web_link_graph", "web_host_pagerank", "web_crawl_diff",
         "doc_gopher_filters", "streaming_crawl_dedup",
-        "web_anchor_text", "web_redirect_resolve",
+        "web_anchor_text", "web_redirect_resolve", "corpus_host_balance",
     }
     assert rotated_in <= set(qs[:50])
     # rows-only-by-nature queries (no oracle possible) excepted; every
