@@ -4433,6 +4433,101 @@ QUALIFY row_number() OVER (PARTITION BY url ORDER BY hops DESC) = 1
 """
 
 
+def _streaming_attribution(spark, sf_dir):
+    """FIFTH fully-oracled streaming query — stream-stream watermarked
+    interval join (streaming/joins.py::interval_join_stream): purchases
+    joined to the clicks that preceded them within 30 minutes per user,
+    both sides replaying from the SAME file stream in 4 ts-ranged
+    micro-batches (ordered replay + a watermark delay exceeding the
+    join window, the
+    regime the stream==batch pytest pins), exactly-once parquet sink.
+    The emitted (purchase, click) pair set is order-invariant, so the
+    DuckDB oracle is the plain batch interval join — the value hash
+    proves the stream-stream state machine buffers and matches every
+    cross-batch pair and drops none."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    from nlquery_spark.streaming.joins import interval_join_stream
+
+    ev = (
+        _load(spark, sf_dir, "events")["events"]
+        .filter(F.col("user_id") < 100)
+        .select("event_id", "ts", "user_id", "event_type", "value")
+    )
+
+    def write_slices(p):
+        os.makedirs(p, exist_ok=True)
+        ranged = ev.withColumn(
+            "bucket", F.ntile(4).over(Window.orderBy("ts", "event_id"))
+        )
+        for i in range(1, 5):
+            sdir = os.path.join(p, f"_sl{i}")
+            ranged.filter(F.col("bucket") == i).drop("bucket").coalesce(
+                1
+            ).write.mode("overwrite").parquet(sdir)
+            shutil.move(
+                glob.glob(f"{sdir}/part-*.parquet")[0],
+                os.path.join(p, f"{i:02d}.parquet"),
+            )
+            shutil.rmtree(sdir)
+        open(os.path.join(p, "_SUCCESS"), "w").close()
+
+    src = _materialize_once(
+        _oracle_path("stream_attr_src", sf_dir, table="events"), write_slices
+    )
+    stream = (
+        spark.readStream.schema(
+            "event_id long, ts timestamp, user_id long, "
+            "event_type string, value double"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    joined = interval_join_stream(
+        stream.filter(F.col("event_type") == "purchase"),
+        stream.filter(F.col("event_type") == "click"),
+        "user_id",
+        "ts",
+        "ts",
+        window_sec=14400,
+        watermark_delay="480 minutes",
+    )
+    work = tempfile.mkdtemp(prefix="nlq_attr_")
+    out, ckpt = f"{work}/out", f"{work}/ckpt"
+    q = (
+        joined.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise RuntimeError("streaming_attribution did not finish in 300s")
+    return spark.read.parquet(out).select(
+        F.col("l_key").alias("user_id"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("r_event_id").alias("click_id"),
+    )
+
+
+_STREAM_ATTR_SQL = """
+WITH e AS (
+  SELECT event_id, ts, user_id, event_type
+  FROM events WHERE user_id < 100
+), p AS (SELECT * FROM e WHERE event_type = 'purchase'),
+c AS (SELECT * FROM e WHERE event_type = 'click')
+SELECT p.user_id AS user_id, p.event_id AS purchase_id,
+       c.event_id AS click_id
+FROM p JOIN c ON p.user_id = c.user_id
+  AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 14400 SECOND
+"""
+
+
 def _corpus_host_balance(spark, sf_dir):
     """Domain balancing — the corpus-diversity step every web-scale
     training set applies (a handful of hosts dominate any crawl; cap
@@ -4673,7 +4768,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "inverted_index": _inverted_index,
         "kg_editdist_edges": _kg_editdist_edges,
         "events_resample_locf": _events_resample_locf,
-        "customer_order_full_outer": _customer_order_full_outer,
         "chunk_boilerplate": _chunk_boilerplate,
         # -- (b) new or code-changed this round ---------------------------
         "kg_extract_triples": _kg_extract_triples,
@@ -4697,14 +4791,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "web_anchor_text": _web_anchor_text,
         "web_redirect_resolve": _web_redirect_resolve,
         "corpus_host_balance": _corpus_host_balance,
-        # window arithmetic: the 21 new/changed entries above plus the
-        # 29 oracled r4-row veterans fill the window exactly; the three
-        # rows-only ops (dedup_embedding, ann_pq_topk, corpus_pack)
-        # yield their window slots — a rows-only driver row proves less
-        # than their pytest recall/invariant gates (>=0.95 / >=0.8 vs
-        # exact; FFD coverage/capacity/waste bounds) already do, and
-        # every displaced oracle-bearing query keeps its per-session
-        # oracle run in tests/test_oracle_parity.py
+        "streaming_attribution": _streaming_attribution,
+        # window arithmetic: the 22 new/changed entries above plus 28
+        # oracled r4-row veterans fill the window exactly. Displaced to
+        # make room: the three rows-only ops (dedup_embedding,
+        # ann_pq_topk, corpus_pack — a rows-only driver row proves less
+        # than their pytest recall/invariant gates already do) and ONE
+        # oracled veteran, customer_order_full_outer (last row r4; its
+        # full-outer surface is also exercised by web_crawl_diff, and a
+        # never-driver-checked new query outranks a refresh). Every
+        # displaced query keeps its per-session oracle run in
+        # tests/test_oracle_parity.py
         # -- tail: r5-driver-green, code unchanged this round; every one
         # still oracle-checked per-session by tests/test_oracle_parity.py
         "doc_tfidf_keywords": _doc_tfidf_keywords,
@@ -4715,6 +4812,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding": _dedup_embedding,
         "ann_pq_topk": _ann_pq_topk,
         "corpus_pack": _corpus_pack,
+        "customer_order_full_outer": _customer_order_full_outer,
         "q17_small_quantity_revenue": _q17_small_quantity_revenue,
         "event_props_json": _event_props_json,
         "order_value_percentiles": _order_value_percentiles,
@@ -4855,6 +4953,7 @@ def oracle_sql() -> dict[str, str]:
         "web_anchor_text": _ANCHOR_TEXT_SQL,
         "web_redirect_resolve": _REDIRECT_SQL,
         "corpus_host_balance": _host_balance_sql(),
+        "streaming_attribution": _STREAM_ATTR_SQL,
         "part_lpa_communities": _LPA_SQL,
         "emb_neardup_exact": _EMB_EXACT_SQL,
         "kg_extract_triples": _kg_extract_triples_sql(),

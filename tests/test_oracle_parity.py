@@ -356,6 +356,11 @@ def test_correctness_window_holds_all_active_queries():
         # their pytest recall gates already do (last driver row r4,
         # rows-only there too)
         "dedup_embedding", "ann_pq_topk", "corpus_pack",
+        # oracled veteran displaced by streaming_attribution (last
+        # driver row r4, rows+schema+hash green there; oracle still
+        # runs per-session below, and its full-outer surface is also
+        # driver-exercised via web_crawl_diff)
+        "customer_order_full_outer",
     }
     assert set(qs[50:]) <= stable_tail, (
         f"non-stable queries past the 50-entry driver window: "
@@ -375,7 +380,7 @@ def test_correctness_window_holds_all_active_queries():
         "part_coorder_triangles", "corpus_decontaminate",
         "streaming_session_windows", "streaming_events_by_minute",
         "inverted_index", "kg_editdist_edges", "events_resample_locf",
-        "customer_order_full_outer", "chunk_boilerplate",
+        "chunk_boilerplate",
         # code-changed in round 6 (hash-oracle / assoc-order fix)
         "kg_extract_triples", "index_bm25_topk",
         # NEW in round 6
@@ -386,6 +391,7 @@ def test_correctness_window_holds_all_active_queries():
         "web_link_graph", "web_host_pagerank", "web_crawl_diff",
         "doc_gopher_filters", "streaming_crawl_dedup",
         "web_anchor_text", "web_redirect_resolve", "corpus_host_balance",
+        "streaming_attribution",
     }
     assert rotated_in <= set(qs[:50])
     # rows-only-by-nature queries (no oracle possible) excepted; every
