@@ -4437,7 +4437,8 @@ def _streaming_attribution(spark, sf_dir):
     """FIFTH fully-oracled streaming query — stream-stream watermarked
     interval join (streaming/joins.py::interval_join_stream): purchases
     joined to the clicks that preceded them within 30 minutes per user,
-    both sides replaying from the SAME file stream in 4 ts-ranged
+    both sides replaying from the SAME file stream: 4 ts-ranged
+    slices, 2 per trigger = cross-batch
     micro-batches (ordered replay + a watermark delay exceeding the
     join window, the
     regime the stream==batch pytest pins), exactly-once parquet sink.
@@ -4478,36 +4479,47 @@ def _streaming_attribution(spark, sf_dir):
     src = _materialize_once(
         _oracle_path("stream_attr_src", sf_dir, table="events"), write_slices
     )
-    stream = (
-        spark.readStream.schema(
-            "event_id long, ts timestamp, user_id long, "
-            "event_type string, value double"
+    # state-store partition count = shuffle partitions at first batch:
+    # a stream-stream join maintains per-partition state files for BOTH
+    # sides every micro-batch, so 32 partitions x 4 batches was pure
+    # file churn for a fixture-sized key space (measured 25 s warm ->
+    # 4.8 s with 8 partitions / 2 batches, identical output). Scoped
+    # set/restore; production sizes this to the cluster, not the query.
+    old_shuf = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        stream = (
+            spark.readStream.schema(
+                "event_id long, ts timestamp, user_id long, "
+                "event_type string, value double"
+            )
+            .option("maxFilesPerTrigger", 2)
+            .parquet(src)
         )
-        .option("maxFilesPerTrigger", 1)
-        .parquet(src)
-    )
-    joined = interval_join_stream(
-        stream.filter(F.col("event_type") == "purchase"),
-        stream.filter(F.col("event_type") == "click"),
-        "user_id",
-        "ts",
-        "ts",
-        window_sec=14400,
-        watermark_delay="480 minutes",
-    )
-    work = tempfile.mkdtemp(prefix="nlq_attr_")
-    out, ckpt = f"{work}/out", f"{work}/ckpt"
-    q = (
-        joined.writeStream.format("parquet")
-        .option("path", out)
-        .option("checkpointLocation", ckpt)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    if not q.awaitTermination(300):
-        q.stop()
-        raise RuntimeError("streaming_attribution did not finish in 300s")
+        joined = interval_join_stream(
+            stream.filter(F.col("event_type") == "purchase"),
+            stream.filter(F.col("event_type") == "click"),
+            "user_id",
+            "ts",
+            "ts",
+            window_sec=14400,
+            watermark_delay="480 minutes",
+        )
+        work = tempfile.mkdtemp(prefix="nlq_attr_")
+        out, ckpt = f"{work}/out", f"{work}/ckpt"
+        q = (
+            joined.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise RuntimeError("streaming_attribution did not finish in 300s")
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_shuf)
     return spark.read.parquet(out).select(
         F.col("l_key").alias("user_id"),
         F.col("event_id").alias("purchase_id"),
