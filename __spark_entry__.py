@@ -1252,7 +1252,19 @@ def _doc_quality(spark, sf_dir):
     )
 
 
-def _quality_sql() -> str:
+# the quality composite over (n_tokens, sr, ar) — ONE definition
+# shared by the doc_quality and corpus_host_balance oracles so the
+# formula cannot drift between them (it mirrors textstats.with_quality)
+_QUALITY_EXPR = (
+    "ROUND((CASE WHEN n_tokens BETWEEN 10 AND 100000 THEN 0.4 ELSE 0.0 END)"
+    " + LEAST(sr * 2.0, 0.3) + ar * 0.3, 6)"
+)
+
+
+def _quality_cte() -> str:
+    """t -> m CTE prefix computing (doc_id, n_tokens, sr, ar) for the
+    quality oracles — the SQL twin of textstats.with_quality's base
+    quantities, defined once."""
     from nlquery_spark.operators.textstats import EN_STOPWORDS
 
     stoplist = ", ".join(f"'{w}'" for w in EN_STOPWORDS)
@@ -1273,11 +1285,18 @@ WITH t AS (
          ELSE 0.0 END AS ar
   FROM t
 )
+"""
+
+
+def _quality_sql() -> str:
+    return (
+        _quality_cte()
+        + f"""
 SELECT doc_id, n_tokens, ROUND(sr, 6) AS stopword_ratio, ROUND(ar, 6) AS alpha_ratio,
-  ROUND((CASE WHEN n_tokens BETWEEN 10 AND 100000 THEN 0.4 ELSE 0.0 END)
-        + LEAST(sr * 2.0, 0.3) + ar * 0.3, 6) AS quality
+  {_QUALITY_EXPR} AS quality
 FROM m
 """
+    )
 
 
 def _doc_lang_id(spark, sf_dir):
@@ -4436,16 +4455,18 @@ QUALIFY row_number() OVER (PARTITION BY url ORDER BY hops DESC) = 1
 def _streaming_attribution(spark, sf_dir):
     """FIFTH fully-oracled streaming query — stream-stream watermarked
     interval join (streaming/joins.py::interval_join_stream): purchases
-    joined to the clicks that preceded them within 30 minutes per user,
-    both sides replaying from the SAME file stream: 4 ts-ranged
-    slices, 2 per trigger = cross-batch
-    micro-batches (ordered replay + a watermark delay exceeding the
-    join window, the
-    regime the stream==batch pytest pins), exactly-once parquet sink.
-    The emitted (purchase, click) pair set is order-invariant, so the
-    DuckDB oracle is the plain batch interval join — the value hash
-    proves the stream-stream state machine buffers and matches every
-    cross-batch pair and drops none."""
+    joined to the clicks that preceded them within 4 HOURS (14400 s,
+    mirrored in the oracle's INTERVAL) per user, both sides replaying
+    from the SAME file stream as 4 ts-ranged slices, 2 per trigger =
+    cross-batch matching, exactly-once parquet sink. The watermark
+    delay EXCEEDS the full 30-day event span, so no row can ever be
+    late regardless of file replay order — parity does not depend on
+    slice mtimes (state is simply retained to end-of-replay, which a
+    bounded availableNow run affords; production uses a real delay and
+    ordered ingestion). The emitted (purchase, click) pair set is
+    order-invariant, so the DuckDB oracle is the plain batch interval
+    join — the value hash proves the stream-stream state machine
+    buffers and matches every cross-batch pair and drops none."""
     import glob
     import os
     import shutil
@@ -4461,9 +4482,11 @@ def _streaming_attribution(spark, sf_dir):
 
     def write_slices(p):
         os.makedirs(p, exist_ok=True)
+        # checkpointed once: the global ntile sort would otherwise
+        # recompute for each of the four slice writes
         ranged = ev.withColumn(
             "bucket", F.ntile(4).over(Window.orderBy("ts", "event_id"))
-        )
+        ).localCheckpoint(eager=True)
         for i in range(1, 5):
             sdir = os.path.join(p, f"_sl{i}")
             ranged.filter(F.col("bucket") == i).drop("bucket").coalesce(
@@ -4503,12 +4526,19 @@ def _streaming_attribution(spark, sf_dir):
             "ts",
             "ts",
             window_sec=14400,
-            watermark_delay="480 minutes",
+            watermark_delay="45 days",
+        )
+        # project to the three output columns BEFORE the sink (the
+        # join carries value/type/ts columns the query never returns)
+        pairs = joined.select(
+            F.col("l_key").alias("user_id"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("r_event_id").alias("click_id"),
         )
         work = tempfile.mkdtemp(prefix="nlq_attr_")
         out, ckpt = f"{work}/out", f"{work}/ckpt"
         q = (
-            joined.writeStream.format("parquet")
+            pairs.writeStream.format("parquet")
             .option("path", out)
             .option("checkpointLocation", ckpt)
             .outputMode("append")
@@ -4518,13 +4548,14 @@ def _streaming_attribution(spark, sf_dir):
         if not q.awaitTermination(300):
             q.stop()
             raise RuntimeError("streaming_attribution did not finish in 300s")
+        # materialize, then remove the temp sink + checkpoint — repeat
+        # invocations (driver window, bench, parity tests) must not
+        # accumulate state dirs in /tmp
+        result = spark.read.parquet(out).localCheckpoint(eager=True)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old_shuf)
-    return spark.read.parquet(out).select(
-        F.col("l_key").alias("user_id"),
-        F.col("event_id").alias("purchase_id"),
-        F.col("r_event_id").alias("click_id"),
-    )
+    shutil.rmtree(work, ignore_errors=True)
+    return result
 
 
 _STREAM_ATTR_SQL = """
@@ -4575,30 +4606,12 @@ def _corpus_host_balance(spark, sf_dir):
 
 
 def _host_balance_sql() -> str:
-    from nlquery_spark.operators.textstats import EN_STOPWORDS
-
-    stoplist = ", ".join(f"'{w}'" for w in EN_STOPWORDS)
-    return rf"""
-WITH t AS (
-  SELECT doc_id, text,
-    CASE WHEN length(trim(text, ' ')) = 0 THEN CAST([] AS VARCHAR[])
-         ELSE string_split_regex(trim(text, ' '), '[ \t\n\x0B\f\r]+') END AS w
-  FROM documents
-), m AS (
-  SELECT doc_id,
-    len(w) AS n_tokens,
-    CASE WHEN len(w) > 0
-         THEN CAST(len(list_filter(w, x -> list_contains([{stoplist}], lower(x)))) AS DOUBLE) / len(w)
-         ELSE 0.0 END AS sr,
-    CASE WHEN length(text) > 0
-         THEN CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) / length(text)
-         ELSE 0.0 END AS ar
-  FROM t
-), q AS (
+    return (
+        _quality_cte()
+        + f""", q AS (
   SELECT doc_id,
     'www.example' || CAST(doc_id % 13 AS VARCHAR) || '.com' AS host,
-    ROUND((CASE WHEN n_tokens BETWEEN 10 AND 100000 THEN 0.4 ELSE 0.0 END)
-          + LEAST(sr * 2.0, 0.3) + ar * 0.3, 6) AS quality
+    {_QUALITY_EXPR} AS quality
   FROM m
 )
 SELECT host, doc_id, quality,
@@ -4607,6 +4620,7 @@ SELECT host, doc_id, quality,
 FROM q
 QUALIFY rank <= 30
 """
+    )
 
 
 def _streaming_crawl_dedup(spark, sf_dir):
@@ -4742,10 +4756,11 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Driver query map. ORDERING IS A CONTRACT: the driver's correctness
     harness evaluates the FIRST 50 entries, so the window ROTATES each
-    round (VERDICT r5 item 1): (a) the full 32-entry r5 tail, whose last
-    driver row was r4, comes first, (b) queries new or code-changed this
-    round, (c) r5-green queries filling the window — so after this round
-    EVERY query has a driver-green row within the last two rounds. The
+    round (VERDICT r5 item 1): (a) 28 of the 32-entry r5 tail, whose
+    last driver row was r4, come first (the other 4 displaced late in
+    round 6 — see the window-arithmetic comment in section (b)),
+    (b) queries new or code-changed this round, (c) r5-green queries
+    filling the window. The
     tail holds only r5-driver-green queries whose code is unchanged this
     round; each is still oracle-verified every session by
     tests/test_oracle_parity.py, which runs ALL oracles, and the tail

@@ -412,4 +412,6 @@ def test_anchor_text_two_exchanges(spark, sf_dir):
     df = em.queries()["web_anchor_text"](spark, sf_dir)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
-    assert plan.count("Exchange") <= 2, plan
+    # count keyed shuffles specifically — a bare "Exchange" would also
+    # match BroadcastExchange/ReusedExchange nodes
+    assert plan.count("Exchange hashpartitioning") <= 2, plan
