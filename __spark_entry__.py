@@ -4358,7 +4358,7 @@ def _web_anchor_text(spark, sf_dir):
 
 _ANCHOR_TEXT_SQL = (
     _pages_html_cte()
-    + """
+    + r"""
 , tags AS (
   SELECT unnest(regexp_extract_all(html, '<a href="[^"]*">[^<]*</a>', 0))
     AS tag
