@@ -1849,6 +1849,26 @@ def _code_digest() -> str:
     return _CODE_DIGEST_CACHE
 
 
+def _artifact_complete(path: str) -> bool:
+    """A destination counts as a complete artifact iff it carries a
+    _SUCCESS marker OR at least one real data file (``*.parquet``, not
+    a ``_``/``.`` metadata entry). Every staging write_fn in this file
+    produces parquet data files, so a directory holding only stray
+    entries (a leftover ``_temporary`` subdir, a lone ``.crc``) is NOT
+    accepted — it would otherwise be silently oracled against instead
+    of rebuilt or failing loudly."""
+    import os
+
+    if os.path.exists(os.path.join(path, "_SUCCESS")):
+        return True
+    if not os.path.isdir(path):
+        return False
+    return any(
+        f.endswith(".parquet") and not f.startswith(("_", "."))
+        for f in os.listdir(path)
+    )
+
+
 def _materialize_once(path: str, write_fn) -> str:
     """Write a shared fingerprinted artifact exactly once, safely under
     concurrency: writers stage into a unique temp dir and atomically
@@ -1862,13 +1882,12 @@ def _materialize_once(path: str, write_fn) -> str:
 
     # same completeness predicate as the rename-failure path below:
     # anything at the destination arrived via stage-then-rename, so a
-    # non-empty directory is a complete artifact even without _SUCCESS
-    # (committers with marksuccessfuljobs=false never write the marker)
-    # — otherwise such artifacts would re-run the full Spark write on
-    # every invocation and only dedupe via the failure fallback
-    if os.path.exists(os.path.join(path, "_SUCCESS")) or (
-        os.path.isdir(path) and len(os.listdir(path)) > 0
-    ):
+    # directory holding at least one data file is a complete artifact
+    # even without _SUCCESS (committers with marksuccessfuljobs=false
+    # never write the marker) — otherwise such artifacts would re-run
+    # the full Spark write on every invocation and only dedupe via the
+    # failure fallback
+    if _artifact_complete(path):
         return path
     tmp = f"{path}.tmp-{uuid.uuid4().hex[:8]}"
     write_fn(tmp)
@@ -1879,17 +1898,11 @@ def _materialize_once(path: str, write_fn) -> str:
         # rename fails either because another writer won the race (fine:
         # their artifact is equivalent by fingerprint construction) or
         # for a non-race reason (permissions, a stale foreign FILE at
-        # path). Anything that IS at the destination arrived via this
-        # same stage-then-rename protocol, and write_fn completes before
-        # any rename — so a non-empty directory there is a complete
-        # artifact even without _SUCCESS (committers configured with
-        # marksuccessfuljobs=false never write the marker). Only a
-        # missing/empty/non-directory destination means the consumer
-        # would read garbage: fail loudly for those.
-        complete = os.path.exists(os.path.join(path, "_SUCCESS")) or (
-            os.path.isdir(path) and len(os.listdir(path)) > 0
-        )
-        if not complete:
+        # path). A complete rival artifact means the consumer can read
+        # it; anything else (missing, non-directory, or a directory
+        # with no data files) means the consumer would read garbage:
+        # fail loudly for those.
+        if not _artifact_complete(path):
             raise RuntimeError(
                 f"_materialize_once: rename {tmp!r} -> {path!r} failed "
                 f"and no complete artifact exists at the destination"
@@ -4434,12 +4447,17 @@ _REDIRECT_SQL = f"""
 WITH RECURSIVE u AS (
   SELECT {_redir_url_sql('doc_id')} AS url FROM documents
 ), r AS (
-  SELECT {_redir_url_sql('doc_id')} AS src_url,
-         {_redir_url_sql(
-             'CASE WHEN doc_id % 18 = 4 THEN doc_id + 9 '
-             'ELSE (doc_id*7+13) % 611 END'
-         )} AS dst_url
-  FROM documents WHERE doc_id % 9 = 4
+  -- mirrors resolve_redirects' one-destination-per-source contract
+  -- (groupBy src, min dst): without it a fixture with duplicate source
+  -- rows would fan out the recursive walk and silently diverge
+  SELECT src_url, MIN(dst_url) AS dst_url FROM (
+    SELECT {_redir_url_sql('doc_id')} AS src_url,
+           {_redir_url_sql(
+               'CASE WHEN doc_id % 18 = 4 THEN doc_id + 9 '
+               'ELSE (doc_id*7+13) % 611 END'
+           )} AS dst_url
+    FROM documents WHERE doc_id % 9 = 4
+  ) GROUP BY src_url
 ), walk AS (
   SELECT url, url AS final_url, 0 AS hops FROM u
   UNION ALL

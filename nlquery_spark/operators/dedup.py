@@ -835,6 +835,7 @@ def incremental_new_docs(
     history: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
+    history_digest_col: Optional[str] = None,
 ) -> DataFrame:
     """Ingest-time dedup for a continuously-crawled corpus: from a new
     batch, keep only docs whose content digest is (a) unseen in the
@@ -842,8 +843,16 @@ def incremental_new_docs(
     digest). Returns (id, digest) of the accepted docs — the rows a
     crawl-ingestion job appends to the corpus and to the digest index.
 
-    Scale posture: the history side at 100 TB is a digest INDEX (one
-    md5 per historical doc), not the corpus. The join strategy is
+    ``history`` is either the raw corpus (``text_col`` is hashed per
+    run — fine for tests and backfills) or, for daily production runs,
+    the persisted digest INDEX itself: pass ``history_digest_col`` and
+    the history side is consumed as one md5 per historical doc with no
+    rehash of corpus text. The accepted rows' ``digest`` column is
+    exactly what gets appended to that index, closing the loop.
+
+    Scale posture: the history side at 100 TB is the digest index, not
+    the corpus — rehashing history text daily would make every ingest
+    O(corpus); the index join is O(index). The join strategy is
     deliberately left to Catalyst's stats: a small index broadcasts
     (fixture scale — plan-pinned), a crawl-scale index flips the SAME
     declarative plan to a hash-shuffle anti join where each reducer
@@ -853,9 +862,14 @@ def incremental_new_docs(
     bucketed/Z-ordered digest index the history shuffle amortizes to
     zero across daily runs.
     """
-    hist_digests = history.select(
-        F.md5(F.col(text_col)).alias("digest")
-    ).distinct()
+    if history_digest_col is not None:
+        hist_digests = history.select(
+            F.col(history_digest_col).alias("digest")
+        ).distinct()
+    else:
+        hist_digests = history.select(
+            F.md5(F.col(text_col)).alias("digest")
+        ).distinct()
     batch = new_batch.select(
         F.col(id_col), F.md5(F.col(text_col)).alias("digest")
     )

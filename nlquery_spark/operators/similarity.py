@@ -271,8 +271,20 @@ def ivf_topk(
     its ``nprobe`` closest cells. Recall < 1.0 by design; at CC scale the
     cell assignment becomes the partitioning key so a probe touches only
     nprobe/n_cells of the data."""
-    sample = corpus.select(vec_col).limit(sample_size).collect()
-    mat = np.array([r[0] for r in sample], dtype=np.float64)
+    # deterministic training draw (same fix as pq_topk, ADVICE r3 /
+    # VERDICT r6 item 4): a bare limit() without ordering picks whatever
+    # partitions answer first, so the centroids — and hence cell
+    # assignments and top-k results — depended on the physical layout.
+    # Ordering by xxhash64(id) is a layout-independent pseudo-random
+    # sample, and Spark executes orderBy+limit as TakeOrderedAndProject
+    # (per-partition top-n + driver merge), never a full corpus sort.
+    sample = (
+        corpus.select(id_col, vec_col)
+        .orderBy(F.xxhash64(F.col(id_col).cast("string")), F.col(id_col))
+        .limit(sample_size)
+        .collect()
+    )
+    mat = np.array([r[1] for r in sample], dtype=np.float64)
     mat /= np.linalg.norm(mat, axis=1, keepdims=True)
     rng = np.random.RandomState(seed)
     centroids = mat[rng.choice(len(mat), size=min(n_cells, len(mat)), replace=False)]

@@ -259,6 +259,38 @@ def test_materialize_once_raises_on_non_race_failure(tmp_path):
     assert got == str(done)
 
 
+def test_materialize_once_rejects_foreign_dataless_dir(tmp_path):
+    """ADVICE r6: a non-empty directory that holds NO data file (only a
+    leftover _temporary subdir / stray dotfiles — i.e. not the product
+    of the stage-then-rename protocol) must be rebuilt, not silently
+    accepted and oracled against."""
+    dest = tmp_path / "artifact"
+    (dest / "_temporary").mkdir(parents=True)
+    (dest / ".stray.crc").write_text("x")
+    calls = []
+
+    def writer(p):
+        calls.append(p)
+        os.makedirs(p)
+        with open(os.path.join(p, "part-0.parquet"), "wb") as fh:
+            fh.write(b"pq")
+
+    # no _SUCCESS, no *.parquet -> incomplete; the writer runs, and the
+    # rename onto the existing foreign dir fails -> loud error (an
+    # operator would clear the junk path), never a silent accept
+    with pytest.raises(RuntimeError, match="no complete artifact"):
+        entry_mod._materialize_once(str(dest), writer)
+    assert calls  # the write was attempted, not skipped
+    # a directory with a real data file but no _SUCCESS IS complete
+    # (committers with marksuccessfuljobs=false write no marker)
+    done = tmp_path / "done"
+    os.makedirs(done)
+    (done / "part-0.parquet").write_bytes(b"pq")
+    calls.clear()
+    assert entry_mod._materialize_once(str(done), writer) == str(done)
+    assert not calls  # fast path: complete artifact -> no rewrite
+
+
 def test_code_digest_zip_fallback(monkeypatch, tmp_path):
     """ADVICE r4: when the package is imported from a --py-files zip,
     os.walk of the in-archive path yields nothing — the digest must fall
