@@ -260,8 +260,70 @@ def main() -> None:
 
     timed("dedup_embedding_20k", _embdedup)
 
-    # -- driver queries whose scale input actually grew 10x ----------------
+    # -- web/graph family at full corpus scale (VERDICT r6 item 3): the
+    # r6-new operators had only ever been timed at sf0.1, and
+    # redirects/LPA are iteration-dominated — the shapes most likely to
+    # hide a super-linear surprise ------------------------------------
+    from nlquery_spark.operators.graph import label_propagation
+    from nlquery_spark.operators.web import crawl_diff, host_link_graph
+
     qs = em.queries()
+
+    # 50k pages of synthesized HTML -> host link graph (driver-query
+    # construction, unfiltered — _page_html has no fixture filter)
+    timed(
+        "web_link_graph_50k",
+        lambda: host_link_graph(em._page_html(spark, DST)).count(),
+    )
+
+    # 50k URLs through a 5.5k-entry redirect map with real multi-hop
+    # chains; 5 capped join rounds (the driver query, which is already
+    # unfiltered — max_hops static rounds over the full corpus)
+    timed(
+        "web_redirects_50k",
+        lambda: qs["web_redirect_resolve"](spark, DST).count(),
+    )
+
+    # crawl diff over ALL 50k docs: the driver query's messy-URL
+    # generator repeats keys past doc_id 1261, so the full-scale
+    # variant keys on the always-unique doc URL — the operator's cost
+    # shape (one scan + one full-outer join) is what's being measured
+    def _crawl_diff_50k():
+        d = F.col("doc_id")
+        base = docs.select(
+            F.concat(F.lit("doc:"), d).alias("canonical_url"),
+            F.md5("text").alias("dig_old"),
+            F.md5(
+                F.concat(
+                    F.col("text"),
+                    F.when(d % 6 == 2, F.lit(" v2")).otherwise(F.lit("")),
+                )
+            ).alias("dig_new"),
+            d.alias("_d"),
+        ).localCheckpoint(eager=True)
+        old = base.filter(F.col("_d") % 10 != 3).select(
+            "canonical_url", F.col("dig_old").alias("digest")
+        )
+        new = base.filter(F.col("_d") % 8 != 5).select(
+            "canonical_url", F.col("dig_new").alias("digest")
+        )
+        return crawl_diff(old, new).count()
+
+    timed("web_crawl_diff_50k", _crawl_diff_50k)
+
+    # deterministic sync LPA on the full extracted KG edge set (the
+    # iteration-dominated shape: per-round join + vote + top-1 window)
+    def _lpa():
+        m: dict = {}
+        n = label_propagation(edges, iters=2, metrics=m).count()
+        op_metrics["kg_lpa_communities"] = {
+            k: v for k, v in m.items() if isinstance(v, (int, float))
+        }
+        return n
+
+    timed("kg_lpa_communities", _lpa)
+
+    # -- driver queries whose scale input actually grew 10x ----------------
     for name in ("part_coorder_triangles", "kg_similarity_edges"):
         timed(f"query_{name}", lambda n=name: qs[n](spark, DST).count())
 
