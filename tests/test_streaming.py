@@ -443,6 +443,69 @@ def test_streaming_incremental_merge_matches_batch(spark, tmp_path):
     assert len(versions) >= 2
 
 
+def test_triples_merge_sink_resumes_from_checkpoint(spark, tmp_path):
+    """Continuous-crawl restart contract: a first availableNow run
+    merges the crawl slices present so far; after a stop (crash /
+    scheduled restart) a NEW query over the same checkpoint + base must
+    process ONLY the slices that arrived since, and the final aggregate
+    must equal one-shot batch extraction over everything. If restart
+    re-delivered the old slices into the merge, the support counts of
+    their triples would double and the equality would fail — so this
+    pins exactly-once across restarts, not just within one run."""
+    import glob
+    import os
+    import shutil
+
+    from nlquery_spark.operators.extract import dedup_triples, extract_triples
+    from nlquery_spark.sources.pages import orders_schema_spec, synth_pages
+    from nlquery_spark.streaming.extract import (
+        read_latest_triples,
+        read_pages_stream,
+        triples_merge_sink,
+    )
+
+    spec = [orders_schema_spec()]
+    pages = synth_pages(spark, 120)
+    src = str(tmp_path / "pages_in")
+    os.makedirs(src)
+
+    def stage_slice(i):
+        sdir = str(tmp_path / f"ps{i}")
+        pages.filter(F.crc32(F.col("url")) % 3 == i).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(sdir)
+        shutil.move(
+            glob.glob(f"{sdir}/part-*.parquet")[0], f"{src}/{i:02d}.parquet"
+        )
+
+    base, ckpt = str(tmp_path / "kg_base"), str(tmp_path / "kg_ckpt")
+    stage_slice(0)
+    q1 = triples_merge_sink(
+        extract_triples(read_pages_stream(spark, src, max_files_per_trigger=1), spec),
+        base,
+        ckpt,
+    )
+    q1.awaitTermination(240)
+    first = {tuple(r) for r in read_latest_triples(spark, base).collect()}
+    slice0 = pages.filter(F.crc32(F.col("url")) % 3 == 0)
+    assert first == {
+        tuple(r) for r in dedup_triples(extract_triples(slice0, spec)).collect()
+    }
+
+    # the crawl continues while the job is down; restart from checkpoint
+    stage_slice(1)
+    stage_slice(2)
+    q2 = triples_merge_sink(
+        extract_triples(read_pages_stream(spark, src, max_files_per_trigger=1), spec),
+        base,
+        ckpt,
+    )
+    q2.awaitTermination(240)
+    got = {tuple(r) for r in read_latest_triples(spark, base).collect()}
+    want = {tuple(r) for r in dedup_triples(extract_triples(pages, spec)).collect()}
+    assert want and got == want
+
+
 def test_triples_merge_sink_rejects_remote_base_dir():
     import pytest
 
