@@ -192,6 +192,11 @@ def test_dist_zip_matches_source():
         name = str(p)
         assert name in znames, f"missing from zip: {name}"
         assert zp.read(name) == p.read_bytes(), f"stale in zip: {name}"
+    # sources ONLY: swept-in __pycache__ bytecode can shadow edited .py
+    # files under zipimport on executors (scripts/build_dist.py is the
+    # build recipe — py-only, pinned timestamps, reproducible bytes)
+    non_py = [n for n in znames if not n.endswith(".py")]
+    assert not non_py, f"non-source entries in zip: {non_py[:5]}"
 
 
 def test_pagerank_matches_numpy_power_iteration(spark):
