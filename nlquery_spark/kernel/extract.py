@@ -131,6 +131,42 @@ def cached_recognizer(
     return rec
 
 
+# Boilerplate-chunk memo: chunk -> triples is a pure function of
+# (chunk text, compiled spec, top_k/boost/cap params), and web corpora
+# repeat chunks heavily (navigation, footers, templated sentences — this
+# repo's CC-style fixture runs ~53-59% repeated chunks, real Common Crawl
+# similar). Memoizing relative-offset results per worker process turns
+# the recognizer cost of every repeated chunk into a dict hit. Bounded:
+# cleared wholesale at MEMO_MAX_CHUNKS entries (~1-2 KB/entry worst case
+# => low hundreds of MB per python worker), so a pathological corpus
+# degrades to the unmemoized cost plus a dict probe, never to unbounded
+# memory. Benchmarks that re-time the same pages must salt the namespace
+# per timed run (operators pass memo_salt) — otherwise run 2 measures
+# the cache, not the engine.
+MEMO_MAX_CHUNKS = 100_000
+
+_CHUNK_MEMO: Dict[str, Dict[str, tuple]] = {}
+
+
+def chunk_memo(
+    cache_key: str, top_k: int, long_match_boost: bool, max_combinations: int
+) -> Dict[str, tuple]:
+    """Per-executor-process chunk-result memo, scoped to every parameter
+    that affects ``extract_text_triples`` output (the recognizer spec via
+    ``cache_key`` plus the scoring/cap knobs)."""
+    key = f"{cache_key}:{top_k}:{long_match_boost}:{max_combinations}"
+    memo = _CHUNK_MEMO.get(key)
+    if memo is None:
+        # bound the namespace registry as well: salted bench runs mint a
+        # fresh namespace per timed pass, and reused python workers live
+        # for the whole application
+        if len(_CHUNK_MEMO) >= 4:
+            _CHUNK_MEMO.clear()
+        memo = {}
+        _CHUNK_MEMO[key] = memo
+    return memo
+
+
 def build_prescreen(
     schema_specs: Sequence[Dict], options_spec: Optional[Dict] = None
 ) -> str:
@@ -325,6 +361,7 @@ def extract_text_triples(
     long_match_boost: bool = True,
     max_combinations: int = MAX_COMBINATIONS,
     prescreen: Optional[str] = None,
+    memo: Optional[Dict[str, tuple]] = None,
 ) -> List[Tuple[str, str, float, int, int, str]]:
     """Extract triples from one page text.
 
@@ -332,6 +369,11 @@ def extract_text_triples(
     top-k by candidate score -> emit triples of the best combination(s).
     Returns (pred, obj, score, start, end, rule) tuples with absolute char
     offsets into ``text``.
+
+    ``memo`` (see :func:`chunk_memo`) caches relative-offset chunk results;
+    chunk extraction is a pure function of (chunk, recognizer, params), so
+    memoized output is bit-identical to recomputation — repeated boilerplate
+    chunks (the common case on web corpora) cost one dict probe.
 
     Scoring fast path: with IncludeZeroMatches semantics, stub spans
     partition the non-covered tokens, so total-matched-word-count always
@@ -346,8 +388,22 @@ def extract_text_triples(
     recognizer.include_zero_matches = False
     try:
         for offset, chunk in _chunks(text):
+            if memo is not None:
+                hit = memo.get(chunk)
+                if hit is not None:
+                    if hit:
+                        out.extend(
+                            (p, o, sc, s + offset, e + offset, r)
+                            for p, o, sc, s, e, r in hit
+                        )
+                    continue
             chunk_tokens = tokenize(chunk)
             if prescreen is not None and not _chunk_can_match(chunk_tokens, prescreen):
+                # memo the screened-out chunk too: a repeat skips tokenize
+                if memo is not None:
+                    if len(memo) >= MEMO_MAX_CHUNKS:
+                        memo.clear()
+                    memo[chunk] = ()
                 continue  # fast path: no dictionary token in chunk
             n_tok = len(chunk_tokens)
             pre_won = [0] * (n_tok + 1)  # word-or-number prefix counts
@@ -360,6 +416,10 @@ def extract_text_triples(
                 )
             total_won = pre_won[n_tok]
             if total_won == 0:
+                if memo is not None:
+                    if len(memo) >= MEMO_MAX_CHUNKS:
+                        memo.clear()
+                    memo[chunk] = ()
                 continue
             seq = TokenSequence(chunk_tokens)
             seq.get_index(chunk_tokens[0])  # force index map build
@@ -400,8 +460,20 @@ def extract_text_triples(
                 return isinstance(m, (ColumnMatch, TableMatch, GroupMatch))
 
             recognizer.recognize(seq, handler, match_filter)
+            # emit at relative offset 0, then shift — int addition is
+            # exact, so memoized replay at another offset is identical
+            rel: List[Tuple[str, str, float, int, int, str]] = []
             for combo in top.to_array():
-                out.extend(_emit_triples(combo.matches, seq, offset, combo.score))
+                rel.extend(_emit_triples(combo.matches, seq, 0, combo.score))
+            if memo is not None:
+                if len(memo) >= MEMO_MAX_CHUNKS:
+                    memo.clear()
+                memo[chunk] = tuple(rel)
+            if rel:
+                out.extend(
+                    (p, o, sc, s + offset, e + offset, r)
+                    for p, o, sc, s, e, r in rel
+                )
     finally:
         recognizer.include_zero_matches = include_zero
     return out
@@ -411,6 +483,7 @@ def extract_text_mentions(
     text: str,
     recognizer: Recognizer,
     prescreen: Optional[str] = None,
+    memo: Optional[Dict[str, tuple]] = None,
 ) -> List[Tuple[str, str, str, float, int, int]]:
     """Mention-detect output for one page (pipeline stage S2-S3): EVERY
     candidate interpretation in the match bag, before combination
@@ -418,19 +491,37 @@ def extract_text_mentions(
     char offsets. This feeds the batched entity-link scorer
     (operators.linker.link_topk), which resolves overlapping candidate
     mentions per span; extract_text_triples by contrast emits only the
-    winning combination."""
+    winning combination.
+
+    ``memo`` caches relative-offset chunk results exactly as in
+    :func:`extract_text_triples` (pure function of chunk + spec; offsets
+    shift additively) — use a distinct :func:`chunk_memo` namespace."""
     out: List[Tuple[str, str, str, float, int, int]] = []
     for offset, chunk in _chunks(text):
+        if memo is not None:
+            hit = memo.get(chunk)
+            if hit is not None:
+                if hit:
+                    out.extend(
+                        (k, n, v, sc, s + offset, e + offset)
+                        for k, n, v, sc, s, e in hit
+                    )
+                continue
         chunk_tokens = tokenize(chunk)
         if prescreen is not None and not _chunk_can_match(chunk_tokens, prescreen):
+            if memo is not None:
+                if len(memo) >= MEMO_MAX_CHUNKS:
+                    memo.clear()
+                memo[chunk] = ()
             continue
         seq = TokenSequence(chunk_tokens)
         bag = recognizer.collect_matches(seq)
+        rel: List[Tuple[str, str, str, float, int, int]] = []
         for m in bag.matches:
-            start = offset + m.start.start_index
-            end = offset + m.end.start_index + len(m.end.value)
+            start = m.start.start_index
+            end = m.end.start_index + len(m.end.value)
             if isinstance(m, ColumnConditionMatch):
-                out.append(
+                rel.append(
                     (
                         "condition",
                         f"{m.column.name}:{COND_NAMES[m.condition].lower()}",
@@ -441,11 +532,19 @@ def extract_text_mentions(
                     )
                 )
             elif isinstance(m, ColumnMatch):
-                out.append(
+                rel.append(
                     ("column", m.column.name, _span_text(m), m.score, start, end)
                 )
             elif isinstance(m, TableMatch):
-                out.append(
+                rel.append(
                     ("table", m.table.name, _span_text(m), m.score, start, end)
                 )
+        if memo is not None:
+            if len(memo) >= MEMO_MAX_CHUNKS:
+                memo.clear()
+            memo[chunk] = tuple(rel)
+        if rel:
+            out.extend(
+                (k, n, v, sc, s + offset, e + offset) for k, n, v, sc, s, e in rel
+            )
     return out

@@ -15,6 +15,7 @@ hot-entity salting lives in operators.canonicalize.
 from __future__ import annotations
 
 import hashlib
+import itertools
 import json
 from typing import Dict, Iterator, Optional, Sequence
 
@@ -26,6 +27,9 @@ from pyspark.sql.types import (
     StructField,
     StructType,
 )
+
+# driver-side counter for per-invocation memo namespaces (memo_salt=None)
+_MEMO_SALTS = itertools.count()
 
 TRIPLES_SCHEMA = StructType(
     [
@@ -47,12 +51,27 @@ def extract_triples(
     top_k: int = 1,
     lang_filter: Optional[str] = "en",
     use_prescreen: bool = True,
+    memo_chunks: bool = True,
+    memo_salt: Optional[str] = None,
 ) -> DataFrame:
     """pages(url, text, ...) -> triples(subj=url, pred, obj, score,
     start, end, rule).
 
     Column pruning: only url+text are shipped to Python. The lang filter
     is applied Spark-side so it pushes into the source scan.
+
+    ``memo_chunks`` enables the per-worker boilerplate-chunk memo
+    (kernel.extract.chunk_memo): chunk extraction is a pure function of
+    (chunk text, spec, params), so results are bit-identical with it on
+    or off; repeated chunks — navigation/footer boilerplate on real web
+    corpora, templated sentences on the fixture — cost one dict probe
+    instead of a recognizer run. Bounded per process (MEMO_MAX_CHUNKS).
+    ``memo_salt`` namespaces the memo. Default None mints a unique salt
+    per operator invocation: the memo is cold at the start of every
+    extract job (honest-by-default — re-timing the same pages measures
+    the engine, not the cache) and shared across the job's tasks *and*
+    micro-batches (one streaming query = one invocation). Pass a stable
+    string to share boilerplate across separate batch invocations.
     """
     from ..kernel.extract import build_prescreen
 
@@ -66,7 +85,9 @@ def extract_triples(
         json.dumps([schema_specs, options_spec], sort_keys=True).encode()
     ).hexdigest()
     payload_bc = spark.sparkContext.broadcast(
-        (schema_specs, options_spec, prescreen, cache_key, top_k)
+        (schema_specs, options_spec, prescreen, cache_key, top_k,
+         memo_chunks,
+         memo_salt if memo_salt is not None else f"auto{next(_MEMO_SALTS)}")
     )
 
     if lang_filter is not None:
@@ -75,10 +96,20 @@ def extract_triples(
     def run(batches) -> Iterator:
         import pandas as pd
 
-        from ..kernel.extract import cached_recognizer, extract_text_triples
+        from ..kernel.extract import (
+            MAX_COMBINATIONS,
+            cached_recognizer,
+            chunk_memo,
+            extract_text_triples,
+        )
 
-        specs, opts, screen, key, k = payload_bc.value
+        specs, opts, screen, key, k, use_memo, salt = payload_bc.value
         rec = cached_recognizer(specs, opts, key)
+        memo = (
+            chunk_memo(salt + ":" + key, k, True, MAX_COMBINATIONS)
+            if use_memo
+            else None
+        )
         for pdf in batches:
             subjs, preds, objs, scores, starts, ends, rules = (
                 [], [], [], [], [], [], []
@@ -87,7 +118,7 @@ def extract_triples(
                 if not text:
                     continue
                 for pred, obj, score, start, end, rule in extract_text_triples(
-                    text, rec, top_k=k, prescreen=screen
+                    text, rec, top_k=k, prescreen=screen, memo=memo
                 ):
                     subjs.append(url)
                     preds.append(pred)

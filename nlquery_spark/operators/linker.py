@@ -51,11 +51,15 @@ def extract_mentions(
     options_spec: Optional[Dict] = None,
     lang_filter: Optional[str] = "en",
     use_prescreen: bool = True,
+    memo_chunks: bool = True,
+    memo_salt: Optional[str] = None,
 ) -> DataFrame:
     """pages(url, text, ...) -> candidate mention rows (stage S2-S3).
 
     Same plumbing as extract_triples: broadcast spec, per-executor
-    compiled recognizer, Arrow batches, url+text column pruning.
+    compiled recognizer, Arrow batches, url+text column pruning,
+    boilerplate-chunk memo (bit-identical, per-invocation namespace by
+    default; see extract_triples for the memo/salt contract).
     """
     from ..kernel.extract import build_prescreen
 
@@ -65,8 +69,11 @@ def extract_mentions(
     cache_key = hashlib.md5(  # 128-bit key: crc32 could collide across specs
         json.dumps([schema_specs, options_spec], sort_keys=True).encode()
     ).hexdigest()
+    from .extract import _MEMO_SALTS
+
     payload_bc = spark.sparkContext.broadcast(
-        (schema_specs, options_spec, prescreen, cache_key)
+        (schema_specs, options_spec, prescreen, cache_key, memo_chunks,
+         memo_salt if memo_salt is not None else f"auto{next(_MEMO_SALTS)}")
     )
 
     if lang_filter is not None:
@@ -75,17 +82,28 @@ def extract_mentions(
     def run(batches) -> Iterator:
         import pandas as pd
 
-        from ..kernel.extract import cached_recognizer, extract_text_mentions
+        from ..kernel.extract import (
+            cached_recognizer,
+            chunk_memo,
+            extract_text_mentions,
+        )
 
-        specs, opts, screen, key = payload_bc.value
+        specs, opts, screen, key, use_memo, salt = payload_bc.value
         rec = cached_recognizer(specs, opts, key)
+        # "mentions:" prefix: a distinct namespace from the triples memo
+        # (same spec key, different output shape)
+        memo = (
+            chunk_memo(f"mentions:{salt}:{key}", 0, False, 0)
+            if use_memo
+            else None
+        )
         for pdf in batches:
             rows = {k: [] for k in ("url", "kind", "name", "value", "score", "start", "end")}
             for url, text in zip(pdf["url"], pdf["text"]):
                 if not text:
                     continue
                 for kind, name, value, score, start, end in extract_text_mentions(
-                    text, rec, prescreen=screen
+                    text, rec, prescreen=screen, memo=memo
                 ):
                     rows["url"].append(url)
                     rows["kind"].append(kind)

@@ -87,3 +87,93 @@ def test_fast_path_equals_slow_path(source):
         fast = extract_text_triples(text, rec, prescreen=screen)
         slow = slow_extract(text, rec, prescreen=screen)
         assert fast == slow, text[:80]
+
+
+# ---------------------------------------------------------------------------
+# Boilerplate-chunk memo: extraction is a pure function of (chunk, spec,
+# params), so memoized output must be bit-identical to recomputation.
+
+
+def _memo_texts():
+    texts = [_page_text(i, 0.0) for i in range(200)]
+    # adversarial shapes: the SAME chunk at different absolute offsets
+    # (memoized relative spans must shift exactly), empties, whitespace,
+    # unicode spaces, and a prescreen-dead chunk sandwiched between hits
+    texts += [
+        "Total price above 1000. " * 3 + "Customers from Germany.",
+        "xyzzy plugh. " + "Total price above 1000. " * 2,
+        "",
+        "   ",
+        "  ",
+        " price  below 5 Jan 2021." * 2,
+        "no dictionary words here at all. Total price above 1000.",
+    ]
+    return texts
+
+
+def test_chunk_memo_bit_identical():
+    spec = orders_schema_spec()
+    rec = build_recognizer([spec])
+    screen = build_prescreen([spec])
+    texts = _memo_texts()
+    base = [extract_text_triples(t, rec, prescreen=screen) for t in texts]
+    memo = {}
+    first = [extract_text_triples(t, rec, prescreen=screen, memo=memo) for t in texts]
+    assert len(memo) > 0
+    # second pass is all-hit: every chunk replays from the memo
+    replay = [extract_text_triples(t, rec, prescreen=screen, memo=memo) for t in texts]
+    assert base == first == replay
+
+
+def test_chunk_memo_offsets_shift_per_occurrence():
+    """One chunk appearing at two offsets: memo hit must re-shift spans."""
+    spec = orders_schema_spec()
+    rec = build_recognizer([spec])
+    sent = "Total price above 1000."
+    text = sent + " filler words here. " + sent
+    memo = {}
+    got = extract_text_triples(text, rec, memo=memo)
+    want = extract_text_triples(text, rec)
+    assert got == want
+    starts = sorted(t[3] for t in got)
+    assert starts == sorted(t[3] for t in want)
+    assert len({t[3] for t in got}) > 1  # both occurrences present, shifted
+
+
+def test_chunk_memo_cap_clears_and_stays_correct(monkeypatch):
+    import nlquery_spark.kernel.extract as ke
+
+    monkeypatch.setattr(ke, "MEMO_MAX_CHUNKS", 3)
+    spec = orders_schema_spec()
+    rec = build_recognizer([spec])
+    texts = [_page_text(i, 0.0) for i in range(30)]
+    base = [extract_text_triples(t, rec) for t in texts]
+    memo = {}
+    got = [extract_text_triples(t, rec, memo=memo) for t in texts]
+    assert got == base
+    assert len(memo) <= 3 + 1  # clear-then-insert keeps it at the cap
+
+
+def test_chunk_memo_namespace_registry_bounded():
+    import nlquery_spark.kernel.extract as ke
+
+    ke._CHUNK_MEMO.clear()
+    handles = [ke.chunk_memo(f"salt{i}", 1, True, 1000) for i in range(10)]
+    assert len(ke._CHUNK_MEMO) <= 4
+    # same key returns the same dict while it lives
+    again = ke.chunk_memo("salt9", 1, True, 1000)
+    assert again is handles[9]
+
+
+def test_mentions_memo_bit_identical():
+    from nlquery_spark.kernel.extract import extract_text_mentions
+
+    spec = orders_schema_spec()
+    rec = build_recognizer([spec])
+    screen = build_prescreen([spec])
+    texts = _memo_texts()
+    base = [extract_text_mentions(t, rec, prescreen=screen) for t in texts]
+    memo = {}
+    first = [extract_text_mentions(t, rec, prescreen=screen, memo=memo) for t in texts]
+    replay = [extract_text_mentions(t, rec, prescreen=screen, memo=memo) for t in texts]
+    assert base == first == replay

@@ -118,3 +118,22 @@ def test_incremental_delta_merge_equals_full_recompute(spark):
         ).collect()
     }
     assert full and merged == full
+
+
+def test_chunk_memo_changes_nothing_spark(spark, pages):
+    """memo_chunks on (default) vs off: bit-identical triples AND
+    mentions through the distributed stage (sorted-collect equality, not
+    sets — duplicates must match too)."""
+    from nlquery_spark.operators.linker import extract_mentions
+
+    spec = orders_schema_spec()
+    on = sorted(map(tuple, extract_triples(pages, [spec]).collect()))
+    off = sorted(
+        map(tuple, extract_triples(pages, [spec], memo_chunks=False).collect())
+    )
+    assert on == off and on
+    m_on = sorted(map(tuple, extract_mentions(pages, [spec]).collect()))
+    m_off = sorted(
+        map(tuple, extract_mentions(pages, [spec], memo_chunks=False).collect())
+    )
+    assert m_on == m_off and m_on
