@@ -54,15 +54,28 @@ def main() -> None:
             synth_pages(spark, CPUS * 40, num_partitions=CPUS), [orders_schema_spec()]
         )
     ).write.format("noop").mode("overwrite").save()
-    t0 = time.time()
-    triples = dedup_triples(extract_triples(pages, [orders_schema_spec()]))
-    n_triples = triples.count()
-    dt = time.time() - t0
+    # median of 3 timed repeats: VERDICT r6 ruled a single suite reading
+    # can't adjudicate itself on this VM (ISOLATION_r06 documented a ~9x
+    # noise envelope) — the median is the headline, every reading is
+    # reported alongside so a spike is visible instead of decisive.
+    # Each extract_triples invocation auto-mints a fresh chunk-memo
+    # namespace, so every repeat is a production-like single pass
+    # (cross-page boilerplate hits only) — a repeat never reads the
+    # previous pass's cache.
+    reps: list[float] = []
+    n_triples = 0
+    for _ in range(3):
+        t0 = time.time()
+        triples = dedup_triples(extract_triples(pages, [orders_schema_spec()]))
+        n_triples = triples.count()
+        reps.append(time.time() - t0)
+    dt = sorted(reps)[1]
     timings["kg_extract_pages"] = round(dt, 3)
     extras["pages_per_sec"] = round(n_pages / dt, 1)
     extras["triples_per_sec"] = round(n_triples / dt, 1)
     extras["n_pages"] = n_pages
     extras["n_triples"] = n_triples
+    extras["headline_runs_sec"] = [round(r, 3) for r in reps]
     pages.unpersist()
 
     # -- operator suite over the driver-provided tables -------------------

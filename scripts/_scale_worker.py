@@ -38,7 +38,12 @@ def main() -> None:
 
     best = None  # (full_wall, extract_wall) from the SAME iteration:
     # mixing best-of-3 stage times across iterations would misstate the
-    # extract/shuffle split when noise lands on different passes
+    # extract/shuffle split when noise lands on different passes.
+    # Every extract_triples invocation auto-mints a fresh chunk-memo
+    # namespace, so each timed pass starts with a cold memo (a repeat
+    # over the same cached pages would otherwise measure the memo, not
+    # the engine — and the warmup's pages share generator ids with the
+    # corpus, so a shared namespace would pre-fill real corpus chunks)
     for _ in range(3):
         # per-stage breakdown: extraction alone (embarrassingly
         # parallel, no shuffle), then the full job (adds the one
