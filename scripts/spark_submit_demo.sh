@@ -5,7 +5,9 @@
 set -euo pipefail
 REPO="$(cd "$(dirname "$0")/.." && pwd)"
 mkdir -p "$REPO/dist"
-(cd "$REPO" && python -c "import shutil; shutil.make_archive('dist/nlquery_spark', 'zip', root_dir='.', base_dir='nlquery_spark')")
+# sources-only reproducible zip (make_archive swept in __pycache__
+# bytecode, which zipimport can prefer over edited .py on executors)
+(cd "$REPO" && python scripts/build_dist.py)
 SPARK_SUBMIT="$(python -c 'import pyspark,os; print(os.path.join(os.path.dirname(pyspark.__file__), "bin", "spark-submit"))')"
 # Driver memory: local[*] runs every executor thread inside the driver
 # JVM, so the spark-submit DEFAULT of 1g is the binding constraint (the
