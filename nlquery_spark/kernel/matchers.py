@@ -676,21 +676,31 @@ class ComparisonMatcher:
             List[Tuple[Sequence[str], int]]
         ] = None
         self.is_phrase_stop_word: Optional[Callable[[str], bool]] = None
+        self._screen_cache = None  # one-slot (statement, active) cache
 
     def _active_phrases(self, statement):
         """Per-statement screen: a phrase op can only match when every
         one of its words occurs as a token (stop-word skipping inserts
         tokens, never substitutes), so filter the phrase table against
         the statement's token-value set once instead of re-walking every
-        phrase at every candidate position."""
+        phrase at every candidate position. One-slot cache: the recursive
+        fixpoint re-enters get_matches for the same statement every
+        generation, and the screen depends only on the statement's token
+        values (which never change across generations) — identity-keyed
+        with a strong ref, so the slot can't dangle onto a recycled id."""
         if not self.phrase_comparison_types:
             return []
+        cached = self._screen_cache
+        if cached is not None and cached[0] is statement:
+            return cached[1]
         vs = statement.value_set
-        return [
+        active = [
             (words, cmp_type)
             for words, cmp_type in self.phrase_comparison_types
             if words and all(w.lower() in vs for w in words)
         ]
+        self._screen_cache = (statement, active)
+        return active
 
     def _match_phrase_op(self, tokens, idx, go_reverse=False, phrases=None):
         """Returns (cmp, tokens_count, new_idx) or None."""

@@ -114,22 +114,44 @@ class MatchCombinationBuilder:
         self.include_zero_matches = False
 
     def build(self) -> None:
-        self._traverse(None)
-
-    def _traverse(self, prev_node) -> bool:
+        # Precompute what the reference walk re-derives at every node:
+        # (1) matches keyed by start POSITION (tokens are unique by
+        # start_index within a sequence, so this is the token-equality
+        # lookup); a key token equal to no sequence token was unreachable
+        # in the token-keyed walk and stays excluded here; (2) each
+        # match's resume index (get_index(end)+1 — including the -1+1=0
+        # case for an end token outside the sequence, same as the lazy
+        # form); (3) for every position, the next position >= it that
+        # carries matches, collapsing the per-node linear scan to one
+        # array read.
         sentence = self.sentence
-        next_token_idx = (
-            sentence.get_index(prev_node[1].end) + 1 if prev_node is not None else 0
-        )
-        tokens = sentence.tokens
-        for t_idx in range(next_token_idx, len(tokens)):
-            t = tokens[t_idx]
-            matches = self.start_to_matches.get(t)
-            if matches is not None:
-                for m in matches:
-                    if not self._traverse((prev_node, m)):
-                        return False
-                return True
+        n = len(sentence.tokens)
+        pos_matches: List[Optional[List[Tuple[Match, int]]]] = [None] * n
+        for t, matches in self.start_to_matches.items():
+            i = sentence.get_index(t)
+            if i >= 0:
+                pos_matches[i] = [
+                    (m, sentence.get_index(m.end) + 1) for m in matches
+                ]
+        nxt = [n] * (n + 1)
+        last = n
+        for i in range(n - 1, -1, -1):
+            if pos_matches[i] is not None:
+                last = i
+            nxt[i] = last
+        self._pos_matches = pos_matches
+        self._next_pos = nxt
+        self._n = n
+        self._traverse(None, 0)
+
+    def _traverse(self, prev_node, start_idx: int) -> bool:
+        j = self._next_pos[start_idx]
+        if j < self._n:
+            traverse = self._traverse
+            for m, after in self._pos_matches[j]:
+                if not traverse((prev_node, m), after):
+                    return False
+            return True
         combo = (
             self._get_all_matches(prev_node)
             if self.include_zero_matches
