@@ -137,3 +137,41 @@ def test_minhash_shingle_order_invariance(words):
     doc = " ".join(words)
     messy = "  " + doc.replace(" ", "   ") + " \t"
     assert sig_of(doc) == sig_of(messy)
+
+
+_MEMO_SENTENCES = st.sampled_from([
+    "Total price above 1000.",
+    "Customers from Germany ordered parts.",
+    "filler words with no dictionary hits at all",
+    "price below 5 Jan 2021.",
+    "",
+    "   ",
+    "1984!",
+    "order priority URGENT now.",  # NBSP edge
+])
+
+
+@given(st.lists(st.lists(_MEMO_SENTENCES, min_size=0, max_size=6), min_size=1, max_size=8))
+@settings(max_examples=40, deadline=None)
+def test_chunk_memo_invariance_random_boilerplate(docs):
+    """Memo on/off bit-identity over randomized documents built from a
+    small sentence pool — high chunk-repeat rates across documents and
+    within one document at different offsets, the exact shape the memo
+    is built for."""
+    from nlquery_spark.kernel.extract import (
+        build_prescreen,
+        build_recognizer,
+        extract_text_triples,
+    )
+    from nlquery_spark.sources.pages import orders_schema_spec
+
+    spec = orders_schema_spec()
+    rec = build_recognizer([spec])
+    screen = build_prescreen([spec])
+    texts = [" ".join(s for s in doc) for doc in docs]
+    memo = {}
+    for t in texts:
+        plain = extract_text_triples(t, rec, prescreen=screen)
+        memoized = extract_text_triples(t, rec, prescreen=screen, memo=memo)
+        again = extract_text_triples(t, rec, prescreen=screen, memo=memo)
+        assert plain == memoized == again
