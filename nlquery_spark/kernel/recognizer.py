@@ -49,16 +49,31 @@ class Recognizer:
 
     def _process_recursive_matchers(self, recursive_matchers, match_bag: MatchBag):
         matchers = list(recursive_matchers)
+        # Unchanged-bag skip: every matcher in this loop is a pure
+        # function of (statement, bag contents) — no instance state
+        # mutates in get_matches — so a matcher that produced NOTHING
+        # against bag state S produces nothing against S again; skipping
+        # the re-call is exact. len(bag.matches) identifies S (adds are
+        # append-only). A run that DID produce matches never arms the
+        # skip: the matcher has not yet seen the bag containing its own
+        # output (GroupMatcher's one-merge-per-pass nesting depends on
+        # that re-run), so it records -1 and always re-runs while kept.
+        last_empty_at: Dict[int, int] = {}
         for _generation in range(self.max_passes):
             total = 0
             to_run = matchers
             matchers = []
             for matcher in to_run:
+                mid = id(matcher)
+                if last_empty_at.get(mid) == len(match_bag.matches):
+                    matchers.append(matcher)  # unchanged bag -> same no-op
+                    continue
                 new_matches = list(matcher.get_matches(match_bag))
                 if not new_matches or matcher.recursive:
                     matchers.append(matcher)  # keep for next generation
                 for m in new_matches:
                     match_bag.add(m)
+                last_empty_at[mid] = len(match_bag.matches) if not new_matches else -1
                 total += len(new_matches)
             if total == 0:
                 return
