@@ -140,9 +140,10 @@ def cached_recognizer(
 # cleared wholesale at MEMO_MAX_CHUNKS entries (~1-2 KB/entry worst case
 # => low hundreds of MB per python worker), so a pathological corpus
 # degrades to the unmemoized cost plus a dict probe, never to unbounded
-# memory. Benchmarks that re-time the same pages must salt the namespace
-# per timed run (operators pass memo_salt) — otherwise run 2 measures
-# the cache, not the engine.
+# memory. Namespaces are salted per operator invocation by default
+# (operators mint memo_salt=auto<N>), so a benchmark that re-times the
+# same pages starts cold each pass — run 2 measures the engine, not the
+# cache.
 MEMO_MAX_CHUNKS = 100_000
 
 _CHUNK_MEMO: Dict[str, Dict[str, tuple]] = {}
