@@ -521,7 +521,10 @@ def _streaming_kg_merge(spark, sf_dir):
         out = merged.localCheckpoint(eager=True)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old_shuf)
-    shutil.rmtree(work, ignore_errors=True)
+        # in finally so the timeout path doesn't leak base versions +
+        # checkpoint into /tmp; safe here because the returned frame is
+        # localCheckpointed (success path) before cleanup runs
+        shutil.rmtree(work, ignore_errors=True)
     return out
 
 
@@ -1928,15 +1931,20 @@ def _code_digest() -> str:
 
 def _artifact_complete(path: str) -> bool:
     """A destination counts as a complete artifact iff it carries a
-    _SUCCESS marker OR at least one real data file (``*.parquet``, not
-    a ``_``/``.`` metadata entry). Every staging write_fn in this file
-    produces parquet data files, so a directory holding only stray
-    entries (a leftover ``_temporary`` subdir, a lone ``.crc``) is NOT
-    accepted — it would otherwise be silently oracled against instead
-    of rebuilt or failing loudly."""
+    _SUCCESS marker, our own _COMPLETE sentinel (stamped by
+    ``_materialize_once`` when a successful write legitimately produced
+    zero data files — an empty dataset under a committer with
+    marksuccessfuljobs=false leaves nothing else to recognize), OR at
+    least one real data file (``*.parquet``, not a ``_``/``.`` metadata
+    entry). A directory holding only stray entries (a leftover
+    ``_temporary`` subdir, a lone ``.crc``) is NOT accepted — it would
+    otherwise be silently oracled against instead of rebuilt or failing
+    loudly."""
     import os
 
     if os.path.exists(os.path.join(path, "_SUCCESS")):
+        return True
+    if os.path.exists(os.path.join(path, "_COMPLETE")):
         return True
     if not os.path.isdir(path):
         return False
@@ -1968,6 +1976,13 @@ def _materialize_once(path: str, write_fn) -> str:
         return path
     tmp = f"{path}.tmp-{uuid.uuid4().hex[:8]}"
     write_fn(tmp)
+    # a successful write of an EMPTY dataset can leave zero part files
+    # and no _SUCCESS (marksuccessfuljobs=false): stamp our own sentinel
+    # so the artifact is recognized as complete instead of rewritten
+    # every run (and erroring on the rename onto the existing dir)
+    if os.path.isdir(tmp) and not _artifact_complete(tmp):
+        with open(os.path.join(tmp, "_COMPLETE"), "w"):
+            pass
     try:
         os.rename(tmp, path)
     except OSError as e:
@@ -4851,27 +4866,84 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Driver query map. ORDERING IS A CONTRACT: the driver's correctness
     harness evaluates the FIRST 50 entries, so the window ROTATES each
-    round (standing VERDICT item since r3): (a) queries NEW this round,
-    (b) the most-overdue oracled veteran (customer_order_full_outer,
-    last driver row r4), (c) the 48 r5-driver-green veterans whose last
-    row was r5 — the whole oracled r6 tail rotates back in, keeping
-    every oracled query driver-green within two rounds. The tail holds
-    the 50 r6-driver-green queries (fresh rows in CORRECTNESS_r06) plus
-    the three rows-only lossy ops whose pytest recall/invariant gates
-    prove more than a rows-only driver row would. Two tail entries were
-    touched by round-7 review fixes without changing their driver
-    surface — web_redirect_resolve (oracle-SQL-only change, identity on
-    this fixture) and dedup_incremental (new optional operator
-    parameter, default path byte-identical) — both driver-probed at
-    sf0.01 post-change and oracle-checked per-session by
-    tests/test_oracle_parity.py like every other tail entry."""
+    round (standing VERDICT item since r3). Round 8 (VERDICT r7 item 1):
+    the whole 53-entry r7 tail rotates in — led by the KERNEL-PATH
+    queries (kg_extract_triples, gazetteer_mentions, entity_link_topk,
+    chunk_boilerplate and the kg_* family built on extracted triples)
+    whose driver-oracle green predated round 7's kernel edits (chunk
+    memo, fixpoint skip, DFS navigation precompute); this window
+    re-proves them on the shipping engine via the driver's own oracle.
+    Slot 50 goes to ann_ivf_topk: rows-only by design (pruned-search
+    recall, pytest-gated >= 0.9) but its centroid draw changed in r7,
+    so it earns the fresh rows-only row over the three untouched lossy
+    ops (dedup_embedding, ann_pq_topk, corpus_pack), which stay in the
+    tail where their pytest recall/invariant gates prove more than a
+    rows-only driver row would. The tail's other 50 entries are all
+    r7-driver-green (CORRECTNESS_r07 50/50 full green) with unchanged
+    driver-surface code this round, and every oracled tail entry is
+    still oracle-checked per-session by tests/test_oracle_parity.py."""
     return {
-        # -- (a) NEW this round: never driver-checked -----------------
+        # -- kernel-path first: these exercise kernel/extract.py and
+        #    kernel/recognizer.py code edited in round 7 ---------------
+        "kg_extract_triples": _kg_extract_triples,
+        "gazetteer_mentions": _gazetteer_mentions,
+        "entity_link_topk": _entity_link_topk,
+        "chunk_boilerplate": _chunk_boilerplate,
+        "kg_pagerank": _kg_pagerank,
+        "kg_similarity_edges": _kg_similarity_edges,
+        "kg_canonicalize": _kg_canonicalize,
+        "kg_degree_stats": _kg_degree_stats,
+        "kg_negative_samples": _kg_negative_samples,
+        "kg_editdist_edges": _kg_editdist_edges,
+        "part_lpa_communities": _part_lpa_communities,
+        "gazetteer_topk_entities": _gazetteer_topk_entities,
+        # r7-edited lossy op: fresh rows-only row on the new centroid
+        # draw (recall gate lives in tests/test_operators.py)
+        "ann_ivf_topk": _ann_ivf_topk,
+        # -- the rest of the r6-green tail (last driver row r6) --------
+        "purchase_attribution": _purchase_attribution,
+        "event_session_assignment": _event_session_assignment,
+        "orders_with_returns": _orders_with_returns,
+        "dedup_exact": _dedup_exact,
+        "dedup_ngram_jaccard": _dedup_ngram_jaccard,
+        "corpus_clean": _corpus_clean,
+        "corpus_sample": _corpus_sample,
+        "doc_heavy_hitters": _doc_heavy_hitters,
+        "ann_cosine_topk": _ann_cosine_topk,
+        "dedup_minhash": _dedup_minhash,
+        "dedup_simhash": _dedup_simhash,
+        "emb_neardup_exact": _emb_neardup_exact,
+        "part_coorder_triangles": _part_coorder_triangles,
+        "corpus_decontaminate": _corpus_decontaminate,
+        "streaming_session_windows": _streaming_session_windows,
+        "streaming_events_by_minute": _streaming_events_by_minute,
+        "inverted_index": _inverted_index,
+        "events_resample_locf": _events_resample_locf,
+        "index_bm25_topk": _index_bm25_topk,
+        "customer_order_distribution": _customer_order_distribution,
+        "customer_running_spend": _customer_running_spend,
+        "events_ewma": _events_ewma,
+        "corpus_shard_assign": _corpus_shard_assign,
+        "dedup_clusters": _dedup_clusters,
+        "corpus_split_assign": _corpus_split_assign,
+        "dedup_incremental": _dedup_incremental,
+        "web_url_normalize": _web_url_normalize,
+        "web_host_stats": _web_host_stats,
+        "web_link_graph": _web_link_graph,
+        "web_host_pagerank": _web_host_pagerank,
+        "web_crawl_diff": _web_crawl_diff,
+        "doc_gopher_filters": _doc_gopher_filters,
+        "streaming_crawl_dedup": _streaming_crawl_dedup,
+        "web_anchor_text": _web_anchor_text,
+        "web_redirect_resolve": _web_redirect_resolve,
+        "corpus_host_balance": _corpus_host_balance,
+        "streaming_attribution": _streaming_attribution,
+        # ==== tail: r7-driver-green (CORRECTNESS_r07, 50/50 full
+        # green), code unchanged at the driver surface this round;
+        # every entry still oracle-checked per-session by
+        # tests/test_oracle_parity.py ====
         "streaming_kg_merge": _streaming_kg_merge,
-        # -- (b) oracled veteran displaced from the r6 window (last
-        #       driver row r4 — most overdue) ------------------------
         "customer_order_full_outer": _customer_order_full_outer,
-        # -- (c) the 48 r5-green veterans of the r6 tail --------------
         "doc_tfidf_keywords": _doc_tfidf_keywords,
         "customer_rfm_segments": _customer_rfm_segments,
         "nl_autocomplete": _nl_autocomplete,
@@ -4920,61 +4992,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_retention_cohorts": _event_retention_cohorts,
         "part_link_prediction": _part_link_prediction,
         "events_sliding_windows": _events_sliding_windows,
-        # ==== tail: r6-driver-green (CORRECTNESS_r06), code unchanged
-        # at the driver surface this round; every entry still
-        # oracle-checked per-session by tests/test_oracle_parity.py ====
-        "purchase_attribution": _purchase_attribution,
-        "event_session_assignment": _event_session_assignment,
-        "orders_with_returns": _orders_with_returns,
-        "dedup_exact": _dedup_exact,
-        "dedup_ngram_jaccard": _dedup_ngram_jaccard,
-        "corpus_clean": _corpus_clean,
-        "corpus_sample": _corpus_sample,
-        "doc_heavy_hitters": _doc_heavy_hitters,
-        "gazetteer_mentions": _gazetteer_mentions,
-        "gazetteer_topk_entities": _gazetteer_topk_entities,
-        "ann_cosine_topk": _ann_cosine_topk,
-        "kg_pagerank": _kg_pagerank,
-        "kg_similarity_edges": _kg_similarity_edges,
-        "kg_canonicalize": _kg_canonicalize,
-        "kg_degree_stats": _kg_degree_stats,
-        "kg_negative_samples": _kg_negative_samples,
-        "dedup_minhash": _dedup_minhash,
-        "dedup_simhash": _dedup_simhash,
-        "emb_neardup_exact": _emb_neardup_exact,
-        "entity_link_topk": _entity_link_topk,
-        "part_coorder_triangles": _part_coorder_triangles,
-        "corpus_decontaminate": _corpus_decontaminate,
-        "streaming_session_windows": _streaming_session_windows,
-        "streaming_events_by_minute": _streaming_events_by_minute,
-        "inverted_index": _inverted_index,
-        "kg_editdist_edges": _kg_editdist_edges,
-        "events_resample_locf": _events_resample_locf,
-        "chunk_boilerplate": _chunk_boilerplate,
-        "kg_extract_triples": _kg_extract_triples,
-        "index_bm25_topk": _index_bm25_topk,
-        "customer_order_distribution": _customer_order_distribution,
-        "customer_running_spend": _customer_running_spend,
-        "events_ewma": _events_ewma,
-        "corpus_shard_assign": _corpus_shard_assign,
-        "ann_ivf_topk": _ann_ivf_topk,
-        "dedup_clusters": _dedup_clusters,
-        "corpus_split_assign": _corpus_split_assign,
-        "dedup_incremental": _dedup_incremental,
-        "web_url_normalize": _web_url_normalize,
-        "web_host_stats": _web_host_stats,
-        "part_lpa_communities": _part_lpa_communities,
-        "web_link_graph": _web_link_graph,
-        "web_host_pagerank": _web_host_pagerank,
-        "web_crawl_diff": _web_crawl_diff,
-        "doc_gopher_filters": _doc_gopher_filters,
-        "streaming_crawl_dedup": _streaming_crawl_dedup,
-        "web_anchor_text": _web_anchor_text,
-        "web_redirect_resolve": _web_redirect_resolve,
-        "corpus_host_balance": _corpus_host_balance,
-        "streaming_attribution": _streaming_attribution,
         # rows-only lossy ops (pytest recall/invariant gates are the
-        # stronger evidence; last driver row r4, rows-only there too)
+        # stronger evidence; unchanged since their r4 rows-only rows)
         "dedup_embedding": _dedup_embedding,
         "ann_pq_topk": _ann_pq_topk,
         "corpus_pack": _corpus_pack,

@@ -14,7 +14,9 @@ closures are not picklable, the spec dict is).
 
 from __future__ import annotations
 
+import os
 import re
+from itertools import islice
 from typing import Dict, Iterator, List, Optional, Sequence, Tuple
 
 from .matches import DateMatch, DateOffsetMatch, Match, NumberMatch, StubMatch
@@ -137,16 +139,34 @@ def cached_recognizer(
 # repo's CC-style fixture runs ~53-59% repeated chunks, real Common Crawl
 # similar). Memoizing relative-offset results per worker process turns
 # the recognizer cost of every repeated chunk into a dict hit. Bounded:
-# cleared wholesale at MEMO_MAX_CHUNKS entries (~1-2 KB/entry worst case
-# => low hundreds of MB per python worker), so a pathological corpus
-# degrades to the unmemoized cost plus a dict probe, never to unbounded
-# memory. Namespaces are salted per operator invocation by default
-# (operators mint memo_salt=auto<N>), so a benchmark that re-times the
-# same pages starts cold each pass — run 2 measures the engine, not the
-# cache.
-MEMO_MAX_CHUNKS = 100_000
+# at MEMO_MAX_CHUNKS entries (~1-2 KB/entry worst case => low hundreds
+# of MB per python worker) the OLDEST-INSERTED HALF is evicted (FIFO —
+# dict preserves insertion order), so a worker that crosses the cap
+# keeps its most recently learned boilerplate instead of oscillating
+# between a full and an empty memo on adversarially diverse corpora
+# (VERDICT r7 item 3). A pathological corpus degrades to the unmemoized
+# cost plus a dict probe, never to unbounded memory. Output is identical
+# with any eviction policy (memoized replay is bit-identical; only the
+# hit rate changes — property-tested in tests/test_extract_scoring.py).
+# The cap is tunable via NLQUERY_MEMO_MAX_CHUNKS (read once per worker
+# process at import; propagate with spark.executorEnv.* on a cluster)
+# for memory-constrained deployments — ~1-2 KB/entry is the sizing rule.
+# Namespaces are salted per operator invocation by default (operators
+# mint memo_salt=auto<N>), so a benchmark that re-times the same pages
+# starts cold each pass — run 2 measures the engine, not the cache.
+MEMO_MAX_CHUNKS = int(os.environ.get("NLQUERY_MEMO_MAX_CHUNKS", "100000"))
 
 _CHUNK_MEMO: Dict[str, Dict[str, tuple]] = {}
+
+
+def _memo_put(memo: Dict[str, tuple], chunk: str, value: tuple) -> None:
+    """Insert a chunk result, evicting the oldest-inserted half first
+    when the memo is at MEMO_MAX_CHUNKS (never wholesale: a hot worker
+    keeps the newer half of its accumulated boilerplate)."""
+    if len(memo) >= MEMO_MAX_CHUNKS:
+        for k in list(islice(iter(memo), max(1, len(memo) // 2))):
+            del memo[k]
+    memo[chunk] = value
 
 
 def chunk_memo(
@@ -402,9 +422,7 @@ def extract_text_triples(
             if prescreen is not None and not _chunk_can_match(chunk_tokens, prescreen):
                 # memo the screened-out chunk too: a repeat skips tokenize
                 if memo is not None:
-                    if len(memo) >= MEMO_MAX_CHUNKS:
-                        memo.clear()
-                    memo[chunk] = ()
+                    _memo_put(memo, chunk, ())
                 continue  # fast path: no dictionary token in chunk
             n_tok = len(chunk_tokens)
             pre_won = [0] * (n_tok + 1)  # word-or-number prefix counts
@@ -418,9 +436,7 @@ def extract_text_triples(
             total_won = pre_won[n_tok]
             if total_won == 0:
                 if memo is not None:
-                    if len(memo) >= MEMO_MAX_CHUNKS:
-                        memo.clear()
-                    memo[chunk] = ()
+                    _memo_put(memo, chunk, ())
                 continue
             seq = TokenSequence(chunk_tokens)
             seq.get_index(chunk_tokens[0])  # force index map build
@@ -467,9 +483,7 @@ def extract_text_triples(
             for combo in top.to_array():
                 rel.extend(_emit_triples(combo.matches, seq, 0, combo.score))
             if memo is not None:
-                if len(memo) >= MEMO_MAX_CHUNKS:
-                    memo.clear()
-                memo[chunk] = tuple(rel)
+                _memo_put(memo, chunk, tuple(rel))
             if rel:
                 out.extend(
                     (p, o, sc, s + offset, e + offset, r)
@@ -511,9 +525,7 @@ def extract_text_mentions(
         chunk_tokens = tokenize(chunk)
         if prescreen is not None and not _chunk_can_match(chunk_tokens, prescreen):
             if memo is not None:
-                if len(memo) >= MEMO_MAX_CHUNKS:
-                    memo.clear()
-                memo[chunk] = ()
+                _memo_put(memo, chunk, ())
             continue
         seq = TokenSequence(chunk_tokens)
         bag = recognizer.collect_matches(seq)
@@ -541,9 +553,7 @@ def extract_text_mentions(
                     ("table", m.table.name, _span_text(m), m.score, start, end)
                 )
         if memo is not None:
-            if len(memo) >= MEMO_MAX_CHUNKS:
-                memo.clear()
-            memo[chunk] = tuple(rel)
+            _memo_put(memo, chunk, tuple(rel))
         if rel:
             out.extend(
                 (k, n, v, sc, s + offset, e + offset) for k, n, v, sc, s, e in rel

@@ -6,11 +6,22 @@ TopSet.cs:22-138 and NGramGenerator.cs:22-54.
 
 from __future__ import annotations
 
+import os
 from typing import Callable, Dict, Iterable, Iterator, List, Optional, Sequence, Tuple
 
 from .matches import Match, MatchBag, StubMatch
 from .matchers import CompositeMatcher
 from .tokens import SENTENCE_END, SEPARATOR, Token, TokenSequence
+
+# Executable purity contract (ADVICE r7): the unchanged-bag fixpoint
+# skip (and ComparisonMatcher's statement-keyed screen cache) are exact
+# ONLY if every matcher's get_matches is a pure function of
+# (statement, bag contents). With NLQUERY_DEBUG_PURITY=1 a skipped
+# matcher is re-run anyway and its output asserted empty, so a future
+# stateful matcher fails loudly instead of silently changing fixpoint
+# results. Off by default (doubles recursive-matcher cost); pinned on
+# in tests/test_recognizer.py.
+DEBUG_PURITY = os.environ.get("NLQUERY_DEBUG_PURITY", "") not in ("", "0", "false")
 
 
 class Recognizer:
@@ -66,6 +77,15 @@ class Recognizer:
             for matcher in to_run:
                 mid = id(matcher)
                 if last_empty_at.get(mid) == len(match_bag.matches):
+                    if DEBUG_PURITY:
+                        leaked = list(matcher.get_matches(match_bag))
+                        assert not leaked, (
+                            f"{type(matcher).__name__}.get_matches produced "
+                            f"{len(leaked)} match(es) on a bag unchanged since "
+                            "its last empty run — matcher is not a pure "
+                            "function of (statement, bag); the fixpoint skip "
+                            "is unsound for it"
+                        )
                     matchers.append(matcher)  # unchanged bag -> same no-op
                     continue
                 new_matches = list(matcher.get_matches(match_bag))

@@ -279,6 +279,7 @@ def connected_components(
         if metrics is not None:
             metrics["cc_iterations"] = 0  # driver union-find is exact
             metrics["cc_converged"] = True
+            metrics["cc_path"] = "driver"
         # preserve the node id type so both adaptive paths return the
         # same schema (e.g. bigint doc ids must not coerce to string) —
         # same contract as pagerank's driver path
@@ -321,6 +322,7 @@ def connected_components(
     if metrics is not None:
         metrics["cc_iterations"] = iters
         metrics["cc_converged"] = converged
+        metrics["cc_path"] = "distributed"
     if not converged:
         # components with diameter > max_iter would get inconsistent
         # split labels — never fail silently
@@ -433,6 +435,11 @@ def pagerank(
     if n == 0:
         return nodes.withColumn("rank", F.lit(0.0))
     n_edges = e.count()
+    if metrics is not None:
+        # record the adaptive decision inputs: n + n_edges vs
+        # driver_max_graph is the threshold the path metrics reflect
+        metrics["pagerank_nodes"] = n
+        metrics["pagerank_edges"] = n_edges
     if n + n_edges <= driver_max_graph:
         import numpy as np
 
@@ -461,6 +468,7 @@ def pagerank(
             metrics["pagerank_iterations"] = iters
             metrics["pagerank_delta"] = delta
             metrics["pagerank_converged"] = delta < tol
+            metrics["pagerank_path"] = "driver"
         if delta >= tol and not fixed_iters:
             warnings.warn(
                 f"pagerank hit max_iter={max_iter} with L1 delta {delta:.2e} "
@@ -530,6 +538,7 @@ def pagerank(
         metrics["pagerank_iterations"] = iters
         metrics["pagerank_delta"] = float(delta)
         metrics["pagerank_converged"] = delta < tol
+        metrics["pagerank_path"] = "distributed"
     if delta >= tol and not fixed_iters:
         warnings.warn(
             f"pagerank hit max_iter={max_iter} with L1 delta {delta:.2e} >= "

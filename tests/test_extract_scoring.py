@@ -140,7 +140,9 @@ def test_chunk_memo_offsets_shift_per_occurrence():
     assert len({t[3] for t in got}) > 1  # both occurrences present, shifted
 
 
-def test_chunk_memo_cap_clears_and_stays_correct(monkeypatch):
+def test_chunk_memo_cap_evicts_and_stays_correct(monkeypatch):
+    """Forcing the cap (VERDICT r7 item 3): half-eviction must keep the
+    memo bounded AND output bit-identical to the unmemoized run."""
     import nlquery_spark.kernel.extract as ke
 
     monkeypatch.setattr(ke, "MEMO_MAX_CHUNKS", 3)
@@ -151,7 +153,32 @@ def test_chunk_memo_cap_clears_and_stays_correct(monkeypatch):
     memo = {}
     got = [extract_text_triples(t, rec, memo=memo) for t in texts]
     assert got == base
-    assert len(memo) <= 3 + 1  # clear-then-insert keeps it at the cap
+    assert len(memo) <= 3  # evict-then-insert keeps it at the cap
+    # replay over the warm (partially evicted) memo is still identical
+    again = [extract_text_triples(t, rec, memo=memo) for t in texts]
+    assert again == base
+
+
+def test_memo_put_evicts_oldest_half_only(monkeypatch):
+    """At the cap, _memo_put drops the OLDEST-inserted half and keeps
+    the newer half — never a wholesale clear (VERDICT r7 item 3)."""
+    import nlquery_spark.kernel.extract as ke
+
+    monkeypatch.setattr(ke, "MEMO_MAX_CHUNKS", 4)
+    memo = {}
+    for c in "abcd":
+        ke._memo_put(memo, c, (c,))
+    assert list(memo) == ["a", "b", "c", "d"]
+    ke._memo_put(memo, "e", ("e",))
+    # a,b (oldest half) evicted; c,d retained; e appended
+    assert list(memo) == ["c", "d", "e"]
+    assert memo["c"] == ("c",) and memo["d"] == ("d",)
+    # degenerate cap of 1 still terminates and stays bounded at 2
+    monkeypatch.setattr(ke, "MEMO_MAX_CHUNKS", 1)
+    tiny = {}
+    for c in "xyz":
+        ke._memo_put(tiny, c, (c,))
+    assert len(tiny) <= 2 and "z" in tiny
 
 
 def test_chunk_memo_namespace_registry_bounded():

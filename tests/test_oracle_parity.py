@@ -357,51 +357,10 @@ def test_correctness_window_holds_all_active_queries():
     when rotating the window between rounds."""
     qs = list(entry_mod.queries())
     stable_tail = {
-        # every entry here has a green row in CORRECTNESS_r06.json
-        # (rows+schema+hash, except ann_ivf_topk — rows-only by design)
-        # and unchanged driver-surface code in round 7. Two carry
-        # round-7 review fixes that are provably identity at this
-        # surface: web_redirect_resolve (oracle-SQL-only GROUP BY over
-        # already-unique sources) and dedup_incremental (new optional
-        # operator parameter, default path identical) — both
-        # driver-probed at sf0.01 post-change.
-        "purchase_attribution", "event_session_assignment",
-        "orders_with_returns", "dedup_exact", "dedup_ngram_jaccard",
-        "corpus_clean", "corpus_sample", "doc_heavy_hitters",
-        "gazetteer_mentions", "gazetteer_topk_entities",
-        "ann_cosine_topk", "kg_pagerank", "kg_similarity_edges",
-        "kg_canonicalize", "kg_degree_stats", "kg_negative_samples",
-        "dedup_minhash", "dedup_simhash",
-        "emb_neardup_exact", "entity_link_topk",
-        "part_coorder_triangles", "corpus_decontaminate",
-        "streaming_session_windows", "streaming_events_by_minute",
-        "inverted_index", "kg_editdist_edges", "events_resample_locf",
-        "chunk_boilerplate", "kg_extract_triples", "index_bm25_topk",
-        "customer_order_distribution", "customer_running_spend",
-        "events_ewma", "corpus_shard_assign", "ann_ivf_topk",
-        "dedup_clusters", "corpus_split_assign", "dedup_incremental",
-        "web_url_normalize", "web_host_stats", "part_lpa_communities",
-        "web_link_graph", "web_host_pagerank", "web_crawl_diff",
-        "doc_gopher_filters", "streaming_crawl_dedup",
-        "web_anchor_text", "web_redirect_resolve", "corpus_host_balance",
-        "streaming_attribution",
-        # rows-only lossy ops: a rows-only driver row proves less than
-        # their pytest recall/invariant gates already do (last driver
-        # row r4, rows-only there too)
-        "dedup_embedding", "ann_pq_topk", "corpus_pack",
-    }
-    assert set(qs[50:]) <= stable_tail, (
-        f"non-stable queries past the 50-entry driver window: "
-        f"{set(qs[50:]) - stable_tail}"
-    )
-    # the oracled r6 tail (last driver row r5 or r4) must all be INSIDE
-    # the window now, along with the query new this round
-    rotated_in = {
-        # NEW in round 7
-        "streaming_kg_merge",
-        # last driver row r4 (displaced from the r6 window)
-        "customer_order_full_outer",
-        # the 48 r5-green veterans of the r6 tail
+        # every entry here has a FULL-green row in CORRECTNESS_r07.json
+        # (rows+schema+hash, 50/50) and unchanged driver-surface code
+        # in round 8.
+        "streaming_kg_merge", "customer_order_full_outer",
         "doc_tfidf_keywords", "customer_rfm_segments",
         "nl_autocomplete", "dict_spec_part", "emb_cosine_jvm",
         "q17_small_quantity_revenue", "event_props_json",
@@ -422,8 +381,53 @@ def test_correctness_window_holds_all_active_queries():
         "event_type_transitions", "events_daily_anomaly",
         "event_retention_cohorts", "part_link_prediction",
         "events_sliding_windows",
+        # rows-only lossy ops: a rows-only driver row proves less than
+        # their pytest recall/invariant gates already do (last driver
+        # row r4, rows-only there too; code unchanged since)
+        "dedup_embedding", "ann_pq_topk", "corpus_pack",
+    }
+    assert set(qs[50:]) <= stable_tail, (
+        f"non-stable queries past the 50-entry driver window: "
+        f"{set(qs[50:]) - stable_tail}"
+    )
+    # the r7 tail (last driver row r6) must all be INSIDE the window
+    # now — led by the kernel-path queries whose green predated the
+    # round-7 kernel edits (VERDICT r7 item 1) — plus ann_ivf_topk
+    # (r7-edited centroid draw earns the fresh rows-only slot)
+    rotated_in = {
+        # kernel-path: exercise kernel/extract.py + recognizer.py code
+        # edited in round 7 (chunk memo, fixpoint skip, DFS precompute)
+        "kg_extract_triples", "gazetteer_mentions", "entity_link_topk",
+        "chunk_boilerplate", "kg_pagerank", "kg_similarity_edges",
+        "kg_canonicalize", "kg_degree_stats", "kg_negative_samples",
+        "kg_editdist_edges", "part_lpa_communities",
+        "gazetteer_topk_entities",
+        # r7-edited lossy op (rows-only by design)
+        "ann_ivf_topk",
+        # the rest of the r6-green r7 tail
+        "purchase_attribution", "event_session_assignment",
+        "orders_with_returns", "dedup_exact", "dedup_ngram_jaccard",
+        "corpus_clean", "corpus_sample", "doc_heavy_hitters",
+        "ann_cosine_topk", "dedup_minhash", "dedup_simhash",
+        "emb_neardup_exact", "part_coorder_triangles",
+        "corpus_decontaminate", "streaming_session_windows",
+        "streaming_events_by_minute", "inverted_index",
+        "events_resample_locf", "index_bm25_topk",
+        "customer_order_distribution", "customer_running_spend",
+        "events_ewma", "corpus_shard_assign", "dedup_clusters",
+        "corpus_split_assign", "dedup_incremental", "web_url_normalize",
+        "web_host_stats", "web_link_graph", "web_host_pagerank",
+        "web_crawl_diff", "doc_gopher_filters", "streaming_crawl_dedup",
+        "web_anchor_text", "web_redirect_resolve", "corpus_host_balance",
+        "streaming_attribution",
     }
     assert rotated_in <= set(qs[:50])
+    # kernel-path queries must LEAD the window (first driver rows on
+    # the post-memo engine)
+    assert qs[:4] == [
+        "kg_extract_triples", "gazetteer_mentions", "entity_link_topk",
+        "chunk_boilerplate",
+    ]
     # rows-only-by-nature queries (no oracle possible) excepted; every
     # other tail query still has its oracle run per-session here
     rows_only = {

@@ -171,3 +171,51 @@ def test_ngram_generator():
         "the|the president|the president of|president|president of|"
         "president of world|of|of world|world"
     )
+
+
+def test_fixpoint_skip_purity_contract(monkeypatch):
+    """Executable purity contract (ADVICE r7): with DEBUG_PURITY on,
+    every fixpoint-skipped matcher is re-run and asserted empty — a
+    stateful matcher would trip the assertion instead of silently
+    changing fixpoint results. Runs the full golden input set (group
+    nesting, comparisons, dates, gazetteer) plus synthetic page text
+    through both recognizer surfaces and checks output is identical to
+    the non-debug engine."""
+    import nlquery_spark.kernel.recognizer as rmod
+    from nlquery_spark.kernel.extract import (
+        build_recognizer,
+        extract_text_triples,
+    )
+    from nlquery_spark.sources.pages import _page_text, orders_schema_spec
+
+    inputs = [
+        "show customer order from Italy placed yesterday",
+        "customer Krusovice internal",
+        "internal id 5 and shipped before 1 May 2021",
+        "delivered before 1 May",
+        "super_id A5, super _id, super _ id",
+    ]
+    rec = orders_recognizer()
+
+    def run():
+        outs = []
+        for inp in inputs:
+            p = TokenSequence(tokenize(inp))
+            combos = []
+            rec.recognize(p, lambda matches: combos.append(matches) or True)
+            outs.append(
+                "|".join(",".join(str(m) for m in c) for c in combos)
+            )
+        return outs
+
+    base = run()
+    monkeypatch.setattr(rmod, "DEBUG_PURITY", True)
+    assert run() == base  # assertion inside the skip did not fire
+
+    # the extraction surface (chunking + TopSet + filters) under the flag
+    spec = orders_schema_spec()
+    erec = build_recognizer([spec])
+    texts = [_page_text(i, 0.0) for i in range(50)]
+    debug_out = [extract_text_triples(t, erec) for t in texts]
+    monkeypatch.setattr(rmod, "DEBUG_PURITY", False)
+    assert [extract_text_triples(t, erec) for t in texts] == debug_out
