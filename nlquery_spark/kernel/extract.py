@@ -140,11 +140,12 @@ def cached_recognizer(
 # similar). Memoizing relative-offset results per worker process turns
 # the recognizer cost of every repeated chunk into a dict hit. Bounded:
 # at MEMO_MAX_CHUNKS entries (~1-2 KB/entry worst case => low hundreds
-# of MB per python worker) the OLDEST-INSERTED HALF is evicted (FIFO —
-# dict preserves insertion order), so a worker that crosses the cap
-# keeps its most recently learned boilerplate instead of oscillating
-# between a full and an empty memo on adversarially diverse corpora
-# (VERDICT r7 item 3). A pathological corpus degrades to the unmemoized
+# of MB per python worker) the LEAST-RECENTLY-USED HALF is evicted
+# (dict preserves insertion order and _memo_hit re-appends on every
+# hit, so dict order IS recency order), so a worker that crosses the
+# cap keeps its live boilerplate instead of oscillating between a full
+# and an empty memo on adversarially diverse corpora (VERDICT r7
+# item 3). A pathological corpus degrades to the unmemoized
 # cost plus a dict probe, never to unbounded memory. Output is identical
 # with any eviction policy (memoized replay is bit-identical; only the
 # hit rate changes — property-tested in tests/test_extract_scoring.py).
@@ -160,13 +161,29 @@ _CHUNK_MEMO: Dict[str, Dict[str, tuple]] = {}
 
 
 def _memo_put(memo: Dict[str, tuple], chunk: str, value: tuple) -> None:
-    """Insert a chunk result, evicting the oldest-inserted half first
-    when the memo is at MEMO_MAX_CHUNKS (never wholesale: a hot worker
-    keeps the newer half of its accumulated boilerplate)."""
+    """Insert a chunk result, evicting the least-recently-used half
+    first when the memo is at MEMO_MAX_CHUNKS (never wholesale: a hot
+    worker keeps its live boilerplate). Dict order is recency order
+    because ``_memo_hit`` re-appends on every hit, so the front half
+    IS the LRU half."""
     if len(memo) >= MEMO_MAX_CHUNKS:
         for k in list(islice(iter(memo), max(1, len(memo) // 2))):
             del memo[k]
     memo[chunk] = value
+
+
+def _memo_hit(memo: Dict[str, tuple], chunk: str):
+    """Probe the memo and refresh the entry's recency on a hit (LRU):
+    without the refresh, half-eviction is FIFO and a hot chunk inserted
+    long ago sits in the "oldest" half despite being hit constantly —
+    measured on a hot-set + unique-filler stream, FIFO eviction scores
+    the same hit rate as a wholesale clear, while LRU keeps the hot set
+    resident across cap crossings. O(1): delete + re-append."""
+    hit = memo.get(chunk)
+    if hit is not None:
+        del memo[chunk]
+        memo[chunk] = hit
+    return hit
 
 
 def chunk_memo(
@@ -410,7 +427,7 @@ def extract_text_triples(
     try:
         for offset, chunk in _chunks(text):
             if memo is not None:
-                hit = memo.get(chunk)
+                hit = _memo_hit(memo, chunk)
                 if hit is not None:
                     if hit:
                         out.extend(
@@ -514,7 +531,7 @@ def extract_text_mentions(
     out: List[Tuple[str, str, str, float, int, int]] = []
     for offset, chunk in _chunks(text):
         if memo is not None:
-            hit = memo.get(chunk)
+            hit = _memo_hit(memo, chunk)
             if hit is not None:
                 if hit:
                     out.extend(
