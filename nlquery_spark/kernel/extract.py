@@ -155,7 +155,24 @@ def cached_recognizer(
 # Namespaces are salted per operator invocation by default (operators
 # mint memo_salt=auto<N>), so a benchmark that re-times the same pages
 # starts cold each pass — run 2 measures the engine, not the cache.
-MEMO_MAX_CHUNKS = int(os.environ.get("NLQUERY_MEMO_MAX_CHUNKS", "100000"))
+def _parse_memo_cap(raw) -> int:
+    """Robust env parse: a malformed NLQUERY_MEMO_MAX_CHUNKS must
+    degrade to the default with a warning, not kill every executor
+    python worker with a ValueError at kernel import."""
+    try:
+        return int(raw)
+    except (TypeError, ValueError):
+        import warnings
+
+        warnings.warn(
+            f"NLQUERY_MEMO_MAX_CHUNKS={raw!r} is not an integer; "
+            "using the default 100000",
+            RuntimeWarning,
+        )
+        return 100_000
+
+
+MEMO_MAX_CHUNKS = _parse_memo_cap(os.environ.get("NLQUERY_MEMO_MAX_CHUNKS", "100000"))
 
 _CHUNK_MEMO: Dict[str, Dict[str, tuple]] = {}
 
@@ -165,7 +182,10 @@ def _memo_put(memo: Dict[str, tuple], chunk: str, value: tuple) -> None:
     first when the memo is at MEMO_MAX_CHUNKS (never wholesale: a hot
     worker keeps its live boilerplate). Dict order is recency order
     because ``_memo_hit`` re-appends on every hit, so the front half
-    IS the LRU half."""
+    IS the LRU half. A cap <= 0 means "memo disabled": store nothing,
+    so probes always miss and there is no per-chunk dict churn."""
+    if MEMO_MAX_CHUNKS <= 0:
+        return
     if len(memo) >= MEMO_MAX_CHUNKS:
         for k in list(islice(iter(memo), max(1, len(memo) // 2))):
             del memo[k]

@@ -37,6 +37,22 @@ from .tokens import (
     TokenSequence,
 )
 
+
+def _evict_half(memo: dict) -> None:
+    """Drop the oldest-inserted half of a token-keyed memo at its cap —
+    the same never-wholesale policy as kernel.extract._memo_put (a full
+    clear oscillates between a full and an empty memo on diverse
+    corpora). No LRU refresh here, deliberately: these memos sit on the
+    per-TOKEN hot loop where a delete+re-append per hit is measurable,
+    and re-learning one evicted token costs a single gazetteer/phrase
+    scan — orders of magnitude cheaper than the chunk extraction the
+    chunk memo protects, so FIFO's worst case is acceptable."""
+    from itertools import islice
+
+    for k in list(islice(iter(memo), max(1, len(memo) // 2))):
+        del memo[k]
+
+
 # Pinned reference year for the DateMatcher year-closeness boost. The
 # reference uses DateTime.Now.Year (DateMatcher.cs:169) — a determinism
 # hazard at scale; we pin it (SURVEY.md §4.3).
@@ -294,7 +310,7 @@ class LikePhraseMatcher:
                     like = memo[tv]
                 else:
                     if len(memo) > self.MEMO_MAX:
-                        memo.clear()
+                        _evict_half(memo)
                     like = self._like(tv)
                     memo[tv] = like
                 if like is not None:
@@ -373,7 +389,7 @@ class ListContainsMatcher:
         hits = memo.get(token_val)
         if hits is None:
             if len(memo) > self.MEMO_MAX:
-                memo.clear()
+                _evict_half(memo)
             hits = []
             stemmer = self.apply_stemmer
             token_stem = None

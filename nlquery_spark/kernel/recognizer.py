@@ -78,14 +78,19 @@ class Recognizer:
                 mid = id(matcher)
                 if last_empty_at.get(mid) == len(match_bag.matches):
                     if DEBUG_PURITY:
+                        # raise, not assert: under python -O an assert
+                        # compiles away and the flag would silently
+                        # verify nothing while still paying the re-run
                         leaked = list(matcher.get_matches(match_bag))
-                        assert not leaked, (
-                            f"{type(matcher).__name__}.get_matches produced "
-                            f"{len(leaked)} match(es) on a bag unchanged since "
-                            "its last empty run — matcher is not a pure "
-                            "function of (statement, bag); the fixpoint skip "
-                            "is unsound for it"
-                        )
+                        if leaked:
+                            raise RuntimeError(
+                                f"{type(matcher).__name__}.get_matches "
+                                f"produced {len(leaked)} match(es) on a bag "
+                                "unchanged since its last empty run — "
+                                "matcher is not a pure function of "
+                                "(statement, bag); the fixpoint skip is "
+                                "unsound for it"
+                            )
                     matchers.append(matcher)  # unchanged bag -> same no-op
                     continue
                 new_matches = list(matcher.get_matches(match_bag))

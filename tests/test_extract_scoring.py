@@ -227,3 +227,30 @@ def test_mentions_memo_bit_identical():
     first = [extract_text_mentions(t, rec, prescreen=screen, memo=memo) for t in texts]
     replay = [extract_text_mentions(t, rec, prescreen=screen, memo=memo) for t in texts]
     assert base == first == replay
+
+
+def test_memo_cap_env_parse_and_disable(monkeypatch):
+    """Review findings: a malformed NLQUERY_MEMO_MAX_CHUNKS degrades to
+    the default with a warning (never an executor-killing ValueError),
+    and cap <= 0 means memo DISABLED — no storage, no churn, correct
+    output."""
+    import warnings as w
+
+    import nlquery_spark.kernel.extract as ke
+
+    with w.catch_warnings(record=True) as rec:
+        w.simplefilter("always")
+        assert ke._parse_memo_cap("100k") == 100_000
+        assert ke._parse_memo_cap(None) == 100_000
+    assert any("not an integer" in str(x.message) for x in rec)
+    assert ke._parse_memo_cap("250") == 250
+
+    monkeypatch.setattr(ke, "MEMO_MAX_CHUNKS", 0)
+    spec = orders_schema_spec()
+    rec2 = build_recognizer([spec])
+    texts = [_page_text(i, 0.0) for i in range(20)]
+    base = [extract_text_triples(t, rec2) for t in texts]
+    memo = {}
+    got = [extract_text_triples(t, rec2, memo=memo) for t in texts]
+    assert got == base
+    assert memo == {}  # disabled: nothing ever stored
