@@ -175,3 +175,73 @@ def test_chunk_memo_invariance_random_boilerplate(docs):
         memoized = extract_text_triples(t, rec, prescreen=screen, memo=memo)
         again = extract_text_triples(t, rec, prescreen=screen, memo=memo)
         assert plain == memoized == again
+
+
+@given(
+    ops=st.lists(
+        st.tuples(st.booleans(), st.integers(min_value=0, max_value=40)),
+        max_size=300,
+    ),
+    cap=st.integers(min_value=1, max_value=12),
+)
+@settings(max_examples=60, deadline=None)
+def test_memo_protocol_bounded_and_consistent(ops, cap):
+    """For ANY interleaving of probes and inserts and ANY cap, the
+    LRU-half-eviction memo (kernel.extract._memo_put/_memo_hit) stays
+    bounded by cap+1 and never returns a value that was not the last
+    one stored for that key."""
+    import nlquery_spark.kernel.extract as ke
+
+    old = ke.MEMO_MAX_CHUNKS
+    ke.MEMO_MAX_CHUNKS = cap
+    try:
+        memo, stored = {}, {}
+        for is_put, k in ops:
+            key = f"k{k}"
+            if is_put:
+                ke._memo_put(memo, key, (key, k))
+                stored[key] = (key, k)
+            else:
+                hit = ke._memo_hit(memo, key)
+                if hit is not None:
+                    assert hit == stored[key]  # never a stale/foreign value
+            # evict-then-insert: at most cap entries after any put with
+            # cap >= 2; the degenerate cap=1 bounds at 2
+            assert len(memo) <= max(cap, 2)
+            # recency order invariant: every key in the memo is in
+            # stored, and dict order has no duplicates by construction
+            assert set(memo) <= set(stored)
+    finally:
+        ke.MEMO_MAX_CHUNKS = old
+
+
+def test_matcher_memo_eviction_output_identical(monkeypatch):
+    """The matcher-level memos (LikePhraseMatcher / ListContainsMatcher)
+    now half-evict at their cap; forcing a tiny cap must not change any
+    match output (the memo stores pure functions of the token value)."""
+    from nlquery_spark.kernel.extract import build_recognizer
+    from nlquery_spark.kernel.matchers import (
+        LikePhraseMatcher,
+        ListContainsMatcher,
+    )
+    from nlquery_spark.kernel.tokenizer import tokenize as tok
+    from nlquery_spark.kernel.tokens import TokenSequence
+    from nlquery_spark.sources.pages import _page_text, orders_schema_spec
+
+    spec = orders_schema_spec()
+    base_rec = build_recognizer([spec])
+    texts = [_page_text(i, 0.0) for i in range(40)]
+
+    def outputs(rec):
+        outs = []
+        for t in texts:
+            seq = TokenSequence(tok(t[:400]))
+            bag = rec.collect_matches(seq)
+            outs.append([str(m) for m in bag.matches])
+        return outs
+
+    want = outputs(base_rec)
+    monkeypatch.setattr(LikePhraseMatcher, "MEMO_MAX", 3)
+    monkeypatch.setattr(ListContainsMatcher, "MEMO_MAX", 3)
+    capped_rec = build_recognizer([spec])  # fresh matchers, tiny caps
+    assert outputs(capped_rec) == want
