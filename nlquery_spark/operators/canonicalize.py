@@ -504,13 +504,23 @@ def pagerank(
     dangling_nodes = nodes.join(
         out_deg, nodes.node == out_deg.deg_node, "left_anti"
     ).localCheckpoint(eager=True)
+    # degrees attached to the EDGES once, not joined onto the ranks
+    # every round: contrib = sum(rank/deg) reads deg per edge either
+    # way, but the in-loop ranks⋈out_deg join cost an extra exchange
+    # pair per round (×100 fixed rounds). e_deg is edge-sized — the
+    # same footprint class as the edge checkpoint it replaces in the
+    # loop, so peak memory is unchanged.
+    e_deg = (
+        e.join(out_deg, e.src == out_deg.deg_node)
+        .select("src", "dst", "deg")
+        .localCheckpoint(eager=True)
+    )
     ranks = nodes.withColumn("rank", F.lit(1.0 / n)).localCheckpoint(eager=True)
     delta = float("inf")
     iters = 0
     for iters in range(1, max_iter + 1):
         contribs = (
-            ranks.join(out_deg, ranks.node == out_deg.deg_node)
-            .join(e, F.col("node") == F.col("src"))
+            ranks.join(e_deg, ranks.node == e_deg.src)
             .groupBy(F.col("dst").alias("node2"))
             .agg(F.sum(F.col("rank") / F.col("deg")).alias("contrib"))
         )
