@@ -133,6 +133,23 @@ def cached_recognizer(
     return rec
 
 
+def _parse_memo_cap(raw) -> int:
+    """Robust env parse: a malformed NLQUERY_MEMO_MAX_CHUNKS must
+    degrade to the default with a warning, not kill every executor
+    python worker with a ValueError at kernel import."""
+    try:
+        return int(raw)
+    except (TypeError, ValueError):
+        import warnings
+
+        warnings.warn(
+            f"NLQUERY_MEMO_MAX_CHUNKS={raw!r} is not an integer; "
+            "using the default 100000",
+            RuntimeWarning,
+        )
+        return 100_000
+
+
 # Boilerplate-chunk memo: chunk -> triples is a pure function of
 # (chunk text, compiled spec, top_k/boost/cap params), and web corpora
 # repeat chunks heavily (navigation, footers, templated sentences — this
@@ -155,23 +172,6 @@ def cached_recognizer(
 # Namespaces are salted per operator invocation by default (operators
 # mint memo_salt=auto<N>), so a benchmark that re-times the same pages
 # starts cold each pass — run 2 measures the engine, not the cache.
-def _parse_memo_cap(raw) -> int:
-    """Robust env parse: a malformed NLQUERY_MEMO_MAX_CHUNKS must
-    degrade to the default with a warning, not kill every executor
-    python worker with a ValueError at kernel import."""
-    try:
-        return int(raw)
-    except (TypeError, ValueError):
-        import warnings
-
-        warnings.warn(
-            f"NLQUERY_MEMO_MAX_CHUNKS={raw!r} is not an integer; "
-            "using the default 100000",
-            RuntimeWarning,
-        )
-        return 100_000
-
-
 MEMO_MAX_CHUNKS = _parse_memo_cap(os.environ.get("NLQUERY_MEMO_MAX_CHUNKS", "100000"))
 
 _CHUNK_MEMO: Dict[str, Dict[str, tuple]] = {}

@@ -14,6 +14,7 @@ batches on executors.
 from __future__ import annotations
 
 from decimal import Decimal
+from itertools import islice
 from typing import Callable, Iterable, Iterator, List, Optional, Sequence, Tuple
 
 from .matches import (
@@ -42,13 +43,14 @@ def _evict_half(memo: dict) -> None:
     """Drop the oldest-inserted half of a token-keyed memo at its cap —
     the same never-wholesale policy as kernel.extract._memo_put (a full
     clear oscillates between a full and an empty memo on diverse
-    corpora). No LRU refresh here, deliberately: these memos sit on the
-    per-TOKEN hot loop where a delete+re-append per hit is measurable,
-    and re-learning one evicted token costs a single gazetteer/phrase
-    scan — orders of magnitude cheaper than the chunk extraction the
-    chunk memo protects, so FIFO's worst case is acceptable."""
-    from itertools import islice
-
+    corpora; the 3-line loop is duplicated rather than shared because
+    matchers cannot import extract — extract imports recognizer imports
+    matchers). No LRU refresh here, deliberately: these memos sit on
+    the per-TOKEN hot loop where a delete+re-append per hit is
+    measurable, and re-learning one evicted token costs a single
+    gazetteer/phrase scan — orders of magnitude cheaper than the chunk
+    extraction the chunk memo protects, so FIFO's worst case is
+    acceptable."""
     for k in list(islice(iter(memo), max(1, len(memo) // 2))):
         del memo[k]
 
