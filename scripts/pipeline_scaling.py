@@ -47,7 +47,9 @@ def run(master: str, shuffle: int, workdir: str, n_pages: int) -> dict:
         env=env,
         capture_output=True,
         text=True,
-        timeout=1800,
+        # 1M-page legs: the loaded local[8] run is ~20 min end-to-end
+        # (graph stage dominates); 1800 s killed it mid-stage
+        timeout=3600,
         cwd=REPO,
     )
     lines = [
