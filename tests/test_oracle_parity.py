@@ -450,9 +450,13 @@ def fuzz_sf(spark, tmp_path_factory):
     vocab = (
         entry_mod.GAZETTEER
         + ["the", "a", "of", "and", "Zürich", "naïve", "x1", "42", "0.5",
-           "CAFÉ", "tok-en", "it's", "__", "…"]
+           "CAFÉ", "tok-en", "it's", "__", "…",
+           # round-8 deep-fuzz additions (10 seeds × 300 docs ran green
+           # with these shapes — promoted into the committed corpus):
+           "ß", "Ψφ", "e.g.", "№5", "—", "''", '"q"', "half½", "25%",
+           "a,b;c", "x:y"]
     )
-    seps = [" ", "  ", "\t", "\n", " \x0b "]
+    seps = [" ", "  ", "\t", "\n", " \x0b ", "\r\n"]
     docs = []
     for i in range(120):
         n = rng.randint(0, 40)
@@ -461,6 +465,10 @@ def fuzz_sf(spark, tmp_path_factory):
         )
         if i % 7 == 0:
             text += " common boilerplate sentence shared across documents"
+        if i % 13 == 0:
+            # all-caps documents: case-insensitive matchers vs oracle
+            # lower() must agree under full-string case folding
+            text = text.upper()
         if i % 11 == 0:
             # NBSP at the text EDGES: Spark trim / Python strip(' ')
             # remove ASCII spaces only, and the oracles' trim(x, ' ')
