@@ -539,3 +539,79 @@ def test_sliding_window_oracle_timezone_independent(spark):
     assert sorted(cols) == sorted(sdf.columns)
     duck_rows = sorted(tuple(str(x) for x in r) for r in res.fetchall())
     assert spark_rows == duck_rows
+
+
+# ----------------------------------------- seeded events fuzz corpus --
+
+
+@pytest.fixture(scope="module")
+def events_fuzz_sf(spark, tmp_path_factory):
+    """Seeded pseudo-random EVENTS table stressing the time-domain
+    family's risk surface: exact-duplicate timestamps (tie-breaks),
+    microsecond edge values (0 / 1 / 999999), bursts, and a multi-day
+    span. Promoted from a round-8 deep sweep (5 seeds × 4,000 events ×
+    14 queries, 70/70 green). Non-events tables symlink to the real
+    sf0.001 parquet so cross-table queries still run."""
+    import datetime
+    import os
+    import random
+
+    rng = random.Random(20260818)
+    base = datetime.datetime(2024, 1, 1)
+    types = ["view", "click", "purchase", "signup", "error", "checkout"]
+    rows = []
+    for i in range(4000):
+        if i % 17 == 0 and rows:
+            ts = rows[-1][1]  # exact duplicate ts — tie-break stress
+        else:
+            ts = base + datetime.timedelta(
+                seconds=rng.randint(0, 30 * 86400),
+                microseconds=rng.choice([0, 1, 999999, rng.randint(0, 999999)]),
+            )
+        rows.append(
+            (i, ts, rng.randint(0, 25), rng.choice(types),
+             round(rng.uniform(0, 500), 2), '{"k": %d}' % rng.randint(0, 99))
+        )
+    d = tmp_path_factory.mktemp("events_fuzz")
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).coalesce(1).write.mode("overwrite").parquet(str(d / "events.parquet"))
+    for t in entry_mod.TABLES:
+        if t != "events":
+            os.symlink(f"/root/testdata/sf0.001/{t}.parquet", str(d / f"{t}.parquet"))
+    return str(d)
+
+
+_EVENTS_FUZZ_QUERIES = [
+    "events_sessionize", "events_by_minute", "daily_active_users",
+    "events_time_rollup", "event_funnel", "event_type_transitions",
+    "events_daily_anomaly", "event_retention_cohorts",
+    "events_sliding_windows", "event_props_json",
+    "event_session_assignment", "events_resample_locf", "events_ewma",
+    "customer_running_spend",
+]
+
+
+@pytest.mark.parametrize("name", _EVENTS_FUZZ_QUERIES)
+def test_oracle_parity_on_events_fuzz(spark, events_fuzz_sf, name):
+    q = entry_mod.queries()[name]
+    sdf = q(spark, events_fuzz_sf)
+    spark_rows = [tuple(r) for r in sdf.collect()]
+    con = duckdb.connect()
+    for t in entry_mod.TABLES:
+        src = (
+            f"read_parquet('{events_fuzz_sf}/events.parquet/*.parquet')"
+            if t == "events"
+            else f"'{events_fuzz_sf}/{t}.parquet'"
+        )
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM {src}")
+    res = con.execute(entry_mod.oracle_sql()[name])
+    duck_cols = [d[0] for d in res.description]
+    duck_rows = res.fetchall()
+    assert sorted(sdf.columns) == sorted(duck_cols), f"{name}: columns differ"
+    assert len(spark_rows) == len(duck_rows), f"{name}: row count differs"
+    s_vals, _ = _rows_to_multiset(list(sdf.columns), spark_rows)
+    d_vals, _ = _rows_to_multiset(duck_cols, duck_rows)
+    assert s_vals == d_vals, f"{name}: values differ"
