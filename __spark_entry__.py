@@ -157,12 +157,24 @@ def _q1_pricing_summary(spark, sf_dir):
     )
 
 
+# DOUBLE -> DECIMAL casts in the oracles go THROUGH VARCHAR (round-8
+# fuzz finding): Spark's Cast(double -> decimal) rounds the SHORTEST
+# DECIMAL REPRESENTATION of the double (BigDecimal.valueOf:
+# 337077.405 -> "337077.405" -> HALF_UP -> .41), while DuckDB's direct
+# cast works from a different expansion of the binary value
+# (337077.405 stores as ...40499999997 -> .40). Both engines' VARCHAR
+# rendering is the shortest repr and both parse-then-round strings
+# HALF_UP, so CAST(CAST(x AS VARCHAR) AS DECIMAL(p,s)) reproduces
+# Spark's cast bit-for-bit on ARBITRARY doubles — not just the
+# 2-decimal money the driver fixtures contain. Pinned by the seeded
+# orders-fuzz fixture (sub-cent .005 prices) in
+# tests/test_oracle_parity.py.
 _Q1_SQL = """
 SELECT l_returnflag, l_linestatus,
-  CAST(SUM(CAST(l_quantity AS DECIMAL(10,2))) AS DOUBLE) AS sum_qty,
-  CAST(SUM(CAST(l_extendedprice AS DECIMAL(10,2))) AS DOUBLE) AS sum_base_price,
-  CAST(SUM(CAST(l_extendedprice AS DECIMAL(10,2)) * (CAST(1 AS DECIMAL(10,2)) - CAST(l_discount AS DECIMAL(10,2)))) AS DOUBLE) AS sum_disc_price,
-  CAST(SUM(CAST(l_extendedprice AS DECIMAL(10,2)) * (CAST(1 AS DECIMAL(10,2)) - CAST(l_discount AS DECIMAL(10,2))) * (CAST(1 AS DECIMAL(10,2)) + CAST(l_tax AS DECIMAL(10,2)))) AS DOUBLE) AS sum_charge,
+  CAST(SUM(CAST(CAST(l_quantity AS VARCHAR) AS DECIMAL(10,2))) AS DOUBLE) AS sum_qty,
+  CAST(SUM(CAST(CAST(l_extendedprice AS VARCHAR) AS DECIMAL(10,2))) AS DOUBLE) AS sum_base_price,
+  CAST(SUM(CAST(CAST(l_extendedprice AS VARCHAR) AS DECIMAL(10,2)) * (CAST(1 AS DECIMAL(10,2)) - CAST(CAST(l_discount AS VARCHAR) AS DECIMAL(10,2)))) AS DOUBLE) AS sum_disc_price,
+  CAST(SUM(CAST(CAST(l_extendedprice AS VARCHAR) AS DECIMAL(10,2)) * (CAST(1 AS DECIMAL(10,2)) - CAST(CAST(l_discount AS VARCHAR) AS DECIMAL(10,2))) * (CAST(1 AS DECIMAL(10,2)) + CAST(CAST(l_tax AS VARCHAR) AS DECIMAL(10,2)))) AS DOUBLE) AS sum_charge,
   ROUND(AVG(l_quantity), 4) AS avg_qty,
   ROUND(AVG(l_extendedprice), 4) AS avg_price,
   ROUND(AVG(l_discount), 4) AS avg_disc,
@@ -192,7 +204,7 @@ def _q3_shipping_priority(spark, sf_dir):
 
 _Q3_SQL = """
 SELECT l_orderkey, o_orderdate,
-  CAST(SUM(CAST(l_extendedprice AS DECIMAL(10,2)) * (CAST(1 AS DECIMAL(10,2)) - CAST(l_discount AS DECIMAL(10,2)))) AS DOUBLE) AS revenue
+  CAST(SUM(CAST(CAST(l_extendedprice AS VARCHAR) AS DECIMAL(10,2)) * (CAST(1 AS DECIMAL(10,2)) - CAST(CAST(l_discount AS VARCHAR) AS DECIMAL(10,2)))) AS DOUBLE) AS revenue
 FROM customer JOIN orders ON c_custkey = o_custkey
   JOIN lineitem ON o_orderkey = l_orderkey
 WHERE c_mktsegment = 'BUILDING'
@@ -228,7 +240,7 @@ def _q5_local_supplier(spark, sf_dir):
 
 _Q5_SQL = """
 SELECT n_name,
-  CAST(SUM(CAST(l_extendedprice AS DECIMAL(10,2)) * (CAST(1 AS DECIMAL(10,2)) - CAST(l_discount AS DECIMAL(10,2)))) AS DOUBLE) AS revenue
+  CAST(SUM(CAST(CAST(l_extendedprice AS VARCHAR) AS DECIMAL(10,2)) * (CAST(1 AS DECIMAL(10,2)) - CAST(CAST(l_discount AS VARCHAR) AS DECIMAL(10,2)))) AS DOUBLE) AS revenue
 FROM customer
 JOIN orders ON c_custkey = o_custkey
 JOIN lineitem ON o_orderkey = l_orderkey
@@ -275,7 +287,7 @@ def _events_by_minute(spark, sf_dir):
 _EVENTS_SQL = """
 SELECT date_trunc('minute', ts) AS minute, event_type,
   COUNT(*) AS n_events,
-  CAST(SUM(CAST(value AS DECIMAL(10,2))) AS DOUBLE) AS sum_value
+  CAST(SUM(CAST(CAST(value AS VARCHAR) AS DECIMAL(10,2))) AS DOUBLE) AS sum_value
 FROM events
 GROUP BY 1, 2
 """
@@ -596,7 +608,7 @@ def _nl_agg_orders(spark, sf_dir):
 
 _NL_AGG_SQL = """
 SELECT o_orderstatus,
-  CAST(SUM(CAST(o_totalprice AS DECIMAL(10,2))) AS DOUBLE) AS sum_total_price
+  CAST(SUM(CAST(CAST(o_totalprice AS VARCHAR) AS DECIMAL(10,2))) AS DOUBLE) AS sum_total_price
 FROM orders GROUP BY o_orderstatus
 """
 
@@ -644,9 +656,9 @@ def _nl_pivot_orders(spark, sf_dir):
 _NL_PIVOT_SQL = """
 SELECT o_orderpriority,
   CAST(SUM(CASE WHEN o_orderstatus = 'F'
-                THEN CAST(o_totalprice AS DECIMAL(10,2)) END) AS DOUBLE) AS "F",
+                THEN CAST(CAST(o_totalprice AS VARCHAR) AS DECIMAL(10,2)) END) AS DOUBLE) AS "F",
   CAST(SUM(CASE WHEN o_orderstatus = 'O'
-                THEN CAST(o_totalprice AS DECIMAL(10,2)) END) AS DOUBLE) AS "O"
+                THEN CAST(CAST(o_totalprice AS VARCHAR) AS DECIMAL(10,2)) END) AS DOUBLE) AS "O"
 FROM orders
 WHERE o_orderstatus = 'F' OR o_orderstatus = 'O'
 GROUP BY o_orderpriority
@@ -822,7 +834,7 @@ def _q17_small_quantity_revenue(spark, sf_dir):
 
 _Q17_SQL = """
 SELECT
-  CAST(SUM(CAST(l_extendedprice AS DECIMAL(10,2))) AS DOUBLE) AS total_revenue,
+  CAST(SUM(CAST(CAST(l_extendedprice AS VARCHAR) AS DECIMAL(10,2))) AS DOUBLE) AS total_revenue,
   COUNT(*) AS n_items
 FROM lineitem l
 WHERE l_quantity < 0.5 * (
@@ -939,7 +951,7 @@ def _order_priority_rollup(spark, sf_dir):
 
 _ROLLUP_SQL = """
 SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
-  CAST(SUM(CAST(o_totalprice AS DECIMAL(10,2))) AS DOUBLE) AS sum_total
+  CAST(SUM(CAST(CAST(o_totalprice AS VARCHAR) AS DECIMAL(10,2))) AS DOUBLE) AS sum_total
 FROM orders
 GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
 """
@@ -1011,7 +1023,7 @@ WITH upd AS (
   SELECT o_orderkey, o_custkey, 'U' AS o_orderstatus,
     -- ROUND, not a decimal down-cast: DuckDB's scale-reducing cast is
     -- half-to-even while Spark's is HALF_UP; ROUND is half-away in both
-    CAST(ROUND(CAST(o_totalprice AS DECIMAL(12,2)) * CAST('1.1' AS DECIMAL(3,1)), 2)
+    CAST(ROUND(CAST(CAST(o_totalprice AS VARCHAR) AS DECIMAL(12,2)) * CAST('1.1' AS DECIMAL(3,1)), 2)
          AS DOUBLE) AS o_totalprice,
     o_orderdate, o_orderpriority,
     (o_orderkey % 50 = 0) AS _del
@@ -1077,7 +1089,7 @@ WITH g AS (
 SELECT user_id, session_id, COUNT(*) AS n_events,
   strftime(MIN(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
   strftime(MAX(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_end,
-  CAST(SUM(CAST(value AS DECIMAL(10,2))) AS DOUBLE) AS sum_value
+  CAST(SUM(CAST(CAST(value AS VARCHAR) AS DECIMAL(10,2))) AS DOUBLE) AS sum_value
 FROM s GROUP BY user_id, session_id
 """
 
@@ -1157,7 +1169,7 @@ SELECT
        WHEN b_hour IS NOT NULL THEN 'hour' ELSE 'day' END AS grain,
   COALESCE(b_minute, b_hour, b_day) AS bucket_ts,
   COUNT(*) AS n_events,
-  CAST(SUM(CAST(value AS DECIMAL(10,2))) AS DOUBLE) AS sum_value
+  CAST(SUM(CAST(CAST(value AS VARCHAR) AS DECIMAL(10,2))) AS DOUBLE) AS sum_value
 FROM b GROUP BY GROUPING SETS ((b_minute), (b_hour), (b_day))
 """
 
@@ -1262,7 +1274,7 @@ def _promo_revenue_share(spark, sf_dir):
 _PROMO_SQL = """
 WITH j AS (
   SELECT CAST(date_trunc('month', l_shipdate) AS TIMESTAMP) AS ship_month,
-    CAST(l_extendedprice AS DECIMAL(10,2)) * (CAST(1 AS DECIMAL(10,2)) - CAST(l_discount AS DECIMAL(10,2))) AS disc,
+    CAST(CAST(l_extendedprice AS VARCHAR) AS DECIMAL(10,2)) * (CAST(1 AS DECIMAL(10,2)) - CAST(CAST(l_discount AS VARCHAR) AS DECIMAL(10,2))) AS disc,
     p_type
   FROM lineitem JOIN part ON l_partkey = p_partkey
 )
@@ -3169,7 +3181,7 @@ _STREAM_MINUTES_SQL = """
 SELECT strftime(date_trunc('minute', ts), '%Y-%m-%d %H:%M:%S') AS minute,
   event_type,
   CAST(COUNT(*) AS BIGINT) AS n_events,
-  CAST(SUM(CAST(value AS DECIMAL(10,2))) AS DOUBLE) AS sum_value
+  CAST(SUM(CAST(CAST(value AS VARCHAR) AS DECIMAL(10,2))) AS DOUBLE) AS sum_value
 FROM events GROUP BY 1, 2
 """
 
@@ -3661,7 +3673,7 @@ _RFM_SQL = """
 WITH per AS (
   SELECT o_custkey AS custkey, MAX(o_orderdate) AS last_order_d,
          CAST(COUNT(*) AS BIGINT) AS frequency,
-         CAST(SUM(CAST(o_totalprice AS DECIMAL(10,2))) AS DOUBLE) AS monetary
+         CAST(SUM(CAST(CAST(o_totalprice AS VARCHAR) AS DECIMAL(10,2))) AS DOUBLE) AS monetary
   FROM orders GROUP BY o_custkey
 )
 SELECT custkey, strftime(last_order_d, '%Y-%m-%d') AS last_order,
@@ -3721,7 +3733,7 @@ WITH x AS (
 SELECT strftime(make_timestamp(s * 1000000), '%Y-%m-%d %H:%M:%S') AS win_start,
        strftime(make_timestamp((s + 600) * 1000000), '%Y-%m-%d %H:%M:%S') AS win_end,
        event_type, CAST(COUNT(*) AS BIGINT) AS n,
-       CAST(SUM(CAST(value AS DECIMAL(10,2))) AS DOUBLE) AS total_value
+       CAST(SUM(CAST(CAST(value AS VARCHAR) AS DECIMAL(10,2))) AS DOUBLE) AS total_value
 FROM e GROUP BY 1, 2, 3
 """
 
@@ -3891,7 +3903,7 @@ def _customer_running_spend(spark, sf_dir):
 _RUNNING_SPEND_SQL = """
 SELECT o_custkey AS custkey, o_orderkey AS orderkey,
        strftime(o_orderdate, '%Y-%m-%d') AS order_date,
-       CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) OVER (
+       CAST(SUM(CAST(CAST(o_totalprice AS VARCHAR) AS DECIMAL(12,2))) OVER (
          PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
        ) AS DOUBLE) AS running_spend

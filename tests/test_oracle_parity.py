@@ -615,3 +615,100 @@ def test_oracle_parity_on_events_fuzz(spark, events_fuzz_sf, name):
     s_vals, _ = _rows_to_multiset(list(sdf.columns), spark_rows)
     d_vals, _ = _rows_to_multiset(duck_cols, duck_rows)
     assert s_vals == d_vals, f"{name}: values differ"
+
+
+# ----------------------------------------- seeded orders fuzz corpus --
+
+
+@pytest.fixture(scope="module")
+def orders_fuzz_sf(spark, tmp_path_factory):
+    """Seeded pseudo-random ORDERS + LINEITEM tables stressing the
+    money-column conventions: sub-cent prices sitting exactly on the
+    2-decimal rounding boundary (x.005 — these exposed the
+    double->decimal cast divergence the VARCHAR-routed oracle casts
+    fix), 149999.995 at a filter threshold, second-precision order
+    dates across a leap year. Promoted from a round-8 deep sweep
+    (5 seeds × 21 queries, 105/105 green post-fix)."""
+    import datetime
+    import os
+    import random
+
+    rng = random.Random(20260811)
+    base = datetime.datetime(2024, 1, 1)
+    status = ["F", "O", "P"]
+    prio = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+    orders = []
+    for i in range(3000):
+        price = rng.choice([
+            round(rng.uniform(1, 400000), 2),
+            round(rng.uniform(1, 400000), 0) + 0.005,
+            150000.0, 149999.995,
+        ])
+        od = base + datetime.timedelta(
+            days=rng.randint(0, 365), seconds=rng.choice([0, 1, 86399]))
+        orders.append(
+            (i, rng.randint(0, 400), rng.choice(status), price, od, rng.choice(prio)))
+    lineitem = []
+    for i in range(3000):
+        for ln in range(rng.randint(0, 4)):
+            sd = base + datetime.timedelta(days=rng.randint(0, 420))
+            lineitem.append((
+                i, rng.randint(0, 200), rng.randint(0, 50), ln + 1,
+                float(rng.randint(1, 50)),
+                rng.choice([round(rng.uniform(100, 90000), 2), 12345.005]),
+                rng.choice([0.0, 0.05, 0.1, round(rng.uniform(0, 0.1), 2)]),
+                rng.choice([0.0, 0.08, round(rng.uniform(0, 0.08), 2)]),
+                rng.choice(["A", "N", "R"]), rng.choice(["F", "O"]), sd))
+    d = tmp_path_factory.mktemp("orders_fuzz")
+    spark.createDataFrame(
+        orders,
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    ).coalesce(1).write.mode("overwrite").parquet(str(d / "orders.parquet"))
+    spark.createDataFrame(
+        lineitem,
+        "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int, "
+        "l_quantity double, l_extendedprice double, l_discount double, "
+        "l_tax double, l_returnflag string, l_linestatus string, "
+        "l_shipdate timestamp",
+    ).coalesce(1).write.mode("overwrite").parquet(str(d / "lineitem.parquet"))
+    for t in entry_mod.TABLES:
+        if t not in ("orders", "lineitem"):
+            os.symlink(f"/root/testdata/sf0.001/{t}.parquet", str(d / f"{t}.parquet"))
+    return str(d)
+
+
+_ORDERS_FUZZ_QUERIES = [
+    "nl_filter_orders", "nl_agg_orders", "nl_pivot_orders",
+    "nl_filter_culture", "nl_filter_inferred", "nl_filter_stemmed",
+    "q1_pricing_summary", "q3_shipping_priority", "ship_lag_by_month",
+    "order_priority_rollup", "topk_orders_per_customer",
+    "order_value_percentiles", "customers_without_orders",
+    "orders_upsert_merge", "customer_order_full_outer",
+    "customer_order_distribution", "customer_rfm_segments",
+    "promo_revenue_share", "q17_small_quantity_revenue",
+    "part_setops_98_not_99", "orders_with_returns",
+]
+
+
+@pytest.mark.parametrize("name", _ORDERS_FUZZ_QUERIES)
+def test_oracle_parity_on_orders_fuzz(spark, orders_fuzz_sf, name):
+    q = entry_mod.queries()[name]
+    sdf = q(spark, orders_fuzz_sf)
+    spark_rows = [tuple(r) for r in sdf.collect()]
+    con = duckdb.connect()
+    for t in entry_mod.TABLES:
+        src = (
+            f"read_parquet('{orders_fuzz_sf}/{t}.parquet/*.parquet')"
+            if t in ("orders", "lineitem")
+            else f"'{orders_fuzz_sf}/{t}.parquet'"
+        )
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM {src}")
+    res = con.execute(entry_mod.oracle_sql()[name])
+    duck_cols = [d[0] for d in res.description]
+    duck_rows = res.fetchall()
+    assert sorted(sdf.columns) == sorted(duck_cols), f"{name}: columns differ"
+    assert len(spark_rows) == len(duck_rows), f"{name}: row count differs"
+    s_vals, _ = _rows_to_multiset(list(sdf.columns), spark_rows)
+    d_vals, _ = _rows_to_multiset(duck_cols, duck_rows)
+    assert s_vals == d_vals, f"{name}: values differ"
