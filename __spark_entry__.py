@@ -2127,9 +2127,15 @@ WITH q AS (
   SELECT vec_id AS neighbor_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
   FROM embeddings
 ), s AS (
+  -- zero-norm-safe cosine, mirroring functions.vectors.cosine: a zero
+  -- vector scores 0.0 (cosine undefined -> ranks last), never a
+  -- division error
   SELECT query_id, neighbor_id,
-    ROUND(list_dot_product(qv, cv) /
-          (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))), 6) AS cosine
+    CASE WHEN sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv)) = 0
+         THEN 0.0
+         ELSE ROUND(list_dot_product(qv, cv) /
+              (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))), 6)
+    END AS cosine
   FROM q CROSS JOIN c WHERE neighbor_id <> query_id
 )
 SELECT query_id, rank, neighbor_id, cosine FROM (

@@ -20,6 +20,8 @@ from typing import List, Optional, Sequence
 
 import numpy as np
 from pyspark.sql import DataFrame, Window, functions as F
+
+from ..functions.vectors import cosine as _cosine
 from pyspark.sql.types import (
     ArrayType,
     DoubleType,
@@ -67,12 +69,12 @@ def cosine_topk_bruteforce(
         c.crossJoin(F.broadcast(q))
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .withColumn(
+            # shared zero-norm-safe cosine (functions.vectors.cosine):
+            # a zero vector scores 0.0 instead of raising DIVIDE_BY_ZERO
+            # under ANSI mode — zero embeddings (empty docs, padding)
+            # are a real corpus artifact (round-8 fuzz finding)
             "cosine",
-            F.round(
-                _dot(F.col("qvec"), F.col("cvec"))
-                / (_norm(F.col("qvec")) * _norm(F.col("cvec"))),
-                6,
-            ),
+            F.round(_cosine(F.col("qvec"), F.col("cvec")), 6),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -346,12 +348,9 @@ def ivf_topk(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
     )
     scored = pruned.join(F.broadcast(q), "query_id").withColumn(
+        # zero-norm-safe, same convention as the bruteforce path
         "cosine",
-        F.round(
-            _dot(F.col("qvec"), F.col(vec_col))
-            / (_norm(F.col("qvec")) * _norm(F.col(vec_col))),
-            6,
-        ),
+        F.round(_cosine(F.col("qvec"), F.col(vec_col)), 6),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc(id_col))
     return (

@@ -712,3 +712,66 @@ def test_oracle_parity_on_orders_fuzz(spark, orders_fuzz_sf, name):
     s_vals, _ = _rows_to_multiset(list(sdf.columns), spark_rows)
     d_vals, _ = _rows_to_multiset(duck_cols, duck_rows)
     assert s_vals == d_vals, f"{name}: values differ"
+
+
+# -------------------------------------- seeded embeddings fuzz corpus --
+
+
+@pytest.fixture(scope="module")
+def emb_fuzz_sf(spark, tmp_path_factory):
+    """Seeded pseudo-random EMBEDDINGS table stressing the similarity
+    family's risk surface: exact-duplicate vectors and colinear scaled
+    copies (cosine == 1 rank ties), and ZERO-NORM vectors — a real
+    corpus artifact (empty docs, padding) that crashed the inline
+    cosine with DIVIDE_BY_ZERO under ANSI mode before round 8 switched
+    the similarity operators to the shared zero-safe
+    functions.vectors.cosine. Promoted from a 5-seed deep sweep
+    (15/15 green post-fix)."""
+    import os
+    import random
+
+    rng = random.Random(20260821)
+    rows = []
+    for i in range(400):
+        if i % 23 == 0 and rows:
+            vec = rows[-1][1][:]  # exact duplicate — cosine 1.0 tie
+        elif i % 31 == 0:
+            vec = [0.0] * 64      # zero norm — must score 0.0, not raise
+        elif i % 13 == 0 and rows:
+            vec = [x * 2.0 for x in rows[-1][1]]  # colinear tie
+        else:
+            vec = [round(rng.gauss(0, 0.15), 6) for _ in range(64)]
+        rows.append((i, vec, rng.randint(0, 9)))
+    d = tmp_path_factory.mktemp("emb_fuzz")
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).coalesce(1).write.mode("overwrite").parquet(str(d / "embeddings.parquet"))
+    for t in entry_mod.TABLES:
+        if t != "embeddings":
+            os.symlink(f"/root/testdata/sf0.001/{t}.parquet", str(d / f"{t}.parquet"))
+    return str(d)
+
+
+@pytest.mark.parametrize(
+    "name", ["ann_cosine_topk", "emb_cosine_jvm", "emb_neardup_exact"]
+)
+def test_oracle_parity_on_embeddings_fuzz(spark, emb_fuzz_sf, name):
+    q = entry_mod.queries()[name]
+    sdf = q(spark, emb_fuzz_sf)
+    spark_rows = [tuple(r) for r in sdf.collect()]
+    con = duckdb.connect()
+    for t in entry_mod.TABLES:
+        src = (
+            f"read_parquet('{emb_fuzz_sf}/embeddings.parquet/*.parquet')"
+            if t == "embeddings"
+            else f"'{emb_fuzz_sf}/{t}.parquet'"
+        )
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM {src}")
+    res = con.execute(entry_mod.oracle_sql()[name])
+    duck_cols = [d[0] for d in res.description]
+    duck_rows = res.fetchall()
+    assert sorted(sdf.columns) == sorted(duck_cols), f"{name}: columns differ"
+    assert len(spark_rows) == len(duck_rows), f"{name}: row count differs"
+    s_vals, _ = _rows_to_multiset(list(sdf.columns), spark_rows)
+    d_vals, _ = _rows_to_multiset(duck_cols, duck_rows)
+    assert s_vals == d_vals, f"{name}: values differ"
