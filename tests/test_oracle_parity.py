@@ -843,3 +843,86 @@ def test_oracle_parity_on_web_fuzz(spark, web_fuzz_sf, name):
     s_vals, _ = _rows_to_multiset(list(sdf.columns), spark_rows)
     d_vals, _ = _rows_to_multiset(duck_cols, duck_rows)
     assert s_vals == d_vals, f"{name}: values differ"
+
+
+# ------------------------------------------- seeded graph fuzz corpus --
+
+
+@pytest.fixture(scope="module")
+def graph_fuzz_sf(spark, tmp_path_factory):
+    """Seeded random LINEITEM co-order topology stressing the graph
+    oracles — hub parts appearing in most orders, dense cliques,
+    single-line orders, and self-duplicate lines (the same part twice
+    in one order) — against the recursive-CTE k-hop walk, the 2-round
+    LPA replay, the wedge-join link prediction, and the triangle
+    orientation. Promoted from a round-8 deep sweep (3 seeds × 7
+    queries, 21/21 green)."""
+    import datetime
+    import os
+    import random
+
+    rng = random.Random(20260841)
+    base = datetime.datetime(2024, 1, 1)
+    lineitem = []
+    for o in range(1500):
+        shape = rng.random()
+        if shape < 0.1:
+            parts = [rng.randint(0, 4)]
+        elif shape < 0.3:
+            parts = rng.sample(range(5, 60), rng.randint(2, 6))
+            parts.append(rng.randint(0, 4))
+        elif shape < 0.4:
+            p = rng.randint(60, 199)
+            parts = [p, p]
+        else:
+            parts = [rng.randint(0, 199) for _ in range(rng.randint(1, 5))]
+        for ln, p in enumerate(parts):
+            sd = base + datetime.timedelta(days=rng.randint(0, 400))
+            lineitem.append((
+                o, p, rng.randint(0, 50), ln + 1,
+                float(rng.randint(1, 50)), round(rng.uniform(100, 90000), 2),
+                rng.choice([0.0, 0.05, 0.06, 0.1]), 0.04,
+                rng.choice(["A", "N", "R"]), rng.choice(["F", "O"]), sd))
+    d = tmp_path_factory.mktemp("graph_fuzz")
+    spark.createDataFrame(
+        lineitem,
+        "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int, "
+        "l_quantity double, l_extendedprice double, l_discount double, "
+        "l_tax double, l_returnflag string, l_linestatus string, "
+        "l_shipdate timestamp",
+    ).coalesce(1).write.mode("overwrite").parquet(str(d / "lineitem.parquet"))
+    for t in entry_mod.TABLES:
+        if t != "lineitem":
+            os.symlink(f"/root/testdata/sf0.001/{t}.parquet", str(d / f"{t}.parquet"))
+    return str(d)
+
+
+_GRAPH_FUZZ_QUERIES = [
+    "part_coorder_triangles", "part_khop_neighbors",
+    "part_link_prediction", "part_lpa_communities",
+    "token_cooccurrence_lift", "promo_revenue_share",
+    "q17_small_quantity_revenue",
+]
+
+
+@pytest.mark.parametrize("name", _GRAPH_FUZZ_QUERIES)
+def test_oracle_parity_on_graph_fuzz(spark, graph_fuzz_sf, name):
+    q = entry_mod.queries()[name]
+    sdf = q(spark, graph_fuzz_sf)
+    spark_rows = [tuple(r) for r in sdf.collect()]
+    con = duckdb.connect()
+    for t in entry_mod.TABLES:
+        src = (
+            f"read_parquet('{graph_fuzz_sf}/lineitem.parquet/*.parquet')"
+            if t == "lineitem"
+            else f"'{graph_fuzz_sf}/{t}.parquet'"
+        )
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM {src}")
+    res = con.execute(entry_mod.oracle_sql()[name])
+    duck_cols = [d[0] for d in res.description]
+    duck_rows = res.fetchall()
+    assert sorted(sdf.columns) == sorted(duck_cols), f"{name}: columns differ"
+    assert len(spark_rows) == len(duck_rows), f"{name}: row count differs"
+    s_vals, _ = _rows_to_multiset(list(sdf.columns), spark_rows)
+    d_vals, _ = _rows_to_multiset(duck_cols, duck_rows)
+    assert s_vals == d_vals, f"{name}: values differ"
