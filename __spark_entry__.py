@@ -406,13 +406,21 @@ def _staged_stream_pages(spark, sf_dir):
         F.col("text"),
         F.col("lang"),
     )
-    # 8 source files / 4 per trigger = 2+ micro-batches: exercises
-    # multi-batch exactly-once without paying per-batch setup for 32
-    # near-empty files (BENCH/ISOLATION_r03.md); fingerprint-stable
-    # path so repeat runs at the same sf reuse the staged files
+    # SCALE-ADAPTIVE staging (optimization r9, guide §2.2): a fixed 8
+    # files / 4 per trigger meant each micro-batch ran the CPU-bound
+    # extraction as 4 tasks on 32 cores at sf>=1 (measured 11-12 s
+    # addBatch per 25k-doc batch; 4x idle cores). File count now grows
+    # with the corpus — 8 at fixture scale (32 near-empty files cost
+    # more in per-batch setup than they return, BENCH/ISOLATION_r03.md)
+    # up to 64 — while maxFilesPerTrigger = ceil(n/2) keeps the
+    # multi-batch exactly-once contract at EXACTLY 2 micro-batches at
+    # every sf. Fingerprint-stable path so repeat runs at the same sf
+    # reuse the staged files.
+    n_docs = docs.count()
+    n_files = min(64, max(8, n_docs // 750))
     src = _materialize_once(
         _stream_pages_path(sf_dir),
-        lambda p: pages.repartition(8).write.mode("overwrite").parquet(p),
+        lambda p: pages.repartition(n_files).write.mode("overwrite").parquet(p),
     )
     # batch reference triples over the SAME staged files — the oracle's
     # input; skip-if-exists via the fingerprinted path
@@ -424,7 +432,18 @@ def _staged_stream_pages(spark, sf_dir):
             spark.read.parquet(src), [DOCS_SCHEMA_SPEC], lang_filter=None
         ).write.mode("overwrite").parquet(p),
     )
-    return src
+    # files-per-trigger for exactly 2 micro-batches, derived from what
+    # is ACTUALLY on disk (an artifact staged by an earlier run of the
+    # same fingerprint has the same count by construction, but counting
+    # is free and never drifts)
+    import os as _os
+
+    staged = sum(
+        1
+        for f in _os.listdir(src)
+        if f.endswith(".parquet") and not f.startswith(("_", "."))
+    )
+    return src, max(1, (staged + 1) // 2)
 
 
 def _stream_triples_select(df):
@@ -463,10 +482,10 @@ def _streaming_extract(spark, sf_dir):
     from nlquery_spark.operators.extract import dedup_triples, extract_triples
     from nlquery_spark.streaming import read_pages_stream, triples_to_sink
 
-    src = _staged_stream_pages(spark, sf_dir)
+    src, per_trigger = _staged_stream_pages(spark, sf_dir)
     work = tempfile.mkdtemp(prefix="nlq_stream_")
     out, ckpt = f"{work}/out", f"{work}/ckpt"
-    stream = read_pages_stream(spark, src, max_files_per_trigger=4)
+    stream = read_pages_stream(spark, src, max_files_per_trigger=per_trigger)
     q = triples_to_sink(
         extract_triples(stream, [DOCS_SCHEMA_SPEC], lang_filter=None),
         out,
@@ -507,17 +526,22 @@ def _streaming_kg_merge(spark, sf_dir):
         triples_merge_sink,
     )
 
-    src = _staged_stream_pages(spark, sf_dir)
+    src, per_trigger = _staged_stream_pages(spark, sf_dir)
     work = tempfile.mkdtemp(prefix="nlq_kgmerge_")
     base, ckpt = f"{work}/base", f"{work}/ckpt"
     # per-batch merges are tiny batch jobs over fixture-scale aggregates:
     # 32-way shuffles would be pure scheduling churn (the
     # streaming_attribution lesson — OPERATIONS.md sizes this to the
-    # cluster in production, per-query here)
+    # cluster in production, per-query here). Scale-adaptive since r9:
+    # at corpus scale the per-batch delta is ~10^5-10^6 aggregated
+    # triples, where 8 reducers under-use the machine — grow with the
+    # staged-batch width, still capped at the core count.
     old_shuf = spark.conf.get("spark.sql.shuffle.partitions")
     try:
-        spark.conf.set("spark.sql.shuffle.partitions", "8")
-        stream = read_pages_stream(spark, src, max_files_per_trigger=4)
+        spark.conf.set(
+            "spark.sql.shuffle.partitions", str(max(8, min(32, per_trigger)))
+        )
+        stream = read_pages_stream(spark, src, max_files_per_trigger=per_trigger)
         q = triples_merge_sink(
             extract_triples(stream, [DOCS_SCHEMA_SPEC], lang_filter=None),
             base,
@@ -3293,6 +3317,46 @@ FROM p JOIN c ca ON p.term_a = ca.token JOIN c cb ON p.term_b = cb.token
 """
 
 
+def _coorder_edges(spark, sf_dir):
+    """Shared co-ordered-parts edge set (support >= 2) for the graph
+    family (triangles / LPA / k-hop / link prediction). Optimization r9
+    (guide §2.4): pair generation via ONE groupBy(order) +
+    collect_list + in-row pair expansion instead of the lineitem
+    self-join — the self-join shuffled lineitem twice (both SMJ sides)
+    and sorted both; the aggregate shuffles it once and expands pairs
+    in codegen. Same multiset of (pa, pb) value pairs row-for-row
+    (strict pa < pb on values, duplicate rows contribute per-occurrence
+    exactly as the join did — measured identical 1,196,000-edge output
+    at sf1; oracle parity unchanged), ~1.7x faster at sf1."""
+    li = _load(spark, sf_dir, "lineitem")["lineitem"].select(
+        "l_orderkey", "l_partkey"
+    )
+    grp = li.groupBy("l_orderkey").agg(F.collect_list("l_partkey").alias("ps"))
+    pairs = grp.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    "ps",
+                    lambda x: F.filter(
+                        F.transform(
+                            "ps",
+                            lambda y: F.struct(x.alias("pa"), y.alias("pb")),
+                        ),
+                        lambda s: s["pa"] < s["pb"],
+                    ),
+                )
+            )
+        ).alias("p")
+    )
+    return (
+        pairs.select("p.pa", "p.pb")
+        .groupBy("pa", "pb")
+        .agg(F.count(F.lit(1)).alias("sup"))
+        .filter(F.col("sup") >= 2)
+        .select(F.col("pa").alias("src"), F.col("pb").alias("dst"))
+    )
+
+
 def _part_coorder_triangles(spark, sf_dir):
     """Graph-analytics surface: triangle participation counts over the
     co-ordered-parts graph (edge = two parts on the same order >= 2
@@ -3302,19 +3366,7 @@ def _part_coorder_triangles(spark, sf_dir):
     degree-ordered orientation, so wedge fan-out is bounded on hubs."""
     from nlquery_spark.operators.graph import triangle_counts
 
-    li = _load(spark, sf_dir, "lineitem")["lineitem"].select(
-        "l_orderkey", "l_partkey"
-    )
-    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pa"))
-    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pb"))
-    edges = (
-        a.join(b, "ok")
-        .filter(F.col("pa") < F.col("pb"))
-        .groupBy("pa", "pb")
-        .agg(F.count(F.lit(1)).alias("sup"))
-        .filter(F.col("sup") >= 2)
-        .select(F.col("pa").alias("src"), F.col("pb").alias("dst"))
-    )
+    edges = _coorder_edges(spark, sf_dir)
     return triangle_counts(edges).select(F.col("node").alias("part"), "n_triangles")
 
 
@@ -3353,19 +3405,7 @@ def _part_lpa_communities(spark, sf_dir):
     prediction."""
     from nlquery_spark.operators.graph import label_propagation
 
-    li = _load(spark, sf_dir, "lineitem")["lineitem"].select(
-        "l_orderkey", "l_partkey"
-    )
-    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pa"))
-    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pb"))
-    edges = (
-        a.join(b, "ok")
-        .filter(F.col("pa") < F.col("pb"))
-        .groupBy("pa", "pb")
-        .agg(F.count(F.lit(1)).alias("sup"))
-        .filter(F.col("sup") >= 2)
-        .select(F.col("pa").alias("src"), F.col("pb").alias("dst"))
-    )
+    edges = _coorder_edges(spark, sf_dir)
     return label_propagation(edges, iters=2).select(
         F.col("node").alias("part"), "community"
     )
@@ -3466,19 +3506,7 @@ def _part_khop_neighbors(spark, sf_dir):
     checkpointed iteration state (operators/graph.py::khop_neighbors)."""
     from nlquery_spark.operators.graph import khop_neighbors
 
-    li = _load(spark, sf_dir, "lineitem")["lineitem"].select(
-        "l_orderkey", "l_partkey"
-    )
-    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pa"))
-    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pb"))
-    edges = (
-        a.join(b, "ok")
-        .filter(F.col("pa") < F.col("pb"))
-        .groupBy("pa", "pb")
-        .agg(F.count(F.lit(1)).alias("sup"))
-        .filter(F.col("sup") >= 2)
-        .select(F.col("pa").alias("src"), F.col("pb").alias("dst"))
-    )
+    edges = _coorder_edges(spark, sf_dir)
     seeds = spark.createDataFrame([(1,)], "node bigint")
     return khop_neighbors(edges, seeds, k=3).select(
         F.col("node").alias("part"), "depth"
@@ -3790,19 +3818,7 @@ def _part_link_prediction(spark, sf_dir):
     (operators/graph.py::common_neighbor_scores)."""
     from nlquery_spark.operators.graph import common_neighbor_scores
 
-    li = _load(spark, sf_dir, "lineitem")["lineitem"].select(
-        "l_orderkey", "l_partkey"
-    )
-    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pa"))
-    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pb"))
-    edges = (
-        a.join(b, "ok")
-        .filter(F.col("pa") < F.col("pb"))
-        .groupBy("pa", "pb")
-        .agg(F.count(F.lit(1)).alias("sup"))
-        .filter(F.col("sup") >= 2)
-        .select(F.col("pa").alias("src"), F.col("pb").alias("dst"))
-    )
+    edges = _coorder_edges(spark, sf_dir)
     return common_neighbor_scores(edges, min_common=2).select(
         F.col("node_a").alias("part_a"),
         F.col("node_b").alias("part_b"),
