@@ -272,9 +272,14 @@ def connected_components(
         node_df = node_df.distinct().localCheckpoint(eager=True)
     n_edges, n_nodes = sym.count(), node_df.count()
     if n_edges + n_nodes <= driver_max_graph:
+        # Arrow toPandas, not toLocalIterator — same serial-round-trip
+        # latency fix as the pagerank driver path (optimization r9);
+        # .tolist() hands the union-find plain Python values so the
+        # labeled output keeps driver-path/distributed-path type parity
+        sym_pdf = sym.toPandas()
         labeled = _union_find_components(
-            ((r.src, r.dst) for r in sym.toLocalIterator()),
-            ((r.node,) for r in node_df.toLocalIterator()),
+            zip(sym_pdf["src"].tolist(), sym_pdf["dst"].tolist()),
+            ((n,) for n in node_df.toPandas()["node"].tolist()),
         )
         if metrics is not None:
             metrics["cc_iterations"] = 0  # driver union-find is exact
@@ -443,12 +448,20 @@ def pagerank(
     if n + n_edges <= driver_max_graph:
         import numpy as np
 
-        names = sorted(r.node for r in nodes.toLocalIterator())
+        # Arrow toPandas, not toLocalIterator (optimization r9, guide
+        # §5/§6): the iterator fetches partitions in serial round trips
+        # — at 316k edges / 32 partitions that latency dominated the
+        # whole driver path; one Arrow transfer moves the same few MB
+        # in a single job.
+        names = sorted(nodes.toPandas()["node"].tolist())
         idx = {nm: i for i, nm in enumerate(names)}
-        src_i = np.empty(n_edges, dtype=np.int64)
-        dst_i = np.empty(n_edges, dtype=np.int64)
-        for k, r in enumerate(e.toLocalIterator()):
-            src_i[k], dst_i[k] = idx[r.src], idx[r.dst]
+        e_pdf = e.toPandas()
+        src_i = np.fromiter(
+            (idx[v] for v in e_pdf["src"].tolist()), np.int64, n_edges
+        )
+        dst_i = np.fromiter(
+            (idx[v] for v in e_pdf["dst"].tolist()), np.int64, n_edges
+        )
         out_deg_v = np.bincount(src_i, minlength=n).astype(np.float64)
         r_vec = np.full(n, 1.0 / n)
         delta = float("inf")
@@ -486,8 +499,13 @@ def pagerank(
                 StructField("rank", DoubleType(), False),
             ]
         )
+        # Arrow-path createDataFrame from a pandas frame (one columnar
+        # transfer) instead of a 50k-tuple Python list; names are in
+        # idx order (idx[names[i]] == i) so r_vec aligns positionally
+        import pandas as pd
+
         return edges.sparkSession.createDataFrame(
-            [(nm, float(r_vec[idx[nm]])) for nm in names], out_schema
+            pd.DataFrame({"node": names, "rank": r_vec}), out_schema
         )
     # loop-invariant inputs materialize ONCE: out-degrees are an
     # O(|E|) aggregate and the dangling-node set an O(|V|) anti join —

@@ -58,22 +58,35 @@ def inverted_index(
             "pos", "token"
         ),
     )
-    posting = F.array_join(
-        F.transform(
-            F.sort_array(F.collect_list(F.struct(F.col("doc"), F.col("pos")))),
-            lambda s: F.concat_ws(
-                ":", s["doc"].cast("string"), s["pos"].cast("string")
-            ),
-        ),
-        ",",
+    # ONE exchange on (token, shard) (optimization r9, guide §2.3/§2.4):
+    # count_distinct(doc) mixed with collect_list made Catalyst key the
+    # partial aggregation on (token, shard, doc) and re-shuffle the
+    # merged buffers on (token, shard) — the whole exploded token
+    # stream crossed the wire twice. n_docs is derivable from the
+    # collected postings themselves (distinct doc over the sorted
+    # struct array), so the distinct aggregate — and its extra
+    # Exchange — is gone; values are identical by construction.
+    ps = F.sort_array(F.collect_list(F.struct(F.col("doc"), F.col("pos"))))
+    agg = toks.groupBy("token", "shard").agg(
+        F.count(F.lit(1)).cast("long").alias("n_positions"),
+        ps.alias("_ps"),
     )
-    return (
-        toks.groupBy("token", "shard")
-        .agg(
-            F.count_distinct(F.col("doc")).cast("long").alias("n_docs"),
-            F.count(F.lit(1)).cast("long").alias("n_positions"),
-            posting.alias("postings"),
-        )
+    return agg.select(
+        "token",
+        "shard",
+        F.size(F.array_distinct(F.transform(F.col("_ps"), lambda s: s["doc"])))
+        .cast("long")
+        .alias("n_docs"),
+        "n_positions",
+        F.array_join(
+            F.transform(
+                F.col("_ps"),
+                lambda s: F.concat_ws(
+                    ":", s["doc"].cast("string"), s["pos"].cast("string")
+                ),
+            ),
+            ",",
+        ).alias("postings"),
     )
 
 
