@@ -738,18 +738,45 @@ def _verify_tile(
     step = max_bucket_block
 
     def emit(ids_r, ids_c, sims, upper_from=None):
-        rr, cc = np.nonzero(np.round(sims, 6) >= threshold)
-        for r, c in zip(rr, cc):
-            if upper_from is not None and upper_from[0] + r >= upper_from[1] + c:
-                continue
-            a_id, b_id = ids_r[r], ids_c[c]
-            if a_id == b_id:
-                continue
-            if a_id > b_id:
-                a_id, b_id = b_id, a_id
-            ia.append(a_id)
-            ib.append(b_id)
-            cs.append(round(float(sims[r, c]), 6))
+        # vectorized pair selection (optimization r9, guide §4.2): the
+        # old per-pair Python loop appended millions of rows one by one
+        # on dense buckets; masks + fancy indexing do the selection in
+        # numpy. The EMITTED cosine stays Python round(float(x), 6) —
+        # bit-identical to the previous loop (np.round's scale-and-rint
+        # can differ in the last ulp from correct decimal rounding, and
+        # the emitted value is hash-checked by the oracle).
+        # cheap >= pre-mask first: np.round over the FULL sims matrix
+        # was 3 vectorized passes (mul, rint, div) per tile — the
+        # dominant cost at dense buckets. Rounding can only promote a
+        # value by < 1e-6, so x >= threshold - 1e-6 is a superset of
+        # np.round(x, 6) >= threshold; the exact rounded test then runs
+        # only on the surviving candidates.
+        rr, cc = np.nonzero(sims >= threshold - 1e-6)
+        if len(rr):
+            keep = np.round(sims[rr, cc], 6) >= threshold
+            rr, cc = rr[keep], cc[keep]
+        if upper_from is not None:
+            keep = (upper_from[0] + rr) < (upper_from[1] + cc)
+            rr, cc = rr[keep], cc[keep]
+        av, bv = ids_r[rr], ids_c[cc]
+        keep = av != bv
+        av, bv, rr, cc = av[keep], bv[keep], rr[keep], cc[keep]
+        ia.append(np.minimum(av, bv))
+        ib.append(np.maximum(av, bv))
+        cs.append([round(float(v), 6) for v in sims[rr, cc]])
+
+    def frame():
+        if not ia:
+            return empty
+        return pd.DataFrame(
+            {
+                "id_a": np.concatenate(ia),
+                "id_b": np.concatenate(ib),
+                "cosine": np.fromiter(
+                    (v for chunk in cs for v in chunk), np.float64
+                ),
+            }
+        )
 
     if len(b) == 0:  # diagonal tile: upper triangle within A
         n = len(a)
@@ -763,7 +790,7 @@ def _verify_tile(
                 c1 = min(c0 + step, n)
                 emit(ids[r0:r1], ids[c0:c1], u[r0:r1] @ u[c0:c1].T,
                      upper_from=(r0, c0))
-        return pd.DataFrame({"id_a": ia, "id_b": ib, "cosine": cs})
+        return frame()
     if len(a) == 0:
         return empty
     ids_a = a["id"].to_numpy()
@@ -775,7 +802,7 @@ def _verify_tile(
         for c0 in range(0, len(b), step):
             c1 = min(c0 + step, len(b))
             emit(ids_a[r0:r1], ids_b[c0:c1], ua[r0:r1] @ ub[c0:c1].T)
-    return pd.DataFrame({"id_a": ia, "id_b": ib, "cosine": cs})
+    return frame()
 
 
 # ------------------------------------------------------------ clusters --

@@ -201,17 +201,20 @@ def cosine_allpairs_exact(
             norms[norms == 0] = 1.0
             unit = x / norms[:, None]
             blocks = (ids % B + B) % B  # deterministic, sign-safe
-            out_key, out_block, out_id, out_unit = [], [], [], []
-            for r in range(len(ids)):
-                b = int(blocks[r])
-                for j in range(B):
-                    i, jj = (b, j) if b <= j else (j, b)
-                    out_key.append(i * B + jj)
-                    out_block.append(b)
-                    out_id.append(int(ids[r]))
-                    out_unit.append(unit[r])
+            # vectorized B-fold fan-out (optimization r9, guide §4.2):
+            # the per-row Python loop built n*B rows by list append
+            jg = np.arange(B, dtype=np.int64)[None, :]
+            bcol = blocks[:, None]
+            key = (
+                np.minimum(bcol, jg) * B + np.maximum(bcol, jg)
+            ).reshape(-1)
             yield pd.DataFrame(
-                {"key": out_key, "block": out_block, "id": out_id, "unit": out_unit}
+                {
+                    "key": key,
+                    "block": np.repeat(blocks, B),
+                    "id": np.repeat(ids, B),
+                    "unit": list(np.repeat(unit, B, axis=0)),
+                }
             )
 
     def verify_pair(pdf):
@@ -225,6 +228,11 @@ def cosine_allpairs_exact(
         ia, ib, cs = [], [], []
 
         def emit(rows_idx, cols_idx, triangle):
+            # same vectorized selection as dedup._verify_tile
+            # (optimization r9): cheap >= pre-mask instead of np.round
+            # over the full tile, numpy masks instead of a per-pair
+            # Python loop; emitted cosine stays Python round(float, 6)
+            # for bit parity with the previous loop and the oracle.
             ur, uc = u[rows_idx], u[cols_idx]
             idr, idc = ids[rows_idx], ids[cols_idx]
             for r0 in range(0, len(idr), tile):
@@ -232,25 +240,37 @@ def cosine_allpairs_exact(
                 for c0 in range(0, len(idc), tile):
                     c1 = min(c0 + tile, len(idc))
                     sims = ur[r0:r1] @ uc[c0:c1].T
-                    rr, cc = np.nonzero(np.round(sims, 6) >= threshold)
-                    for r, c in zip(rr, cc):
-                        gi, gj = int(idr[r0 + r]), int(idc[c0 + c])
-                        if triangle and r0 + r >= c0 + c:
-                            continue
-                        if gi == gj:
-                            continue
-                        a, b2 = (gi, gj) if gi < gj else (gj, gi)
-                        ia.append(a)
-                        ib.append(b2)
-                        cs.append(round(float(sims[r, c]), 6))
+                    rr, cc = np.nonzero(sims >= threshold - 1e-6)
+                    if len(rr):
+                        keep = np.round(sims[rr, cc], 6) >= threshold
+                        rr, cc = rr[keep], cc[keep]
+                    if triangle:
+                        keep = (r0 + rr) < (c0 + cc)
+                        rr, cc = rr[keep], cc[keep]
+                    av, bv = idr[r0 + rr], idc[c0 + cc]
+                    keep = av != bv
+                    av, bv, rr, cc = av[keep], bv[keep], rr[keep], cc[keep]
+                    ia.append(np.minimum(av, bv))
+                    ib.append(np.maximum(av, bv))
+                    cs.append([round(float(v), 6) for v in sims[rr, cc]])
 
         if i == j:
             idx = np.arange(len(ids))
             emit(idx, idx, triangle=True)
         else:
             emit(np.nonzero(blk == i)[0], np.nonzero(blk == j)[0], triangle=False)
-        return pd.DataFrame({"id_a": ia, "id_b": ib, "cosine": cs}).astype(
-            {"id_a": "int64", "id_b": "int64", "cosine": "float64"}
+        if not ia:
+            return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []}).astype(
+                {"id_a": "int64", "id_b": "int64", "cosine": "float64"}
+            )
+        return pd.DataFrame(
+            {
+                "id_a": np.concatenate(ia),
+                "id_b": np.concatenate(ib),
+                "cosine": np.fromiter(
+                    (v for chunk in cs for v in chunk), np.float64
+                ),
+            }
         )
 
     fanned = df.select(id_col, vec_col).mapInPandas(fan_out, sig_schema)
