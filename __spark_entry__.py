@@ -1835,9 +1835,14 @@ SELECT t AS token, COUNT(*) AS n FROM (
 
 def _gazetteer_mentions(spark, sf_dir):
     docs = _load(spark, sf_dir, "documents")["documents"]
+    # filter INSIDE the token array before exploding (optimization r9,
+    # guide §2.3): same \s+ tokenization convention as _doc_tokens, but
+    # only gazetteer hits are ever exploded into rows — the generate +
+    # downstream filter previously emitted every corpus token
+    toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    hits = F.filter(toks, lambda t: t.isin(GAZETTEER))
     return (
-        _doc_tokens(docs)
-        .filter(F.col("token").isin(GAZETTEER))
+        docs.select("doc_id", F.explode(hits).alias("token"))
         .groupBy("doc_id", "token")
         .agg(F.count(F.lit(1)).alias("n_mentions"))
     )

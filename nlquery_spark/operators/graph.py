@@ -403,8 +403,6 @@ def label_propagation(
     a localCheckpoint per round so the plan stays bounded at any
     ``iters``. Hub nodes cost O(degree) vote rows, never O(degree^2).
     """
-    from pyspark.sql import Window
-
     sym = (
         edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
         .union(edges.select(F.col(dst).alias("s"), F.col(src).alias("d")))
@@ -421,13 +419,22 @@ def label_propagation(
             F.col("d").alias("n2"), "label"
         )
         cnt = votes.groupBy("n2", "label").agg(F.count(F.lit(1)).alias("cnt"))
-        w = Window.partitionBy("n2").orderBy(
-            F.col("cnt").desc(), F.col("label").asc()
-        )
+        # top-1 via min(struct(-cnt, label)) instead of a row_number
+        # window (optimization r9, guide §2.4): the struct min is the
+        # SAME total order — highest cnt, then smallest label — but
+        # runs as a hash aggregation with map-side partial combine on
+        # the exchange the count already needs, instead of adding a
+        # full sort-based window shuffle per round.
         best = (
-            cnt.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .select(F.col("n2").alias("node"), F.col("label").alias("new_label"))
+            cnt.groupBy("n2")
+            .agg(
+                F.min(
+                    F.struct(
+                        (-F.col("cnt")).alias("_nc"), F.col("label").alias("_lb")
+                    )
+                ).alias("_m")
+            )
+            .select(F.col("n2").alias("node"), F.col("_m._lb").alias("new_label"))
         )
         labels = (
             labels.join(best, "node", "left")
