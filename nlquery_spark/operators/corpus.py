@@ -9,9 +9,11 @@ greedy first-fit-decreasing inside ``applyInPandas`` and is pinned by
 exact pytest invariants instead of SQL.
 
 Scale posture:
-- repetition_stats: one explode+groupBy shuffle keyed by doc_id — the
-  per-doc group is the doc's own bigrams, so no skew beyond document
-  length (cap extreme docs upstream via corpus_clean's length gate).
+- repetition_stats: MAP-ONLY since r9 — the per-doc top-bigram count is
+  the longest equal-run in the sorted per-row bigram array (sort_array
+  + aggregate in codegen), so no shuffle at all; per-row cost is
+  O(len log len) in document length (cap extreme docs upstream via
+  corpus_clean's length gate).
 - pii_scrub: stateless projection; pushdown/pruning unaffected.
 - stratified_sample: stateless filter on an md5-derived uniform; no
   shuffle, no RNG state, reproducible across engines AND cluster
@@ -55,22 +57,39 @@ def repetition_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
         F.size(toks).alias("n_tokens"),
         F.size(F.array_distinct(toks)).alias("_n_distinct"),
     )
-    bigrams = base.filter(F.col("n_tokens") > 1).select(
-        "doc_id",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.size("_toks") - 2),
-                lambda i: F.concat_ws(
-                    " ", F.get("_toks", i), F.get("_toks", i + 1)
-                ),
-            )
-        ).alias("bigram"),
+    # MAP-ONLY top-bigram count (optimization r9, guide §2.4): the
+    # most-repeated adjacent bigram's count per doc equals the longest
+    # run of equal values in the doc's SORTED bigram array — computable
+    # per row with sort_array + aggregate in codegen. The previous shape
+    # exploded every bigram of the corpus into rows, shuffled them
+    # twice ((doc, bigram) count, then per-doc max) and joined the
+    # result back onto the doc relation; all three exchanges are gone.
+    bg = F.transform(
+        F.sequence(F.lit(0), F.size("_toks") - 2),
+        lambda i: F.concat_ws(" ", F.get("_toks", i), F.get("_toks", i + 1)),
     )
-    top = (
-        bigrams.groupBy("doc_id", "bigram")
-        .agg(F.count(F.lit(1)).alias("_n"))
-        .groupBy("doc_id")
-        .agg(F.max("_n").alias("top_bigram_n"))
+    best_run = F.aggregate(
+        F.sort_array(bg),
+        # '' can never equal a real bigram (tokens are non-empty, so a
+        # bigram always contains a space-joined non-empty pair)
+        F.struct(
+            F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("best")
+        ),
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            F.when(x == acc["prev"], acc["run"] + 1)
+            .otherwise(F.lit(1))
+            .alias("run"),
+            F.greatest(
+                acc["best"],
+                F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)),
+            ).alias("best"),
+        ),
+        lambda acc: acc["best"],
+    )
+    base = base.withColumn(
+        "top_bigram_n",
+        F.when(F.col("n_tokens") > 1, best_run).otherwise(F.lit(0)),
     )
     dup_frac = F.when(
         F.col("n_tokens") > 0,
@@ -86,17 +105,12 @@ def repetition_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
             6,
         ),
     ).otherwise(F.lit(0.0))
-    return (
-        base.join(top, "doc_id", "left")
-        .select(
-            "doc_id",
-            F.col("n_tokens").cast("long").alias("n_tokens"),
-            dup_frac.alias("dup_token_frac"),
-            F.coalesce(F.col("top_bigram_n"), F.lit(0))
-            .cast("long")
-            .alias("top_bigram_n"),
-            top_frac.alias("top_bigram_frac"),
-        )
+    return base.select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        dup_frac.alias("dup_token_frac"),
+        F.col("top_bigram_n").cast("long").alias("top_bigram_n"),
+        top_frac.alias("top_bigram_frac"),
     )
 
 
