@@ -328,8 +328,21 @@ def ivf_topk(
             break
     bc = corpus.sparkSession.sparkContext.broadcast(centroids)
 
+    # carry the vector THROUGH the assignment stage (optimization r9,
+    # guide §2.4): emitting only (id, cell) forced a corpus⋈cells
+    # shuffle join on id to re-attach the embeddings — two exchanges of
+    # the vector payload for a column the Python stage already held.
+    # Downstream needs exactly (id, vec, cell); nothing else survives
+    # column pruning anyway.
     cell_schema = StructType(
-        [StructField("id", LongType(), False), StructField("cell", LongType(), False)]
+        [
+            StructField(id_col, LongType(), False),
+            # pass the vector through with its ORIGINAL element type
+            # (array<float> on the embeddings table): declaring double
+            # here would silently up-cast and shift rounded cosines
+            StructField(vec_col, corpus.schema[vec_col].dataType, True),
+            StructField("cell", LongType(), False),
+        ]
     )
 
     def assign_cells(batches):
@@ -343,11 +356,16 @@ def ivf_topk(
             m = np.array(list(pdf[vec_col]), dtype=np.float64)
             m /= np.linalg.norm(m, axis=1, keepdims=True)
             cells = np.argmax(m @ cents.T, axis=1)
-            yield pd.DataFrame({"id": ids, "cell": cells.astype(np.int64)})
+            yield pd.DataFrame(
+                {
+                    id_col: ids,
+                    vec_col: pdf[vec_col],
+                    "cell": cells.astype(np.int64),
+                }
+            )
 
-    cells = corpus.select(id_col, vec_col).mapInPandas(assign_cells, cell_schema)
-    corpus_cells = corpus.join(
-        cells.withColumnRenamed("id", id_col), id_col
+    corpus_cells = corpus.select(id_col, vec_col).mapInPandas(
+        assign_cells, cell_schema
     )
 
     qrows = corpus.filter(F.col(id_col).isin(list(query_ids))).select(id_col, vec_col).collect()
