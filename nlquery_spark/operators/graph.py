@@ -78,13 +78,30 @@ def triangle_counts(edges: DataFrame, src: str = "src", dst: str = "dst") -> Dat
     ).localCheckpoint(eager=True)
     # wedge at u: (v1, v2) both out-neighbors of u, ordered by the same
     # (deg, node) total order the orientation uses — so the closing edge,
-    # if present, is oriented exactly v1 -> v2
-    o1 = o.select("u", F.col("v").alias("v1"), F.col("deg_v").alias("d1"))
-    o2 = o.select("u", F.col("v").alias("v2"), F.col("deg_v").alias("d2"))
-    wedge = o1.join(o2, "u").filter(
-        (F.col("d1") < F.col("d2"))
-        | ((F.col("d1") == F.col("d2")) & (F.col("v1") < F.col("v2")))
+    # if present, is oriented exactly v1 -> v2. Generated from a sorted
+    # per-u adjacency array with a TWO-LEVEL explode (optimization r9,
+    # guide §2.4) instead of the o1⋈o2 self-join: one hash aggregation
+    # replaces the join's exchange + both sort passes, and the ordered
+    # i<j pairs of the (deg, node)-sorted array ARE the old join filter.
+    # Memory stays bounded: each intermediate row carries at most one
+    # oriented adjacency list (O(sqrt(E)) by the orientation bound); the
+    # second explode streams the tail slice, never a per-row pair
+    # matrix.
+    adj = o.groupBy("u").agg(
+        F.sort_array(
+            F.collect_list(
+                F.struct(F.col("deg_v").alias("d"), F.col("v").alias("nv"))
+            )
+        ).alias("nb")
     )
+    lvl1 = adj.select("u", "nb", F.posexplode("nb").alias("i", "w1"))
+    wedge = lvl1.select(
+        "u",
+        F.col("w1.nv").alias("v1"),
+        F.explode(
+            F.slice(F.col("nb"), F.col("i") + F.lit(2), F.size("nb"))
+        ).alias("w2"),
+    ).select("u", "v1", F.col("w2.nv").alias("v2"))
     closing = o.select(F.col("u").alias("v1"), F.col("v").alias("v2"))
     tri = wedge.join(closing, ["v1", "v2"]).select("u", "v1", "v2")
     corners = tri.select(F.explode(F.array("u", "v1", "v2")).alias("node"))
@@ -252,6 +269,13 @@ def common_neighbor_scores(
             ).count()
         keep = deg.filter(F.col("deg") <= max_center_degree).select("a")
         wedge_src = und.join(keep, "a").localCheckpoint(eager=True)
+    # NOTE (r9): the triangle_counts-style two-level-explode wedge
+    # rewrite was tried here and measured SLOWER (36 vs 24 s on the
+    # dense local sf1 graph): without degree orientation the per-center
+    # adjacency is unbounded-ish (up to the 10k cap), and the tail
+    # slices copy O(deg) per level-1 row — Σdeg² copied elements —
+    # where the self-join streams pairs without materializing arrays.
+    # The join stays.
     w1 = wedge_src.select(F.col("a").alias("u"), F.col("b").alias("v1"))
     w2 = wedge_src.select(F.col("a").alias("u"), F.col("b").alias("v2"))
     pairs = (
