@@ -182,7 +182,12 @@ def khop_neighbors(
             .withColumn("depth", F.lit(d))
             .localCheckpoint(eager=True)
         )
-        visited = visited.unionAll(nxt).localCheckpoint(eager=True)
+        # no checkpoint on the accumulator (optimization r9): visited is
+        # a union of ALREADY-materialized per-round frontiers, so
+        # re-checkpointing it re-wrote the whole growing set every round
+        # — the lazy union evaluates from the cached pieces and its
+        # depth is bounded by k
+        visited = visited.unionAll(nxt)
         frontier = nxt.select("node")
     return visited.select("node", F.col("depth").cast("int").alias("depth"))
 
