@@ -416,12 +416,13 @@ def _staged_stream_pages(spark, sf_dir):
     # multi-batch exactly-once contract at EXACTLY 2 micro-batches at
     # every sf. Fingerprint-stable path so repeat runs at the same sf
     # reuse the staged files.
-    n_docs = docs.count()
-    n_files = min(64, max(8, n_docs // 750))
-    src = _materialize_once(
-        _stream_pages_path(sf_dir),
-        lambda p: pages.repartition(n_files).write.mode("overwrite").parquet(p),
-    )
+    def _write_pages(p):
+        # count inside the write closure: repeat runs with a complete
+        # artifact skip the job entirely
+        n_files = min(64, max(8, docs.count() // 750))
+        pages.repartition(n_files).write.mode("overwrite").parquet(p)
+
+    src = _materialize_once(_stream_pages_path(sf_dir), _write_pages)
     # batch reference triples over the SAME staged files — the oracle's
     # input; skip-if-exists via the fingerprinted path
     # written for its side effect: _streaming_extract_sql re-derives the
