@@ -91,16 +91,29 @@ def _dec(col, prec: int = 10) -> "F.Column":
 GAZETTEER = ["spark", "table", "join", "query", "window", "hash", "scan", "batch"]
 
 
+def _doc_token_array() -> "F.Column":
+    """THE tokenization convention as an array expression — the single
+    source both the exploding and the filter-before-explode variants
+    derive from: Java \\s+ == the explicit [ \\t\\n\\x0B\\f\\r]+ class the
+    DuckDB oracles use. Keep this in ONE place; a fork silently breaks
+    Spark-vs-oracle parity for some queries but not others."""
+    return F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+
+
 def _doc_tokens(docs: DataFrame) -> DataFrame:
-    """(doc_id, token) — THE tokenization convention shared by every
-    token-level oracled query (gazetteer, heavy hitters): Java \\s+ ==
-    the explicit [ \\t\\n\\x0B\\f\\r]+ class the DuckDB oracles use. Keep
-    this in ONE place; a fork silently breaks Spark-vs-oracle parity for
-    some queries but not others."""
+    """(doc_id, token) — every corpus token as a row (heavy hitters)."""
     return docs.select(
-        "doc_id",
-        F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("token"),
+        "doc_id", F.explode(_doc_token_array()).alias("token")
     )
+
+
+def _doc_token_hits(docs: DataFrame, terms: list) -> DataFrame:
+    """(doc_id, token) for tokens in ``terms`` only — the SAME
+    convention, but the membership filter runs INSIDE the token array
+    before exploding (optimization r9, guide §2.3), so only hits ever
+    become rows."""
+    hits = F.filter(_doc_token_array(), lambda t: t.isin(terms))
+    return docs.select("doc_id", F.explode(hits).alias("token"))
 
 DOCS_SCHEMA_SPEC = {
     # dictionary over the documents table's vocabulary: the flagship
@@ -465,11 +478,12 @@ def _stream_triples_select(df):
 def _streaming_extract(spark, sf_dir):
     """Structured Streaming extraction — FULLY ORACLED since round 5
     (VERDICT r4 item 4, via the recipe the session-window queries
-    proved): documents-derived pages are staged as 8 parquet files, an
-    availableNow file stream replays them through the SAME stateless
-    mapInPandas extraction in 2+ micro-batches (4 files/trigger), and
-    the exactly-once parquet sink is read back and aggregated with
-    dedup_triples. The BATCH extraction over the identical staged pages
+    proved): documents-derived pages are staged as parquet files
+    (scale-adaptive count, 8 at fixture scale up to 64 — see
+    _staged_stream_pages), an availableNow file stream replays them
+    through the SAME stateless mapInPandas extraction in EXACTLY 2
+    micro-batches (ceil(n_files/2) per trigger), and the exactly-once
+    parquet sink is read back and aggregated with dedup_triples. The BATCH extraction over the identical staged pages
     is persisted once to a fingerprinted artifact, and the DuckDB
     oracle independently aggregates that parquet — so the value-hash
     proves the streaming machinery (micro-batch split, exactly-once
@@ -503,7 +517,8 @@ def _streaming_kg_merge(spark, sf_dir):
     """SIXTH fully-oracled streaming query (VERDICT r6 item 2) —
     incremental KG maintenance via streaming/extract.py::
     triples_merge_sink: the same staged pages replay as an availableNow
-    file stream (4 files/trigger over 8 files = 2 micro-batches), each
+    file stream (ceil(n_files/2) per trigger = exactly 2 micro-batches
+    at every sf; scale-adaptive file count since r9), each
     micro-batch's triples are aggregated (dedup_triples) and MERGED
     into the running versioned base (foreachBatch, batchId-keyed
     version dirs + an atomic _LATEST pointer — the exactly-once
@@ -1836,14 +1851,8 @@ SELECT t AS token, COUNT(*) AS n FROM (
 
 def _gazetteer_mentions(spark, sf_dir):
     docs = _load(spark, sf_dir, "documents")["documents"]
-    # filter INSIDE the token array before exploding (optimization r9,
-    # guide §2.3): same \s+ tokenization convention as _doc_tokens, but
-    # only gazetteer hits are ever exploded into rows — the generate +
-    # downstream filter previously emitted every corpus token
-    toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
-    hits = F.filter(toks, lambda t: t.isin(GAZETTEER))
     return (
-        docs.select("doc_id", F.explode(hits).alias("token"))
+        _doc_token_hits(docs, GAZETTEER)
         .groupBy("doc_id", "token")
         .agg(F.count(F.lit(1)).alias("n_mentions"))
     )
@@ -3279,7 +3288,7 @@ def _token_cooccurrence(spark, sf_dir):
     from nlquery_spark.operators.graph import cooccurrence_lift
 
     docs = _load(spark, sf_dir, "documents")["documents"]
-    toks = _doc_tokens(docs).filter(F.col("token").isin(GAZETTEER))
+    toks = _doc_token_hits(docs, GAZETTEER)
     n_docs = docs.select("doc_id").distinct().count()
     out = cooccurrence_lift(toks, "doc_id", "token", n_docs)
     return out.select(

@@ -25,7 +25,11 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 REPS = int(os.environ.get("REPS", "3"))
+# --explain captures .explain("formatted") for each query's first rep;
+# PLANDIR overrides where the files land
 PLANDIR = os.environ.get("PLANDIR", "")
+if "--explain" in sys.argv and not PLANDIR:
+    PLANDIR = "plans/r09"
 SUFFIX = os.environ.get("PLAN_SUFFIX", "")
 
 

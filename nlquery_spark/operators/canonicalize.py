@@ -423,8 +423,22 @@ def pagerank(
     selects FIXED-ITERATION mode: exactly ``max_iter`` rounds, no
     convergence warning — the deterministic contract an external
     oracle (fixed-round recursive-CTE power iteration) can reproduce.
+
+    ``checkpoint_interval`` (fixed-iteration mode only): materialize
+    the ranks every k rounds instead of every round — rounds in
+    between stay lazy and execute fused in the next checkpoint's job,
+    cutting per-round driver syncs (VERDICT r8 item 4; hash-identical
+    output, SCALE_r09). CAUTION: each lazy round references the
+    previous ranks twice (contribs + dangling mass), so the
+    unmaterialized plan TREE doubles per lazy round — execution is
+    deduplicated by exchange reuse, but analysis/planning cost is
+    ~2^interval subtrees. Values above ~10 buy nothing and can stall
+    the driver in the optimizer; the implementation clamps to 10.
     """
     fixed_iters = tol <= 0
+    # plan-tree growth between checkpoints is ~2^interval (see
+    # docstring) — clamp so a generous caller can't stall the optimizer
+    checkpoint_interval = max(1, min(int(checkpoint_interval), 10))
     e = (
         edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
         .filter(F.col("src").isNotNull() & F.col("dst").isNotNull())

@@ -140,13 +140,14 @@ def khop_neighbors(
     dense graphs / large seed sets where a frontier can outgrow the
     broadcast limit, pass ``broadcast_frontier=False``: the planner
     falls back to a keyed shuffle join (and AQE still converts rounds
-    whose frontier turns out small). Both the frontier and the visited
-    accumulator
-    are localCheckpointed each round: iterative lineage otherwise grows
-    exponentially and replays every prior round's joins (the standard
-    iterative-DataFrame trap; same discipline as canonicalize's CC
-    loop). Rounds are exactly k — bounded depth, no convergence test —
-    so the job graph is static and resumable.
+    whose frontier turns out small). Each round's NEW frontier is
+    localCheckpointed (iterative lineage otherwise grows and replays
+    every prior round's joins — the standard iterative-DataFrame trap;
+    same discipline as canonicalize's CC loop); the visited accumulator
+    is a LAZY union of those checkpointed frontiers (depth <= k), so it
+    is never re-materialized per round (optimization r9). Rounds are
+    exactly k — bounded depth, no convergence test — so the job graph
+    is static and resumable.
 
     Input edges may be duplicated / either orientation; they are
     canonicalized + symmetrized once up front (one distinct), then

@@ -74,7 +74,15 @@ def inverted_index(
     return agg.select(
         "token",
         "shard",
-        F.size(F.array_distinct(F.transform(F.col("_ps"), lambda s: s["doc"])))
+        # filter nulls before the distinct count: count_distinct(doc)
+        # excluded a NULL doc id, and the struct wrapping keeps the
+        # null element in the collected array — same semantics restored
+        F.size(
+            F.filter(
+                F.array_distinct(F.transform(F.col("_ps"), lambda s: s["doc"])),
+                lambda d: d.isNotNull(),
+            )
+        )
         .cast("long")
         .alias("n_docs"),
         "n_positions",

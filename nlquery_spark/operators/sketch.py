@@ -18,7 +18,6 @@ billions wide and hitters are few.
 
 from __future__ import annotations
 
-import hashlib
 from typing import Iterator, Tuple
 
 import numpy as np
@@ -36,17 +35,6 @@ def _cms_params(eps: float, delta: float) -> Tuple[int, int]:
     w = int(np.ceil(np.e / eps))
     d = int(np.ceil(np.log(1.0 / delta)))
     return max(d, 1), max(w, 16)
-
-
-def _row_hashes(token: str, d: int, w: int) -> np.ndarray:
-    # d INDEPENDENT hash functions: each row gets its own salted md5
-    # (slicing one digest would repeat functions once d*4 exceeds the
-    # digest length, silently inflating the per-row error probability)
-    out = np.empty(d, dtype=np.int64)
-    for i in range(d):
-        h = hashlib.md5(f"{i}:{token}".encode()).digest()
-        out[i] = int.from_bytes(h[:8], "little") % w
-    return out
 
 
 def _row_hash_matrix(tokens_arr: np.ndarray, d: int, w: int) -> np.ndarray:
